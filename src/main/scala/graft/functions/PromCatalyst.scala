@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{PromKernel => K}
+
+/** Catalyst-typed static facade over [[PromKernel]].
+  *
+  * Every method takes/returns Spark internal types (UTF8String / MapData /
+  * InternalRow) so it can be bound with `StaticInvoke` — a codegen'd direct
+  * static call, faster than any UDF and null-safe via propagateNull.
+  */
+object PromCatalyst {
+
+  private def mapToSortedArrays(labels: MapData): (Array[String], Array[String]) = {
+    if (labels == null) return (Array.empty, Array.empty)
+    val n = labels.numElements()
+    val keys = new Array[String](n)
+    val values = new Array[String](n)
+    val ka = labels.keyArray()
+    val va = labels.valueArray()
+    var i = 0
+    while (i < n) {
+      keys(i) = ka.getUTF8String(i).toString
+      values(i) = va.getUTF8String(i).toString
+      i += 1
+    }
+    val idx = Array.range(0, n).sortWith((a, b) => K.compareUtf8(keys(a), keys(b)) < 0)
+    (idx.map(keys), idx.map(values))
+  }
+
+  // --- formatting -----------------------------------------------------------
+
+  def valueString(d: Double): UTF8String = UTF8String.fromString(K.valueString(d))
+
+  def secondsString(ms: Long): UTF8String = UTF8String.fromString(K.secondsString(ms))
+
+  def rfc3339Nano(ms: Long): UTF8String = UTF8String.fromString(K.rfc3339Nano(ms))
+
+  /** Nullable: null on malformed timestamp. */
+  def parseRfc3339(s: UTF8String): java.lang.Long =
+    try java.lang.Long.valueOf(K.parseRfc3339ToMs(s.toString))
+    catch { case _: Exception => null }
+
+  // --- serializers ----------------------------------------------------------
+
+  /** format: 0=json (default), 1=json-compat, 2=avro-json-compat. */
+  def serialize(format: Int, ms: Long, value: Double, labels: MapData, tenant: UTF8String): UTF8String = {
+    val (keys, values) = mapToSortedArrays(labels)
+    val t = if (tenant == null) "" else tenant.toString
+    val out = format match {
+      case 0 => K.promJson(ms, value, keys, values, t)
+      case 1 => K.compatJson(ms, value, keys, values, t, avroMode = false)
+      case 2 => K.compatJson(ms, value, keys, values, t, avroMode = true)
+    }
+    UTF8String.fromString(out)
+  }
+
+  private def toSampleRow(p: K.ParsedSample): InternalRow = {
+    if (p == null) return null
+    val keys = new GenericArrayData(p.labelKeys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+    val values = new GenericArrayData(p.labelValues.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+    InternalRow(
+      p.timestampMs,
+      p.value,
+      new ArrayBasedMapData(keys, values),
+      UTF8String.fromString(if (p.tenantId == null) "" else p.tenantId))
+  }
+
+  /** Nullable struct(timestampMs, value, labels, tenantId); null = poison input
+    * (skip-and-ack semantics, reference pulsar.go:190-201).
+    */
+  def deserialize(format: Int, payload: UTF8String): InternalRow = {
+    if (payload == null) return null
+    val s = payload.toString
+    val parsed = format match {
+      case 0 => K.parsePromJson(s)
+      case _ => K.parseCompatJson(s)
+    }
+    toSampleRow(parsed)
+  }
+
+  // --- partition key --------------------------------------------------------
+
+  def seriesKey(labels: MapData, tenant: UTF8String, replicaLabels: ArrayData): UTF8String = {
+    val (keys, values) = mapToSortedArrays(labels)
+    val rl = if (replicaLabels == null) Array.empty[String]
+      else Array.tabulate(replicaLabels.numElements())(i => replicaLabels.getUTF8String(i).toString)
+    val t = if (tenant == null) "" else tenant.toString
+    UTF8String.fromString(K.seriesKey(keys, values, t, rl))
+  }
+
+  // --- codecs ---------------------------------------------------------------
+
+  def snappyCompress(data: Array[Byte]): Array[Byte] = K.snappyCompress(data)
+
+  /** Nullable: corrupt input -> null (HTTP 400 semantics, produce.go:132-137). */
+  def snappyUncompress(data: Array[Byte]): Array[Byte] = K.snappyUncompress(data)
+
+  def fingerprint64(s: UTF8String): Long = K.fingerprint64(s.toString)
+
+  // --- prompb wire codec ----------------------------------------------------
+
+  /** arg: array<struct<labels array<struct<name,value>>, samples array<struct<value,timestamp>>>>
+    * (Model.writeRequestSchema's `timeseries` field) -> proto bytes.
+    */
+  def pbEncode(timeseries: ArrayData): Array[Byte] = {
+    val n = timeseries.numElements()
+    val series = new Array[K.PbTimeSeries](n)
+    var i = 0
+    while (i < n) {
+      val ts = timeseries.getStruct(i, 2)
+      val labelsArr = ts.getArray(0)
+      val samplesArr = ts.getArray(1)
+      val labels = Array.tabulate(labelsArr.numElements()) { j =>
+        val l = labelsArr.getStruct(j, 2)
+        K.PbLabel(l.getUTF8String(0).toString, l.getUTF8String(1).toString)
+      }
+      val samples = Array.tabulate(samplesArr.numElements()) { j =>
+        val s = samplesArr.getStruct(j, 2)
+        K.PbSample(s.getDouble(0), s.getLong(1))
+      }
+      series(i) = K.PbTimeSeries(labels.toIndexedSeq, samples.toIndexedSeq)
+      i += 1
+    }
+    K.encodeWriteRequest(K.PbWriteRequest(series.toIndexedSeq))
+  }
+
+  /** Nullable: malformed proto -> null. Returns the `timeseries` array. */
+  def pbDecode(data: Array[Byte]): ArrayData = {
+    if (data == null) return null
+    val req = K.decodeWriteRequest(data)
+    if (req == null) return null
+    val rows: Array[Any] = req.timeseries.map { ts =>
+      val labels = new GenericArrayData(ts.labels.map { l =>
+        InternalRow(UTF8String.fromString(l.name), UTF8String.fromString(l.value)): Any
+      }.toArray)
+      val samples = new GenericArrayData(ts.samples.map { s =>
+        InternalRow(s.value, s.timestamp): Any
+      }.toArray)
+      InternalRow(labels, samples): Any
+    }.toArray
+    new GenericArrayData(rows)
+  }
+}
