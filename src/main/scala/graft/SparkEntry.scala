@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.PromPipeline
+import graft.queries.{EventSamples, PipelineQueries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full produce path: events -> samples -> json payload + series key.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sm = EventSamples.df(spark, "/root/testdata/sf0.001")
+    PromPipeline.serialize(
+      sm.withColumn("timestampMs", sm("ts_ms")), "json")
+      .select("event_id", "payload", "key")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ north-star). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.queries
+
+  /** DuckDB-runnable oracle per query (same parquet tables). */
+  def oracleSql: Map[String, String] =
+    PipelineQueries.oracles
 }
