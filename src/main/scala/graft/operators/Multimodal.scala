@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque binary + typed metadata,
+  * decode/feature-extract as per-partition batch transforms.
+  *
+  * The decode step is a clearly-marked STUB — image/audio codecs are not
+  * present in this container. Everything around it (schema, typed Dataset,
+  * per-partition codec lifecycle, deterministic output) is real and tested;
+  * swapping `FakeCodec` for a JNI/FFM codec changes no plumbing.
+  */
+object Multimodal {
+
+  final case class MediaItem(doc_id: Long, media: Array[Byte], mime: String)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      mime: String,
+      byte_len: Long,
+      width: Long,
+      height: Long,
+      frames: Long)
+
+  /** STUB: deterministic fake decoder standing in for a real codec.
+    * A production impl decodes `media` (JPEG/WAV/MP4) here; the fake derives
+    * "dimensions" from the payload so outputs are verifiable end-to-end.
+    */
+  private final class FakeCodec {
+    def decode(m: MediaItem): MediaFeatures = {
+      val n = m.media.length.toLong
+      MediaFeatures(m.doc_id, m.mime, n, n % 640L, (n * 7L) % 480L, n / 100L)
+    }
+    def close(): Unit = ()
+  }
+
+  /** Decode + feature-extract with one codec instance per partition (codec
+    * init is expensive in real decoders; never per-row).
+    */
+  def extractFeatures(ds: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new FakeCodec
+      it.map(codec.decode)
+    }
+  }
+
+  /** documents -> media table (binary payload + mime from source). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      concat(lit("application/x-"), col("source")).as("mime"))
+      .as[MediaItem]
+  }
+}
