@@ -66,7 +66,7 @@ object DataQueries {
             md5(concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bh"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      bands.as("x").join(bands.as("y"),
+      bands.as("x").join(broadcast(bands.as("y")),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -75,19 +75,26 @@ object DataQueries {
     }),
 
     // n-gram Jaccard near-dup within (lang, source) blocks; integer-exact
-    // intersection/union (no float threshold ambiguity)
+    // intersection/union (no float threshold ambiguity).
+    // Scale shape: intersections come from a shingle-level equijoin +
+    // count aggregation — pair work is proportional to SHARED shingles, not
+    // to candidate pairs x set size, and no arrays ever cross a join. (A
+    // naive array_intersect self-join gets the filter pushed into the join
+    // condition, evaluating set intersections interpreted per pair.)
     "d03_ngram_jaccard" -> ((s, dir) => {
-      val ss = docs(s, dir)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), col("lang"), col("source"), shinglesExpr.as("shs"))
-      ss.as("x").join(ss.as("y"),
+      val base = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
+      val sh = base.select(col("doc_id"), col("lang"), col("source"),
+        explode(shinglesExpr).as("sh"))
+      val sizes = base.select(col("doc_id"), size(shinglesExpr).cast("long").as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
           col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(
-          col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          size(array_intersect(col("x.shs"), col("y.shs"))).cast("long").as("inter"),
-          (size(col("x.shs")) + size(col("y.shs"))
-            - size(array_intersect(col("x.shs"), col("y.shs")))).cast("long").as("uni"))
+            && col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter.join(broadcast(sizes).as("sa"), col("a") === col("sa.doc_id"))
+        .join(broadcast(sizes).as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"), col("inter"),
+          (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
         .filter(col("inter") * 20 >= col("uni")) // jaccard >= 0.05, integer-exact
         .orderBy("a", "b")
     }),
