@@ -1,0 +1,127 @@
+package graft
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.PromPipeline
+import graft.streaming._
+
+/** CLI facade with the reference's two pipelines (README.md:43-51):
+  *
+  *   graft.App produce --web.listen-port 9201 --serializer json --topic metrics
+  *   graft.App consume --topic metrics --remote-write.url http://host/api/v1/write \
+  *     --batch-size 100 --batch-max-delay-ms 5000
+  *
+  * The broker side binds through [[KeyedSink.ProducerFactory]] — the in-memory
+  * broker here; a Pulsar deployment implements the same two traits against
+  * the public pulsar-client API without touching the pipeline.
+  */
+object App {
+
+  private def flag(args: Array[String], name: String, default: String): String = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) args(i + 1) else default
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("produce")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName(s"graft-$mode")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(new Metrics.Listener)
+
+    mode match {
+      case "produce" => produce(spark, args)
+      case "consume" => consume(spark, args)
+      case other =>
+        System.err.println(s"unknown command: $other (expected produce|consume)")
+        sys.exit(2)
+    }
+  }
+
+  /** HTTP remote_write ingest -> decode -> flatten -> enrich -> serialize ->
+    * keyed publish (pkg/app/produce.go).
+    */
+  private def produce(spark: SparkSession, args: Array[String]): Unit = {
+    val port = flag(args, "web.listen-port", "9201")
+    val path = flag(args, "web.write-path", "/write")
+    val serializer = flag(args, "serializer", "json")
+    val topic = flag(args, "topic", "metrics")
+    val replicaLabels = flag(args, "replica-labels", graft.model.Model.DefaultReplicaLabel)
+      .split(",").toSeq
+
+    val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
+      .option("port", port).option("path", path).load()
+    val samples = PromPipeline.attachTenant(
+      PromPipeline.explodeWriteRequest(
+        PromPipeline.decodeBody(src, col("body")).filter(col("timeseries").isNotNull),
+        col("timeseries")),
+      col("basicAuthUser"), col("orgIdHeader"))
+    val out = Metrics.observeReceived(
+      PromPipeline.serialize(samples, serializer, replicaLabels)
+        .select(col("key"), col("payload").cast("binary").as("payload")))
+
+    val q = out.writeStream
+      .foreach(KeyedSink.writer(new InMemoryBroker.Factory(topic)))
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100.millis))
+      .start()
+    println(s"[graft] produce: listening on :$port$path -> topic '$topic' ($serializer)")
+    q.awaitTermination()
+  }
+
+  /** Keyed topic -> deserialize (poison-skip) -> per-tenant batch ->
+    * remote_write POST (pkg/app/consume.go + pkg/remote/write.go).
+    */
+  private def consume(spark: SparkSession, args: Array[String]): Unit = {
+    import spark.implicits._
+    val topic = flag(args, "topic", "metrics")
+    val url = flag(args, "remote-write.url", "http://localhost:9090/api/v1/write")
+    val batchSize = flag(args, "batch-size", "100").toInt
+    val maxDelay = flag(args, "batch-max-delay-ms", "5000").toLong
+    val client = new RemoteWriteSink.HttpClient(url)
+
+    // drain loop: micro-batch the broker topic through the stateful batcher
+    // semantics in batch mode (the streaming path is TenantBatcher; this CLI
+    // drives the same deliver/ack machinery)
+    println(s"[graft] consume: topic '$topic' -> $url (batch=$batchSize, delay=${maxDelay}ms)")
+    val pending = scala.collection.mutable.Map.empty[String, Vector[graft.model.Model.Sample]]
+    val deadlines = scala.collection.mutable.Map.empty[String, Long]
+    while (true) {
+      val msgs = InMemoryBroker.drain(topic)
+      if (msgs.nonEmpty) {
+        val parsed = msgs.map(m => new String(m.payload, "UTF-8")).toDF("payload")
+        val rows = PromPipeline.deserialize(parsed, 0, col("payload"))
+          .filter(col("sample").isNotNull).select("sample.*")
+          .as[graft.model.Model.Sample].collect()
+        val now = System.currentTimeMillis()
+        rows.groupBy(_.tenantId).foreach { case (t, ss) =>
+          if (!pending.contains(t)) deadlines(t) = now + maxDelay
+          pending(t) = pending.getOrElse(t, Vector.empty) ++ ss
+        }
+      }
+      val now = System.currentTimeMillis()
+      pending.keys.toSeq.foreach { t =>
+        val buf = pending(t)
+        if (buf.size >= batchSize || (buf.nonEmpty && deadlines.getOrElse(t, 0L) <= now)) {
+          val reason = if (buf.size >= batchSize) "size" else "deadline"
+          val (sent, failed) = RemoteWriteSink.deliver(client)(
+            Iterator(TenantBatcher.Batch(t, buf, buf.size, reason)))
+          Metrics.add("sent_samples_total", sent, "tenant" -> t)
+          Metrics.add("failed_samples_total", failed, "tenant" -> t)
+          pending.remove(t); deadlines.remove(t)
+        }
+      }
+      Thread.sleep(100) // checkInterval (write.go:69)
+    }
+  }
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PromKernel
+
+/** Operator #1: HTTP remote_write receiver source (reference:
+  * pkg/app/produce.go:124-152, pkg/app/server.go, pkg/context/handlers.go).
+  *
+  * A DataSource V2 `MicroBatchStream`: an embedded HTTP server accepts
+  * remote_write POSTs, validates them exactly like the reference's handler
+  * (read failure => 500, snappy/proto failure => 400, else 200 — the 200 is
+  * sent only after the payload is durably enqueued, mirroring the
+  * respond-after-flush contract at produce.go:164-181), extracts the tenant
+  * inputs (BasicAuth user + X-Scope-OrgID header, handlers.go:29-40), and
+  * exposes micro-batches of:
+  *
+  *   body BINARY, basicAuthUser STRING, orgIdHeader STRING, receivedAtMs LONG
+  *
+  * Scale posture: an HTTP push receiver is inherently a single-ingress
+  * component (the reference is one process too). For 100 TB replay/ingest
+  * the same query runs unchanged over a landing zone (parquet/Kafka dirs) —
+  * this source exists for protocol parity and live ingest, with the
+  * decode/flatten/serialize pipeline identical in both paths.
+  *
+  * Usage: spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
+  *   .option("port", "9201").option("path", "/write").load()
+  */
+object HttpRemoteWriteSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("body", BinaryType, nullable = false),
+    StructField("basicAuthUser", StringType, nullable = true),
+    StructField("orgIdHeader", StringType, nullable = true),
+    StructField("receivedAtMs", LongType, nullable = false)
+  ))
+
+  final case class Received(
+      body: Array[Byte],
+      basicAuthUser: String,
+      orgIdHeader: String,
+      receivedAtMs: Long)
+
+  /** One receiver per (JVM, port): buffered messages with monotonic seqnos. */
+  final class Receiver(port: Int, path: String, validate: Boolean) {
+    private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
+    private val seq = new AtomicLong(0L)
+    @volatile private var server: com.sun.net.httpserver.HttpServer = _
+
+    def boundPort: Int = server.getAddress.getPort
+
+    def start(): Unit = synchronized {
+      if (server != null) return
+      server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(port), 0)
+      server.createContext(path, (exchange: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          val body =
+            try exchange.getRequestBody.readAllBytes()
+            catch { case _: Exception => respond(exchange, 500); null }
+          if (body != null) {
+            if (validate && !valid(body)) respond(exchange, 400)
+            else {
+              val auth = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+                .filter(_.startsWith("Basic "))
+                .flatMap { h =>
+                  try {
+                    val dec = new String(java.util.Base64.getDecoder.decode(h.drop(6)), "UTF-8")
+                    Some(dec.takeWhile(_ != ':')).filter(_.nonEmpty)
+                  } catch { case _: Exception => None }
+                }.orNull
+              val org = exchange.getRequestHeaders.getFirst(graft.model.Model.TenantHeader)
+              buf.put(seq.getAndIncrement(),
+                Received(body, auth, org, System.currentTimeMillis()))
+              respond(exchange, 200) // enqueued durably before the 200
+            }
+          }
+        } finally exchange.close()
+      })
+      // /ready static ok (server.go:76-81)
+      server.createContext("/ready", (e: com.sun.net.httpserver.HttpExchange) => {
+        e.sendResponseHeaders(200, 0); e.getResponseBody.write("ready\n".getBytes); e.close()
+      })
+      // /metrics: prometheus text exposition of the engine registry
+      // (server.go:71-73; instruments in graft.streaming.Metrics)
+      server.createContext("/metrics", (e: com.sun.net.httpserver.HttpExchange) => {
+        val body = graft.streaming.Metrics.render().getBytes("UTF-8")
+        e.sendResponseHeaders(200, body.length); e.getResponseBody.write(body); e.close()
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      server.start()
+    }
+
+    private def valid(body: Array[Byte]): Boolean = {
+      val raw = PromKernel.snappyUncompress(body)
+      raw != null && PromKernel.decodeWriteRequest(raw) != null
+    }
+
+    private def respond(e: com.sun.net.httpserver.HttpExchange, code: Int): Unit =
+      e.sendResponseHeaders(code, -1)
+
+    def latest: Long = seq.get()
+    def range(from: Long, until: Long): Array[Received] =
+      buf.subMap(from, until).values.toArray(Array.empty[Received])
+    def commit(until: Long): Unit = buf.headMap(until).clear()
+    def stop(): Unit = synchronized { if (server != null) { server.stop(0); server = null } }
+  }
+
+  private val receivers = new ConcurrentHashMap[Int, Receiver]()
+
+  def receiver(port: Int, path: String, validate: Boolean): Receiver = {
+    val r = receivers.computeIfAbsent(port, _ => new Receiver(port, path, validate))
+    r.start()
+    r
+  }
+
+  def shutdown(port: Int): Unit = {
+    val r = receivers.remove(port)
+    if (r != null) r.stop()
+  }
+}
+
+/** DataSource V2 provider (format class name). */
+class HttpRemoteWriteProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpRemoteWriteSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HttpRemoteWriteTable(
+      properties.getOrDefault("port", "9201").toInt,
+      properties.getOrDefault("path", "/write"),
+      properties.getOrDefault("validate", "true").toBoolean)
+}
+
+class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"http-remote-write:$port$path"
+  override def schema(): StructType = HttpRemoteWriteSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = HttpRemoteWriteSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HttpRemoteWriteStream(port, path, validate)
+      }
+    }
+}
+
+final case class HttpOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean)
+    extends MicroBatchStream {
+  private val receiver = HttpRemoteWriteSource.receiver(port, path, validate)
+
+  override def initialOffset(): Offset = HttpOffset(0L)
+  override def latestOffset(): Offset = HttpOffset(receiver.latest)
+  override def deserializeOffset(json: String): Offset = HttpOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    receiver.commit(end.asInstanceOf[HttpOffset].seq)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpOffset].seq
+    val e = end.asInstanceOf[HttpOffset].seq
+    if (e <= s) Array.empty
+    else Array(HttpInputPartition(receiver.range(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val msgs = partition.asInstanceOf[HttpInputPartition].msgs
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < msgs.length }
+      override def get(): InternalRow = {
+        val m = msgs(i)
+        InternalRow(
+          m.body,
+          if (m.basicAuthUser == null) null else UTF8String.fromString(m.basicAuthUser),
+          if (m.orgIdHeader == null) null else UTF8String.fromString(m.orgIdHeader),
+          m.receivedAtMs)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+final case class HttpInputPartition(msgs: Array[HttpRemoteWriteSource.Received])
+    extends InputPartition

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PromKernel
+import graft.model.Model.Sample
+import graft.operators.PromPipeline
+import graft.streaming._
+
+/** End-to-end topology test mirroring the reference's integration suite
+  * (integration/produce_integration_test.go + consume_integration_test.go):
+  *
+  * produce: real remote_write POST -> HTTP receiver source -> decode ->
+  *   explode -> tenant -> serialize+key -> keyed broker sink
+  * consume: broker -> deserialize -> per-tenant batch -> re-encode ->
+  *   remote_write POST to a fake endpoint (tenant header asserted)
+  */
+class E2ESpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def await(cond: => Boolean, timeoutMs: Long = 30000L): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(50)
+    assert(cond, s"condition not met within ${timeoutMs}ms")
+  }
+
+  private def writeRequestBody(series: (Map[String, String], Seq[(Double, Long)])*): Array[Byte] = {
+    val req = PromKernel.PbWriteRequest(series.map { case (labels, samples) =>
+      PromKernel.PbTimeSeries(
+        labels.toSeq.sortBy(_._1).map { case (k, v) => PromKernel.PbLabel(k, v) },
+        samples.map { case (v, ts) => PromKernel.PbSample(v, ts) })
+    })
+    PromKernel.snappyCompress(PromKernel.encodeWriteRequest(req))
+  }
+
+  private def post(url: String, body: Array[Byte], basicUser: Option[String] = None): Int = {
+    val http = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+    basicUser.foreach { u =>
+      b.header("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString(s"$u:pass".getBytes))
+    }
+    http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+
+  test("produce path: remote_write POST -> pipeline -> keyed broker messages") {
+    Metrics.reset()
+    spark.streams.addListener(new Metrics.Listener)
+    val port = 19201
+    InMemoryBroker.clear("t1")
+    val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
+      .option("port", port.toString).load()
+
+    val samples = PromPipeline.attachTenant(
+      PromPipeline.explodeWriteRequest(
+        PromPipeline.decodeBody(src, col("body")).filter(col("timeseries").isNotNull),
+        col("timeseries")),
+      col("basicAuthUser"), col("orgIdHeader"))
+    val out = Metrics.observeReceived(
+      PromPipeline.serialize(samples, "json")
+        .select(col("key"), col("payload").cast("binary").as("payload")))
+
+    val q = out.writeStream
+      .foreach(KeyedSink.writer(new InMemoryBroker.Factory("t1")))
+      .outputMode("append").start()
+    try {
+      // wait for the receiver to come up (posts may repeat until the bind
+      // succeeds, so downstream assertions tolerate duplicates)
+      await({ try post(s"http://localhost:$port/write",
+        writeRequestBody((Map("__name__" -> "node_cpu_seconds_total",
+          "instance" -> "instance0", "__replica__" -> "a"), Seq((0.5, 10001L)))),
+        basicUser = Some("my-org-id")) == 200
+      catch { case _: Exception => false } }, 15000L)
+      // same series from the HA replica: same key expected
+      post(s"http://localhost:$port/write",
+        writeRequestBody((Map("__name__" -> "node_cpu_seconds_total",
+          "instance" -> "instance0", "__replica__" -> "b"), Seq((0.7, 10002L)))),
+        basicUser = Some("my-org-id"))
+      // corrupt body rejected with 400, never reaches the topic
+      assert(post(s"http://localhost:$port/write", "junk".getBytes) == 400)
+
+      await(InMemoryBroker.topic("t1").size >= 2)
+      Thread.sleep(500) // allow any in-flight micro-batch to land
+      val msgs = InMemoryBroker.drain("t1")
+      assert(msgs.map(_.key).distinct.size == 1, "replica labels must not split the key")
+      val payloads = msgs.map(m => new String(m.payload, "UTF-8"))
+      assert(payloads.forall(_.contains("\"tenant_id\":\"my-org-id\"")), payloads.head)
+      assert(payloads.exists(_.contains("[10.001,\"0.5\"]")), payloads.head)
+      assert(payloads.exists(_.contains("[10.002,\"0.7\"]")), "replica-b sample must arrive")
+      assert(payloads.forall(!_.contains("junk")))
+      await(Metrics.get("received_samples_total") >= 2L)
+    } finally {
+      q.stop()
+      graft.sources.HttpRemoteWriteSource.shutdown(port)
+    }
+  }
+
+  test("consume path: broker messages -> batch -> remote_write POST with tenant header") {
+    val s = spark
+    import s.implicits._
+    // broker contents (as the produce side would have written them)
+    val payloads = Seq(
+      PromKernel.promJson(10001L, 0.5, Array("__name__", "instance"), Array("up", "i0"), "team-a"),
+      PromKernel.promJson(10002L, 0.6, Array("__name__", "instance"), Array("up", "i1"), "team-a"),
+      PromKernel.promJson(10003L, 0.7, Array("__name__", "instance"), Array("up", "i2"), "team-b"),
+      "POISON — not json")
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, Array[Byte])]()
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/api/v1/write", { ex =>
+      received.add((ex.getRequestHeaders.getFirst("X-Scope-OrgID"), ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val df = payloads.toDF("payload")
+      val parsed = PromPipeline.deserialize(df, 0, col("payload"))
+      // poison-skip: null decodes are dropped but still acked (offset advances)
+      val samples = parsed.filter(col("sample").isNotNull).select("sample.*").as[Sample]
+      val batches = samples.groupByKey(_.tenantId).mapGroups { (t, it) =>
+        val buf = it.toSeq
+        TenantBatcher.Batch(t, buf, buf.size, "size")
+      }
+      val client = new RemoteWriteSink.HttpClient(
+        s"http://localhost:${server.getAddress.getPort}/api/v1/write")
+      val (sent, failed) = batches.collect().toIterator
+        .foldLeft((0L, 0L)) { case ((s0, f0), b) =>
+          val (s1, f1) = RemoteWriteSink.deliver(client)(Iterator(b)); (s0 + s1, f0 + f1)
+        }
+      assert(sent == 3L && failed == 0L)
+      await(received.size == 2)
+      val byTenant = received.toArray.map(_.asInstanceOf[(String, Array[Byte])]).toMap
+      assert(byTenant.keySet == Set("team-a", "team-b"))
+      // body decodes back to single-sample sorted-label series
+      val req = PromKernel.decodeWriteRequest(PromKernel.snappyUncompress(byTenant("team-a")))
+      assert(req.timeseries.size == 2)
+      assert(req.timeseries.forall(_.samples.size == 1), "one single-sample series per sample")
+      assert(req.timeseries.forall(ts => ts.labels.map(_.name) == ts.labels.map(_.name).sorted))
+    } finally server.stop(0)
+  }
+}
