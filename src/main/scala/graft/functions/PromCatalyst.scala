@@ -58,6 +58,15 @@ object PromCatalyst {
     UTF8String.fromString(out)
   }
 
+  /** avro-json-compat with a user schema: spec from AvroJsonSchema.Parsed. */
+  def serializeAvroSchema(spec: UTF8String, ms: Long, value: Double,
+      labels: MapData, tenant: UTF8String): UTF8String = {
+    val (keys, values) = mapToSortedArrays(labels)
+    UTF8String.fromString(AvroJsonSchema.serialize(
+      spec.toString, ms, value, keys, values,
+      if (tenant == null) "" else tenant.toString))
+  }
+
   private def toSampleRow(p: K.ParsedSample): InternalRow = {
     if (p == null) return null
     val keys = new GenericArrayData(p.labelKeys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])

@@ -63,6 +63,16 @@ object prom {
   def prom_avro_json(ms: Column, value: Column, labels: Column, tenant: Column): Column =
     serializeCol(2, ms, value, labels, tenant)
 
+  /** avro-json-compat against a USER-supplied Avro schema (plan-time
+    * validation; serializers.go:202-222 + app/pulsar.go:174-189).
+    */
+  def prom_avro_json_schema(schemaJson: String)(
+      ms: Column, value: Column, labels: Column, tenant: Column): Column = {
+    val spec = AvroJsonSchema.parse(schemaJson).spec // throws on invalid schema
+    invoke(StringType, "serializeAvroSchema",
+      Seq(Literal(spec), expr(ms), expr(value), expr(normLabels(labels)), expr(normTenant(tenant))))
+  }
+
   /** Inverse: payload -> struct(timestampMs, value, labels, tenantId); null on
     * poison input (skip-and-ack, pulsar.go:190-201). format 0=json, 1=compat.
     */

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second wave of north-star operators: SimHash fingerprints, IVF-bucketed
+  * approximate nearest neighbors (the scale path for similarity search),
+  * event-time windowed aggregation, and gap-based sessionization.
+  */
+object DataQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  val queries: Map[String, Q] = Map(
+    // 64-bit SimHash over token md5s (frequency-weighted, strict >0 rule);
+    // output as a bitstring to stay integer-exact across engines
+    "d09_simhash" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("h", md5(col("t")))
+      val withNibbles = (0 until 16).foldLeft(tok) { (df, k) =>
+        df.withColumn(s"n$k", conv(substring(col("h"), k + 1, 1), 16, 10).cast("int"))
+      }
+      val bitSums = (0 until 64).map { j =>
+        val nib = col(s"n${j / 4}")
+        val bit = shiftright(nib, 3 - (j % 4)).bitwiseAND(lit(1))
+        sum(bit * 2 - 1).as(s"s$j")
+      }
+      val agg = withNibbles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      agg.select(col("doc_id"),
+        concat((0 until 64).map(j => when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF-style ANN: 4 coarse cells (centroids = vec_id < 4), vectors are
+    // assigned to their nearest centroid, queries search ONLY their own cell.
+    // This is the 100TB shape: candidate set per query is corpus/cells, and
+    // the cell assignment is a narrow pass + small broadcast of centroids.
+    "d10_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val scoredCells = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+      val scored = q.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // event-time tumbling window aggregation (hourly)
+    "q11_event_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("v"))
+        .orderBy("w_start", "event_type")),
+
+    // gap-based sessionization: new session when >30min since user's last event
+    "q12_sessions" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull
+            || unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("start_ms"),
+          max(unix_millis(col("ts"))).as("end_ms"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  private def simhashOracle: String = {
+    val nibbleCols = (0 until 16)
+      .map(k => s"instr('0123456789abcdef', substr(md5(t), ${k + 1}, 1)) - 1 AS n$k")
+      .mkString(", ")
+    val sums = (0 until 64)
+      .map(j => s"sum(((n${j / 4} >> ${3 - (j % 4)}) & 1) * 2 - 1) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |nib AS (SELECT doc_id, $nibbleCols FROM tok),
+       |agg AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  private val foldDot =
+    "list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * v[i] FOR i IN generate_series(1, len(v))]), (a, b) -> a + b)"
+
+  val oracles: Map[String, String] = Map(
+    "d09_simhash" -> simhashOracle,
+
+    "d10_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+         |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell FROM assigned WHERE vec_id >= 8 AND vec_id < 16),
+         |scored AS (SELECT qid, a.vec_id, $foldDot / (qn * a.nrm) AS cos
+         |  FROM q JOIN assigned a USING (cell) WHERE a.vec_id <> qid),
+         |ranked AS (SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q11_event_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS v
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q12_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AvroJsonSchema, prom}
+import graft.model.Model
+
+/** User-supplied Avro schema path (serializers.go:202-222, app/pulsar.go:174-189). */
+class AvroSchemaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+
+  private def run(schema: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, 456.0, Map("__name__" -> "foo", "labelfoo" -> "label-bar"), ""),
+      (10001L, 456.0, Map("__name__" -> "foo"), "fake")
+    ).toDF("ms", "value", "labels", "tenant")
+    df.select(prom.prom_avro_json_schema(schema)(
+      col("ms"), col("value"), col("labels"), col("tenant"))).collect().map(_.getString(0)).toSeq
+  }
+
+  test("default schema reproduces the fixed avro-json-compat output") {
+    val out = run(Model.AvroJsonDefaultSchema)
+    assert(out(0) ==
+      """{"timestamp":"1970-01-01T00:00:00Z","value":"456","name":"foo","labels":{"__name__":"foo","labelfoo":"label-bar"},"tenant_id":""}""")
+    assert(out(1).contains("\"tenant_id\":\"fake\""))
+  }
+
+  test("custom schema: subset + reordered fields honored") {
+    val schema =
+      """{"type":"record","name":"M","fields":[
+        |{"name":"value","type":"string"},
+        |{"name":"name","type":"string"}]}""".stripMargin
+    val out = run(schema)
+    assert(out(0) == """{"value":"456","name":"foo"}""")
+  }
+
+  test("custom default for tenant_id applied when sample has none") {
+    val schema =
+      """{"type":"record","name":"M","fields":[
+        |{"name":"tenant_id","type":"string","default":"anonymous"}]}""".stripMargin
+    val out = run(schema)
+    assert(out(0) == """{"tenant_id":"anonymous"}""")
+    assert(out(1) == """{"tenant_id":"fake"}""")
+  }
+
+  test("invalid schemas rejected at plan time (goavro NewCodec parity)") {
+    intercept[IllegalArgumentException](AvroJsonSchema.parse("""{"not json"""))
+    intercept[IllegalArgumentException](AvroJsonSchema.parse(
+      """{"type":"record","name":"M","fields":[{"name":"unknown_field","type":"string"}]}"""))
+    intercept[IllegalArgumentException](AvroJsonSchema.parse(
+      """{"type":"record","name":"M","fields":[{"name":"value","type":"int"}]}"""))
+    intercept[IllegalArgumentException](AvroJsonSchema.parse("""{"type":"string"}"""))
+  }
+}
