@@ -71,6 +71,30 @@ object DataQueries2 {
         .orderBy("qid", "rank")
     }),
 
+    // embedding-cosine near-duplicate pairs, IVF-cell blocked (candidate
+    // pairs come from the same coarse cell, never the full cross join).
+    // Threshold 0.4 suits this synthetic corpus (max pairwise cos ~0.51);
+    // production near-dup dedup would use ~0.95.
+    "d11_embed_neardup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val scoredCells = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      assigned.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a", "b")
+    }),
+
     // event-time tumbling window aggregation (hourly)
     "q11_event_window" -> ((s, dir) =>
       events(s, dir)
@@ -138,6 +162,22 @@ object DataQueries2 {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "d11_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+         |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+         |  WHERE rn = 1),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |SELECT a, b, cos FROM pairs WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
 
     "q11_event_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the plans, not just the answers, are the
+  * product at 100 TB. Each assertion pins a property that a refactor could
+  * silently regress (pushdown reaching the scan, broadcasts on dims, partial
+  * aggregation, no accidental cartesian products).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("all queries plan without cartesian products") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("q01: filter pushed to parquet scan + two-phase aggregation") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg expected\n" + p)
+  }
+
+  test("q02: dimension joins broadcast, no shuffle of small sides") {
+    val p = plan("q02_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q07: semi/anti joins stay semi/anti (no materialized distinct)") {
+    val p = plan("q07_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("pipeline serialize: column pruning reaches the events scan") {
+    val p = plan("p03_ser_json")
+    assert(p.contains("ReadSchema"), p)
+    // props is needed (k label) but text-heavy columns of other tables never
+    // enter; the scan must not read more than events' own 6 columns
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    assert(p.contains("static_invoke"), "custom expressions should bind via StaticInvoke\n" + p)
+  }
+
+  test("d03: shingle join is a hash join, heavy work not in join condition") {
+    val p = plan("d03_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("array_intersect"), "intersections must come from aggregation, not set ops\n" + p)
+  }
+
+  test("d02: LSH band join is an equi-join on (band, bucket)") {
+    val p = plan("d02_minhash_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+}
