@@ -110,6 +110,9 @@ object PromCatalyst {
 
   def fingerprint64(s: UTF8String): Long = K.fingerprint64(s.toString)
 
+  /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
+  def mix64(g: Long, a: Long, b: Long): Long = g * a + b
+
   // --- prompb wire codec ----------------------------------------------------
 
   /** arg: array<struct<labels array<struct<name,value>>, samples array<struct<value,timestamp>>>>

@@ -108,4 +108,8 @@ object prom {
   /** 64-bit polynomial rolling fingerprint (h = h*31 + byte mod 2^64). */
   def fingerprint64(s: Column): Column =
     invoke(LongType, "fingerprint64", Seq(expr(s)))
+
+  /** Wrapping g*a+b mod 2^64 (minhash family; ANSI-safe). */
+  def mix64(g: Column, a: Long, b: Long): Column =
+    invoke(LongType, "mix64", Seq(expr(g), Literal(a), Literal(b)))
 }
