@@ -103,6 +103,20 @@ object DataQueries2 {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("v"))
         .orderBy("w_start", "event_type")),
 
+    // sketch aggregates: HLL distinct + approximate quantiles. Cross-engine
+    // sketch internals differ, so no SQL oracle — the driver records a
+    // rows-present check; exactness is covered by q06_distinct and friends.
+    "q13_sketches" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // gap-based sessionization: new session when >30min since user's last event
     "q12_sessions" -> ((s, dir) => {
       val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.InMemoryBroker
+
+/** Operator #13: keyed-topic consumer source (the Pulsar KeyShared consumer
+  * shape, reference pkg/pulsar/pulsar.go:98-224) as a DSv2 MicroBatchStream.
+  *
+  * Semantics preserved:
+  *   - messages surface as (key, payload) rows in arrival order; per-key
+  *     ordering holds because the producer keys by series hash (KeyShared's
+  *     guarantee re-expressed as data, not broker topology);
+  *   - offsets advance on commit REGARDLESS of payload decodability —
+  *     poison messages are decoded to null downstream and filtered, never
+  *     replayed ("the payload is immutable, it will not become correct in
+  *     the future", pulsar.go:190-201);
+  *   - at-least-once: a failed micro-batch leaves offsets uncommitted and
+  *     replays (the reference's Nack/redelivery path).
+  *
+  * The in-memory topic stands in for a Pulsar subscription; a production
+  * connector implements the same reader against the public pulsar-client
+  * API with messageId-based offsets.
+  */
+object BrokerSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = false)
+  ))
+
+  /** Consumed-but-uncommitted view per topic: seqno -> message. */
+  final class Cursor(topic: String) {
+    private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, InMemoryBroker.Message]()
+    private val seq = new AtomicLong(0L)
+
+    /** Pull everything currently in the topic into the offset-addressed buffer. */
+    def poll(): Long = synchronized {
+      var m = InMemoryBroker.topic(topic).poll()
+      while (m != null) { buf.put(seq.getAndIncrement(), m); m = InMemoryBroker.topic(topic).poll() }
+      seq.get()
+    }
+    def range(from: Long, until: Long): Array[InMemoryBroker.Message] =
+      buf.subMap(from, until).values.toArray(Array.empty[InMemoryBroker.Message])
+    def commit(until: Long): Unit = buf.headMap(until).clear()
+  }
+
+  private val cursors = new ConcurrentHashMap[String, Cursor]()
+  def cursor(topic: String): Cursor = cursors.computeIfAbsent(topic, new Cursor(_))
+}
+
+class BrokerSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BrokerSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BrokerTable(properties.getOrDefault("topic", "metrics"))
+}
+
+class BrokerTable(topic: String) extends Table with SupportsRead {
+  override def name(): String = s"broker:$topic"
+  override def schema(): StructType = BrokerSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BrokerSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new BrokerStream(topic)
+      }
+    }
+}
+
+final case class BrokerOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class BrokerStream(topic: String) extends MicroBatchStream {
+  private val cursor = BrokerSource.cursor(topic)
+
+  override def initialOffset(): Offset = BrokerOffset(0L)
+  override def latestOffset(): Offset = BrokerOffset(cursor.poll())
+  override def deserializeOffset(json: String): Offset = BrokerOffset(json.toLong)
+  override def commit(end: Offset): Unit = cursor.commit(end.asInstanceOf[BrokerOffset].seq)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BrokerOffset].seq
+    val e = end.asInstanceOf[BrokerOffset].seq
+    if (e <= s) Array.empty else Array(BrokerInputPartition(cursor.range(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val msgs = partition.asInstanceOf[BrokerInputPartition].msgs
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < msgs.length }
+      override def get(): InternalRow = {
+        val m = msgs(i)
+        InternalRow(
+          if (m.key == null) null else UTF8String.fromString(m.key),
+          m.payload)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+final case class BrokerInputPartition(msgs: Array[InMemoryBroker.Message])
+    extends InputPartition

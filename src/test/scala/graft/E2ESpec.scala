@@ -104,6 +104,82 @@ class E2ESpec extends AnyFunSuite {
     }
   }
 
+  test("full streaming chain: POST -> produce query -> broker -> consume query -> remote_write") {
+    val s = spark
+    import s.implicits._
+    val port = 19203
+    val topic = "chain"
+    InMemoryBroker.clear(topic)
+
+    // fake downstream remote_write endpoint
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, Array[Byte])]()
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/api/v1/write", { ex =>
+      received.add((ex.getRequestHeaders.getFirst("X-Scope-OrgID"), ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+
+    // produce: HTTP receiver -> pipeline -> broker
+    val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
+      .option("port", port.toString).load()
+    val produceQ = PromPipeline.serialize(
+      PromPipeline.attachTenant(
+        PromPipeline.explodeWriteRequest(
+          PromPipeline.decodeBody(src, col("body")).filter(col("timeseries").isNotNull),
+          col("timeseries")),
+        col("basicAuthUser"), col("orgIdHeader")), "json")
+      .select(col("key"), col("payload").cast("binary").as("payload"))
+      .writeStream.foreach(KeyedSink.writer(new InMemoryBroker.Factory(topic)))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    // consume: broker source -> deserialize (poison-skip) -> batcher -> HTTP sink
+    val client = new RemoteWriteSink.HttpClient(
+      s"http://localhost:${server.getAddress.getPort}/api/v1/write")
+    val broker = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("topic", topic).load()
+    val samples = PromPipeline.deserialize(
+        broker.withColumn("payload", col("payload").cast("string")), 0, col("payload"))
+      .filter(col("sample").isNotNull).select("sample.*").as[Sample]
+    val consumeQ = TenantBatcher(samples, TenantBatcher.Config(batchSize = 2, batchMaxDelayMs = 500L))
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TenantBatcher.Batch], _: Long) =>
+        ds.foreachPartition { it: Iterator[TenantBatcher.Batch] =>
+          RemoteWriteSink.deliver(client)(it); ()
+        }
+      }
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    try {
+      await({ try post(s"http://localhost:$port/write",
+        writeRequestBody((Map("__name__" -> "up", "instance" -> "i0"), Seq((1.0, 10001L)))),
+        basicUser = Some("team-x")) == 200
+      catch { case _: Exception => false } }, 15000L)
+      post(s"http://localhost:$port/write",
+        writeRequestBody((Map("__name__" -> "up", "instance" -> "i1"), Seq((2.0, 10002L)))),
+        basicUser = Some("team-x"))
+      // poison message straight into the topic: must be skipped, not looped
+      InMemoryBroker.topic(topic).add(InMemoryBroker.Message("k", "not json".getBytes))
+
+      await(received.size >= 1, 30000L)
+      val (tenant, body) = received.peek()
+      assert(tenant == "team-x")
+      val req = PromKernel.decodeWriteRequest(PromKernel.snappyUncompress(body))
+      assert(req.timeseries.nonEmpty)
+      assert(req.timeseries.forall(_.samples.size == 1))
+      // all delivered series came from our posts, poison never surfaced
+      val names = req.timeseries.flatMap(_.labels).filter(_.name == "__name__").map(_.value)
+      assert(names.forall(_ == "up"))
+    } finally {
+      produceQ.stop(); consumeQ.stop(); server.stop(0)
+      graft.sources.HttpRemoteWriteSource.shutdown(port)
+    }
+  }
+
   test("consume path: broker messages -> batch -> remote_write POST with tenant header") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** The engine's functions reachable from plain SQL. */
+class SqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+
+  test("registered SQL functions run the same kernels") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  prom_value_string(456.0d) AS vs,
+        |  prom_seconds_string(10001L) AS ss,
+        |  prom_rfc3339(10001L) AS ts,
+        |  prom_parse_rfc3339('1970-01-01T00:00:10.001Z') AS ms,
+        |  prom_json(0L, 456.0d, map('__name__', 'foo'), '') AS pj,
+        |  prom_series_key(map('__name__', 'foo', '__replica__', 'a'), '') AS k1,
+        |  prom_series_key(map('__name__', 'foo', '__replica__', 'b'), '') AS k2,
+        |  cast(snappy_uncompress(snappy_compress(cast('hi' as binary))) as string) AS roundtrip,
+        |  fingerprint64('hello') AS fp,
+        |  prom_deserialize(prom_json(10001L, 1.5d, map('__name__', 'x'), 'org')).tenantId AS t
+        |""".stripMargin).collect().head
+    assert(row.getAs[String]("vs") == "456")
+    assert(row.getAs[String]("ss") == "10.001")
+    assert(row.getAs[String]("ts") == "1970-01-01T00:00:10.001Z")
+    assert(row.getAs[Long]("ms") == 10001L)
+    assert(row.getAs[String]("pj") == """{"value":[0,"456"],"metric":{"__name__":"foo"}}""")
+    assert(row.getAs[String]("k1") == row.getAs[String]("k2"))
+    assert(row.getAs[String]("roundtrip") == "hi")
+    assert(row.getAs[Long]("fp") == graft.functions.PromKernel.fingerprint64("hello"))
+    assert(row.getAs[String]("t") == "org")
+  }
+}
