@@ -113,6 +113,18 @@ object PromCatalyst {
   /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
   def mix64(g: Long, a: Long, b: Long): Long = g * a + b
 
+  /** Left-fold dot product over array<double> — identical accumulation order
+    * to `aggregate(zip_with(...))` (bit-identical results) but codegen'd
+    * (Catalyst higher-order functions are interpreted).
+    */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   // --- prompb wire codec ----------------------------------------------------
 
   /** arg: array<struct<labels array<struct<name,value>>, samples array<struct<value,timestamp>>>>

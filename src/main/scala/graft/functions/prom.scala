@@ -112,4 +112,8 @@ object prom {
   /** Wrapping g*a+b mod 2^64 (minhash family; ANSI-safe). */
   def mix64(g: Column, a: Long, b: Long): Column =
     invoke(LongType, "mix64", Seq(expr(g), Literal(a), Literal(b)))
+
+  /** Codegen'd left-fold dot product over two array<double> columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))
 }

@@ -46,8 +46,9 @@ object DataQueries {
   /** element-wise double ops with identical left-fold order on both engines
     * => bit-identical cosine, no rounding needed for oracle parity.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // codegen'd kernel expression; same left-fold order as
+  // aggregate(zip_with(...)) => bit-identical to the DuckDB fold oracle
+  private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 

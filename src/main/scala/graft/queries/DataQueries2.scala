@@ -18,8 +18,9 @@ object DataQueries2 {
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // codegen'd kernel expression; same left-fold order as
+  // aggregate(zip_with(...)) => bit-identical to the DuckDB fold oracle
+  private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   val queries: Map[String, Q] = Map(
@@ -55,9 +56,12 @@ object DataQueries2 {
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
           (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      // the cell assignment IS the IVF index: materialize it once instead of
+      // recomputing the scan+assignment on both sides of the candidate join
       val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        .persist()
       val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
       val scored = q.join(assigned, Seq("cell"))
@@ -84,9 +88,11 @@ object DataQueries2 {
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
           (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      // materialized IVF index (see d10)
       val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        .persist()
       assigned.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -115,6 +121,22 @@ object DataQueries2 {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // skew-aware aggregation: two-phase salted groupBy for heavy-hitter
+    // keys (event_type has ~5 values over 100k+ rows — the classic skew
+    // shape). Phase 1 pre-aggregates per (key, salt) across 8 salt buckets;
+    // phase 2 merges per key. Results identical to a direct groupBy; the
+    // exchange before phase 2 moves 8 rows per key instead of all rows.
+    "q14_salted_agg" -> ((s, dir) => {
+      val salted = events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("v"))
+        .orderBy("event_type")
     }),
 
     // gap-based sessionization: new session when >30min since user's last event
@@ -198,6 +220,11 @@ object DataQueries2 {
         |  CAST(count(*) AS BIGINT) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS v
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q14_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_sessions" ->
       """WITH ordered AS (
