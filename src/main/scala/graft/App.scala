@@ -70,8 +70,12 @@ object App {
       PromPipeline.serialize(samples, serializer, replicaLabels)
         .select(col("key"), col("payload").cast("binary").as("payload")))
 
+    val topicDir = flag(args, "topic-dir", "")
+    val factory: KeyedSink.ProducerFactory =
+      if (topicDir.nonEmpty) new FileTopic.Factory(topicDir)
+      else new InMemoryBroker.Factory(topic)
     val q = out.writeStream
-      .foreach(KeyedSink.writer(new InMemoryBroker.Factory(topic)))
+      .foreach(KeyedSink.writer(factory))
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(100.millis))
       .start()
@@ -79,8 +83,12 @@ object App {
     q.awaitTermination()
   }
 
-  /** Keyed topic -> deserialize (poison-skip) -> per-tenant batch ->
-    * remote_write POST (pkg/app/consume.go + pkg/remote/write.go).
+  /** Keyed topic -> deserialize (poison-skip) -> stateful per-tenant batch ->
+    * remote_write POST (pkg/app/consume.go + pkg/remote/write.go), as one
+    * Structured Streaming query: BrokerSource offsets ack poison, the
+    * flatMapGroupsWithState batcher holds size/deadline semantics, and a
+    * retryable sink error fails the micro-batch (no offset commit => replay
+    * — the reference's stop-consumption backpressure).
     */
   private def consume(spark: SparkSession, args: Array[String]): Unit = {
     import spark.implicits._
@@ -90,38 +98,28 @@ object App {
     val maxDelay = flag(args, "batch-max-delay-ms", "5000").toLong
     val client = new RemoteWriteSink.HttpClient(url)
 
-    // drain loop: micro-batch the broker topic through the stateful batcher
-    // semantics in batch mode (the streaming path is TenantBatcher; this CLI
-    // drives the same deliver/ack machinery)
+    val topicDir = flag(args, "topic-dir", "")
+    val brokerReader = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("topic", topic)
+    val broker = (if (topicDir.nonEmpty) brokerReader.option("dir", topicDir) else brokerReader).load()
+    val samples = PromPipeline.deserialize(
+        broker.withColumn("payload", col("payload").cast("string")), 0, col("payload"))
+      .filter(col("sample").isNotNull).select("sample.*")
+      .as[graft.model.Model.Sample]
+    val q = TenantBatcher(samples, TenantBatcher.Config(batchSize, maxDelay))
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TenantBatcher.Batch], _: Long) =>
+        // deliver on executors; only the (sent, failed) counts come back
+        val counts = ds.mapPartitions { it =>
+          Iterator.single(RemoteWriteSink.deliver(client)(it))
+        }(org.apache.spark.sql.Encoders.product[(Long, Long)]).collect()
+        Metrics.add("sent_samples_total", counts.map(_._1).sum)
+        Metrics.add("failed_samples_total", counts.map(_._2).sum)
+      }
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100.millis)) // checkInterval (write.go:69)
+      .start()
     println(s"[graft] consume: topic '$topic' -> $url (batch=$batchSize, delay=${maxDelay}ms)")
-    val pending = scala.collection.mutable.Map.empty[String, Vector[graft.model.Model.Sample]]
-    val deadlines = scala.collection.mutable.Map.empty[String, Long]
-    while (true) {
-      val msgs = InMemoryBroker.drain(topic)
-      if (msgs.nonEmpty) {
-        val parsed = msgs.map(m => new String(m.payload, "UTF-8")).toDF("payload")
-        val rows = PromPipeline.deserialize(parsed, 0, col("payload"))
-          .filter(col("sample").isNotNull).select("sample.*")
-          .as[graft.model.Model.Sample].collect()
-        val now = System.currentTimeMillis()
-        rows.groupBy(_.tenantId).foreach { case (t, ss) =>
-          if (!pending.contains(t)) deadlines(t) = now + maxDelay
-          pending(t) = pending.getOrElse(t, Vector.empty) ++ ss
-        }
-      }
-      val now = System.currentTimeMillis()
-      pending.keys.toSeq.foreach { t =>
-        val buf = pending(t)
-        if (buf.size >= batchSize || (buf.nonEmpty && deadlines.getOrElse(t, 0L) <= now)) {
-          val reason = if (buf.size >= batchSize) "size" else "deadline"
-          val (sent, failed) = RemoteWriteSink.deliver(client)(
-            Iterator(TenantBatcher.Batch(t, buf, buf.size, reason)))
-          Metrics.add("sent_samples_total", sent, "tenant" -> t)
-          Metrics.add("failed_samples_total", failed, "tenant" -> t)
-          pending.remove(t); deadlines.remove(t)
-        }
-      }
-      Thread.sleep(100) // checkInterval (write.go:69)
-    }
+    q.awaitTermination()
   }
 }

@@ -139,6 +139,16 @@ object DataQueries2 {
         .orderBy("event_type")
     }),
 
+    // pivot: per-tenant columns from the events->samples mapping
+    "q15_pivot" -> ((s, dir) =>
+      EventSamples.df(s, dir)
+        .groupBy(col("name"))
+        .pivot("tenantId", Seq("", "team-a", "team-b"))
+        .agg(count(lit(1)))
+        .select(col("name"), col("").as("n_anon"),
+          col("team-a").as("n_team_a"), col("team-b").as("n_team_b"))
+        .orderBy("name")),
+
     // gap-based sessionization: new session when >30min since user's last event
     "q12_sessions" -> ((s, dir) => {
       val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -225,6 +235,15 @@ object DataQueries2 {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_pivot" -> {
+      SqlFragments.samplesCte +
+      """ SELECT name,
+        |  CAST(sum(CASE WHEN tenant = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_anon,
+        |  CAST(sum(CASE WHEN tenant = 'team-a' THEN 1 ELSE 0 END) AS BIGINT) AS n_team_a,
+        |  CAST(sum(CASE WHEN tenant = 'team-b' THEN 1 ELSE 0 END) AS BIGINT) AS n_team_b
+        |FROM samples GROUP BY name ORDER BY name""".stripMargin
+    },
 
     "q12_sessions" ->
       """WITH ordered AS (

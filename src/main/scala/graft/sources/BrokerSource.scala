@@ -39,35 +39,54 @@ object BrokerSource {
     StructField("payload", BinaryType, nullable = false)
   ))
 
-  /** Consumed-but-uncommitted view per topic: seqno -> message. */
-  final class Cursor(topic: String) {
-    private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, InMemoryBroker.Message]()
-    private val seq = new AtomicLong(0L)
-
-    /** Pull everything currently in the topic into the offset-addressed buffer. */
-    def poll(): Long = synchronized {
-      var m = InMemoryBroker.topic(topic).poll()
-      while (m != null) { buf.put(seq.getAndIncrement(), m); m = InMemoryBroker.topic(topic).poll() }
-      seq.get()
-    }
+  /** Consumed-but-uncommitted view: seqno -> message. */
+  sealed abstract class Cursor {
+    protected val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, InMemoryBroker.Message]()
+    protected val seq = new AtomicLong(0L)
+    /** Pull everything currently available into the offset-addressed buffer. */
+    def poll(): Long
     def range(from: Long, until: Long): Array[InMemoryBroker.Message] =
       buf.subMap(from, until).values.toArray(Array.empty[InMemoryBroker.Message])
     def commit(until: Long): Unit = buf.headMap(until).clear()
   }
 
+  /** In-memory topic (same JVM). */
+  final class MemCursor(topic: String) extends Cursor {
+    override def poll(): Long = synchronized {
+      var m = InMemoryBroker.topic(topic).poll()
+      while (m != null) { buf.put(seq.getAndIncrement(), m); m = InMemoryBroker.topic(topic).poll() }
+      seq.get()
+    }
+  }
+
+  /** File-backed topic directory (cross-process; see graft.streaming.FileTopic). */
+  final class FileCursor(dir: String) extends Cursor {
+    private var lastName = ""
+    override def poll(): Long = synchronized {
+      graft.streaming.FileTopic.listAfter(dir, lastName).foreach { st =>
+        buf.put(seq.getAndIncrement(), InMemoryBroker.Message(st.key, st.payload))
+        lastName = st.name
+      }
+      seq.get()
+    }
+  }
+
   private val cursors = new ConcurrentHashMap[String, Cursor]()
-  def cursor(topic: String): Cursor = cursors.computeIfAbsent(topic, new Cursor(_))
+  def cursor(topic: String, dir: String): Cursor =
+    cursors.computeIfAbsent(if (dir == null) s"mem:$topic" else s"file:$dir",
+      _ => if (dir == null) new MemCursor(topic) else new FileCursor(dir))
 }
 
 class BrokerSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = BrokerSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BrokerTable(properties.getOrDefault("topic", "metrics"))
+    new BrokerTable(properties.getOrDefault("topic", "metrics"),
+      properties.getOrDefault("dir", null))
 }
 
-class BrokerTable(topic: String) extends Table with SupportsRead {
-  override def name(): String = s"broker:$topic"
+class BrokerTable(topic: String, dir: String = null) extends Table with SupportsRead {
+  override def name(): String = s"broker:${if (dir == null) topic else dir}"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -76,7 +95,7 @@ class BrokerTable(topic: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic)
+          new BrokerStream(topic, dir)
       }
     }
 }
@@ -85,8 +104,8 @@ final case class BrokerOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class BrokerStream(topic: String) extends MicroBatchStream {
-  private val cursor = BrokerSource.cursor(topic)
+class BrokerStream(topic: String, dir: String = null) extends MicroBatchStream {
+  private val cursor = BrokerSource.cursor(topic, dir)
 
   override def initialOffset(): Offset = BrokerOffset(0L)
   override def latestOffset(): Offset = BrokerOffset(cursor.poll())

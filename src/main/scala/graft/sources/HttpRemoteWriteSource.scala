@@ -52,11 +52,32 @@ object HttpRemoteWriteSource {
       orgIdHeader: String,
       receivedAtMs: Long)
 
-  /** One receiver per (JVM, port): buffered messages with monotonic seqnos. */
-  final class Receiver(port: Int, path: String, validate: Boolean) {
+  /** One receiver per (JVM, port): buffered messages with monotonic seqnos.
+    * maxConnectionAgeMs > 0 reproduces MaxConnectionAgeHandler
+    * (pkg/context/handlers.go:42-49): connections older than the limit get
+    * `Connection: close` so load balancers can re-spread clients.
+    */
+  final class Receiver(port: Int, path: String, validate: Boolean,
+      maxConnectionAgeMs: Long = 0L) {
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
+    private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
+
+    /** handlers.go:42-49: stamp Connection: close when the (keep-alive)
+      * connection — identified by the client socket address — is too old.
+      */
+    private def ageGate(e: com.sun.net.httpserver.HttpExchange): Unit = {
+      if (maxConnectionAgeMs > 0L) {
+        val id = e.getRemoteAddress.toString
+        val now = System.currentTimeMillis()
+        val birth = connBirth.computeIfAbsent(id, _ => java.lang.Long.valueOf(now))
+        if (now - birth >= maxConnectionAgeMs) {
+          e.getResponseHeaders.set("Connection", "close")
+          connBirth.remove(id)
+        }
+      }
+    }
 
     def boundPort: Int = server.getAddress.getPort
 
@@ -65,6 +86,7 @@ object HttpRemoteWriteSource {
       server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(port), 0)
       server.createContext(path, (exchange: com.sun.net.httpserver.HttpExchange) => {
         try {
+          ageGate(exchange)
           val body =
             try exchange.getRequestBody.readAllBytes()
             catch { case _: Exception => respond(exchange, 500); null }
@@ -118,8 +140,10 @@ object HttpRemoteWriteSource {
 
   private val receivers = new ConcurrentHashMap[Int, Receiver]()
 
-  def receiver(port: Int, path: String, validate: Boolean): Receiver = {
-    val r = receivers.computeIfAbsent(port, _ => new Receiver(port, path, validate))
+  def receiver(port: Int, path: String, validate: Boolean,
+      maxConnectionAgeMs: Long = 0L): Receiver = {
+    val r = receivers.computeIfAbsent(port,
+      _ => new Receiver(port, path, validate, maxConnectionAgeMs))
     r.start()
     r
   }
@@ -140,10 +164,12 @@ class HttpRemoteWriteProvider extends TableProvider {
     new HttpRemoteWriteTable(
       properties.getOrDefault("port", "9201").toInt,
       properties.getOrDefault("path", "/write"),
-      properties.getOrDefault("validate", "true").toBoolean)
+      properties.getOrDefault("validate", "true").toBoolean,
+      properties.getOrDefault("maxConnectionAgeMs", "0").toLong)
 }
 
-class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean)
+class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
+    maxConnectionAgeMs: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"http-remote-write:$port$path"
   override def schema(): StructType = HttpRemoteWriteSource.schema
@@ -154,7 +180,7 @@ class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpRemoteWriteSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpRemoteWriteStream(port, path, validate)
+          new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs)
       }
     }
 }
@@ -163,9 +189,11 @@ final case class HttpOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean)
+class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean,
+    maxConnectionAgeMs: Long = 0L)
     extends MicroBatchStream {
-  private val receiver = HttpRemoteWriteSource.receiver(port, path, validate)
+  private val receiver =
+    HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs)
 
   override def initialOffset(): Offset = HttpOffset(0L)
   override def latestOffset(): Offset = HttpOffset(receiver.latest)

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** File-backed keyed topic — the cross-process sibling of [[InMemoryBroker]]
+  * (a directory as landing zone / broker stand-in, the pattern named in
+  * SURVEY §2 op#1). One message per file: 4-byte big-endian key length, key
+  * bytes, payload bytes. Filenames are (epochMs, nanos, producer-uuid)
+  * ordered, so lexicographic listing equals arrival order per producer —
+  * the same per-key FIFO the keyed broker gives.
+  */
+object FileTopic {
+
+  final case class Stored(name: String, key: String, payload: Array[Byte])
+
+  def encode(key: String, payload: Array[Byte]): Array[Byte] = {
+    val kb = key.getBytes("UTF-8")
+    val out = java.nio.ByteBuffer.allocate(4 + kb.length + payload.length)
+    out.putInt(kb.length).put(kb).put(payload)
+    out.array()
+  }
+
+  def decode(bytes: Array[Byte]): (String, Array[Byte]) = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val kb = new Array[Byte](in.getInt)
+    in.get(kb)
+    val payload = new Array[Byte](in.remaining())
+    in.get(payload)
+    (new String(kb, "UTF-8"), payload)
+  }
+
+  /** Producer writing one durable file per message (tmp + atomic move). */
+  final class Factory(dir: String) extends KeyedSink.ProducerFactory {
+    override def create(partitionId: Long): KeyedSink.Producer = new KeyedSink.Producer {
+      private val base = Paths.get(dir)
+      Files.createDirectories(base)
+      private val producerId = java.util.UUID.randomUUID().toString.take(8)
+      private val n = new AtomicLong(0L)
+
+      override def sendAsync(key: String, payload: Array[Byte]): Unit = {
+        val name = f"${System.currentTimeMillis()}%013d-${System.nanoTime()}%019d-$producerId-${n.getAndIncrement()}%06d.msg"
+        val tmp = base.resolve(s".$name.tmp")
+        Files.write(tmp, encode(key, payload), StandardOpenOption.CREATE_NEW)
+        Files.move(tmp, base.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      override def flush(): Unit = ()
+      override def close(): Unit = ()
+    }
+  }
+
+  /** List messages with names strictly greater than `after` (exclusive),
+    * in name order. */
+  def listAfter(dir: String, after: String): Seq[Stored] = {
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Stored]
+    val stream = Files.list(base)
+    try {
+      stream.iterator().forEachRemaining { p: Path =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".msg") && name > after) {
+          val (k, payload) = decode(Files.readAllBytes(p))
+          out += Stored(name, k, payload)
+        }
+      }
+    } finally stream.close()
+    out.sortBy(_.name).toSeq
+  }
+}

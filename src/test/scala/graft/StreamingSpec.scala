@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(c.calls.size == 2)
   }
 
+  test("receiver: max-connection-age stamps Connection: close (handlers.go:42-49)") {
+    val r = graft.sources.HttpRemoteWriteSource.receiver(19460, "/write", validate = false,
+      maxConnectionAgeMs = 50L)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient() // keep-alive reuse
+      def send(): java.net.http.HttpResponse[Void] =
+        http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create("http://localhost:19460/write"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray("x".getBytes)).build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+      val first = send()
+      assert(first.statusCode() == 200)
+      assert(!first.headers().firstValue("connection").isPresent)
+      Thread.sleep(120)
+      val second = send()
+      assert(second.headers().firstValue("connection").orElse("") == "close",
+        second.headers().map().toString)
+    } finally graft.sources.HttpRemoteWriteSource.shutdown(19460)
+  }
+
   test("HTTP client: tenant header + UA propagated, status mapped to error class") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
     val codes = new java.util.concurrent.atomic.AtomicInteger(0)
