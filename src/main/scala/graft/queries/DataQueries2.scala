@@ -139,6 +139,25 @@ object DataQueries2 {
         .orderBy("event_type")
     }),
 
+    // TF-IDF top terms per document: term frequencies joined against a
+    // document-frequency table (broadcast at this SF; at 100TB the df table
+    // is small anyway — vocabulary-sized). Score = (tf * N) / df in explicit
+    // operation order: integer-to-double exact, two IEEE ops, no rounding.
+    "d12_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // pivot: per-tenant columns from the events->samples mapping
     "q15_pivot" -> ((s, dir) =>
       EventSamples.df(s, dir)
@@ -235,6 +254,20 @@ object DataQueries2 {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d12_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term, tf, df,
+        |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q15_pivot" -> {
       SqlFragments.samplesCte +
