@@ -158,6 +158,36 @@ object DataQueries2 {
         .orderBy("doc_id", "rank")
     }),
 
+    // as-of join composed from built-ins (join + windowed first-match):
+    // for each order, the first lineitem shipped on/after the order date
+    "q16_asof" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val joined = o.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") >= col("o_orderdate"))
+      // (shipdate, linenumber) can collide in the synthetic data — the
+      // tie-break chain must reach a unique key for determinism
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_quantity"),
+          col("l_partkey"), col("l_suppkey"))
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("l_linenumber").cast("long").as("first_line"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+          round(col("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // native session windows (30min gap) — same semantics as the manual
+    // lag/cumsum sessionization in q12, via Spark's session_window operator
+    "q17_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(unix_millis(col("ts"))).as("start_ms"),
+          max(unix_millis(col("ts"))).as("end_ms"))
+        .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "start_ms")),
+
     // pivot: per-tenant columns from the events->samples mapping
     "q15_pivot" -> ((s, dir) =>
       EventSamples.df(s, dir)
@@ -269,6 +299,36 @@ object DataQueries2 {
         |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
 
+    "q16_asof" ->
+      """WITH joined AS (
+        |  SELECT o_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_partkey, l_suppkey) AS rn
+        |  FROM orders JOIN lineitem
+        |    ON o_orderkey = l_orderkey AND l_shipdate >= o_orderdate)
+        |SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS first_line,
+        |  epoch_ms(l_shipdate) AS ship_ms, round(CAST(l_quantity AS DOUBLE), 2) AS qty
+        |FROM joined WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q17_session_window" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  -- session_window closes at exactly prev+gap (end-exclusive) and
+        |  -- compares at µs precision, so the oracle must too
+        |  SELECT user_id, event_id, ts, ts_ms,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
+
     "q15_pivot" -> {
       SqlFragments.samplesCte +
       """ SELECT name,
@@ -280,16 +340,18 @@ object DataQueries2 {
 
     "q12_sessions" ->
       """WITH ordered AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |  FROM events),
         |flagged AS (
-        |  SELECT user_id, event_id, ts_ms,
+        |  SELECT user_id, event_id, ts, ts_ms,
         |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
         |  FROM ordered),
         |sessions AS (
+        |  -- cumsum MUST use the same full-µs ordering as the lag above (and
+        |  -- as Spark): ms-truncated ordering could diverge on same-ms events
         |  SELECT user_id, ts_ms,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
