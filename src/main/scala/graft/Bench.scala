@@ -13,16 +13,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
-    // warmup: absorb JVM/codegen/parquet-footer costs outside the timings
-    SparkEntry.queries.get("p12_metrics").foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
     // full materialization through the noop sink — count() would let Catalyst
     // prune the very expressions being benchmarked
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      selected.foreach { case (name, fn) =>
+        println(s"==== $name ====")
+        fn(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+    // warmup pass: absorb JVM/JIT/codegen/parquet-footer costs outside the
+    // timings (steady-state throughput is the number that projects to a
+    // long-lived cluster; cold-start costs are one-time per executor)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
+      selected.foreach { case (_, fn) =>
+        try run(fn) catch { case _: Throwable => () }
+      }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap

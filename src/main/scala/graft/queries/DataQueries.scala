@@ -26,10 +26,20 @@ object DataQueries {
 
   // --- shared shingling (word 3-grams, distinct) ----------------------------
 
-  /** Distinct word-3-gram shingles of `text` (split on single space). */
-  private val shinglesExpr: Column =
-    array_distinct(expr(
-      "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+  /** Distinct word-3-gram shingles from a pre-split `words` array column.
+    * Splitting once and slicing the array is O(words) per document; inlining
+    * `split` inside the transform lambda would re-split the text for every
+    * shingle index (O(words^2) — measurably dominant at bench scale).
+    */
+  private def shinglesOf(w: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+
+  /** Documents with >=3 words, with the split materialized once. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
 
   private val MinhashSeeds = 16
   private val Bands = 4 // 4 bands x 4 rows
@@ -66,9 +76,8 @@ object DataQueries {
     // HUGEINT mod 2^64 in the oracle), one agg pass (no per-seed row
     // explosion) -> 4 band buckets -> bucket equijoin
     "d02_minhash_lsh" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
         // 60-bit uniform key from the shingle content
         .withColumn("g", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
       val minhashes = (0 until MinhashSeeds)
@@ -90,20 +99,27 @@ object DataQueries {
 
     // n-gram Jaccard near-dup within (lang, source) blocks; integer-exact
     // intersection/union (no float threshold ambiguity).
-    // Scale shape: intersections come from a shingle-level equijoin +
-    // count aggregation — pair work is proportional to SHARED shingles, not
-    // to candidate pairs x set size, and no arrays ever cross a join. (A
-    // naive array_intersect self-join gets the filter pushed into the join
-    // condition, evaluating set intersections interpreted per pair.)
+    // Scale shape: one explode pass, then a shuffle on the shingle itself —
+    // docs sharing a shingle meet in one reducer, which emits the doc-id
+    // pairs directly (sorted collect + in-array combinations). Pair work is
+    // proportional to SHARED shingles; no self-join, no corpus-sized
+    // broadcast, no arrays crossing a join. At 100 TB a document-frequency
+    // cap on the shingle (drop boilerplate shingles shared by thousands of
+    // docs) bounds the per-group pair fan-out; the synthetic corpus has no
+    // such heavy hitters so none is applied here.
     "d03_ngram_jaccard" -> ((s, dir) => {
-      val base = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
+      val base = shingled(s, dir)
       val sh = base.select(col("doc_id"), col("lang"), col("source"),
-        explode(shinglesExpr).as("sh"))
-      val sizes = base.select(col("doc_id"), size(shinglesExpr).cast("long").as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-            && col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        explode(shinglesOf(col("w"))).as("sh"))
+      val sizes = base.select(col("doc_id"), size(shinglesOf(col("w"))).cast("long").as("n"))
+      val pairs = sh.groupBy(col("lang"), col("source"), col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b"))))))
+          .as("p"))
+      val inter = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("inter"))
       inter.join(broadcast(sizes).as("sa"), col("a") === col("sa.doc_id"))
         .join(broadcast(sizes).as("sb"), col("b") === col("sb.doc_id"))

@@ -146,7 +146,10 @@ object DataQueries2 {
     "d12_tfidf" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfT = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df falls out of tf for free: every (doc_id, term) row is one document
+      // containing the term. Saves a second explode + distinct pass over the
+      // corpus, and the shared tf exchange is reused across both branches.
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
         .withColumn("score",
