@@ -62,6 +62,31 @@ object DataQueries {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** MinHash-LSH near-duplicate candidate pairs (a < b), shared by d02 and
+    * the d15 dedup-cluster query. One md5 per distinct shingle, 16 minhashes
+    * in a single aggregation pass, 4 band buckets, bucket equijoin.
+    */
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
+      // 60-bit uniform key from the shingle content
+      .withColumn("g", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+    val minhashes = (0 until MinhashSeeds)
+      .map(i => min(graft.functions.prom.mix64(col("g"), MinhashA(i), MinhashB(i))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.as("x").join(broadcast(bands.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: content-hash groups, canonical = min doc_id
     "d01_dedup_exact" -> ((s, dir) =>
@@ -75,27 +100,7 @@ object DataQueries {
     // minhashes via linear 64-bit mixes of its prefix (Java long wrap ==
     // HUGEINT mod 2^64 in the oracle), one agg pass (no per-seed row
     // explosion) -> 4 band buckets -> bucket equijoin
-    "d02_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
-        // 60-bit uniform key from the shingle content
-        .withColumn("g", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
-      val minhashes = (0 until MinhashSeeds)
-        .map(i => min(graft.functions.prom.mix64(col("g"), MinhashA(i), MinhashB(i))).as(s"m$i"))
-      val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bh"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      bands.as("x").join(broadcast(bands.as("y")),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .orderBy("a", "b")
-    }),
+    "d02_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir).orderBy("a", "b")),
 
     // n-gram Jaccard near-dup within (lang, source) blocks; integer-exact
     // intersection/union (no float threshold ambiguity).
@@ -204,21 +209,25 @@ object DataQueries {
         .orderBy("doc_id"))
   )
 
-  val oracles: Map[String, String] = Map(
-    "d01_dedup_exact" ->
-      """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS canonical
-        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
-
-    "d02_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+  /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle mirror of
+    * [[minhashPairs]]; d15's connected-components oracle extends it.
+    */
+  private[queries] val minhashPairsCte: String =
+      """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS sh FROM w),
         |g AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS g FROM sh),
         |hx AS (SELECT doc_id, (g::HUGEINT * 11400714819323198485::HUGEINT + 14029467366897019727::HUGEINT) % 18446744073709551616::HUGEINT AS h0, (g::HUGEINT * 15755400384260043839::HUGEINT + 9612190660084487838::HUGEINT) % 18446744073709551616::HUGEINT AS h1, (g::HUGEINT * 1663341875487337577::HUGEINT + 5194913953271955949::HUGEINT) % 18446744073709551616::HUGEINT AS h2, (g::HUGEINT * 6018027440424182931::HUGEINT + 777637246459424060::HUGEINT) % 18446744073709551616::HUGEINT AS h3, (g::HUGEINT * 10372713005361028285::HUGEINT + 14807104613356443787::HUGEINT) % 18446744073709551616::HUGEINT AS h4, (g::HUGEINT * 14727398570297873639::HUGEINT + 10389827906543911898::HUGEINT) % 18446744073709551616::HUGEINT AS h5, (g::HUGEINT * 635340061525167377::HUGEINT + 5972551199731380009::HUGEINT) % 18446744073709551616::HUGEINT AS h6, (g::HUGEINT * 4990025626462012731::HUGEINT + 1555274492918848120::HUGEINT) % 18446744073709551616::HUGEINT AS h7, (g::HUGEINT * 9344711191398858085::HUGEINT + 15584741859815867847::HUGEINT) % 18446744073709551616::HUGEINT AS h8, (g::HUGEINT * 13699396756335703439::HUGEINT + 11167465153003335958::HUGEINT) % 18446744073709551616::HUGEINT AS h9, (g::HUGEINT * 18054082321272548793::HUGEINT + 6750188446190804069::HUGEINT) % 18446744073709551616::HUGEINT AS h10, (g::HUGEINT * 3962023812499842531::HUGEINT + 2332911739378272180::HUGEINT) % 18446744073709551616::HUGEINT AS h11, (g::HUGEINT * 8316709377436687885::HUGEINT + 16362379106275291907::HUGEINT) % 18446744073709551616::HUGEINT AS h12, (g::HUGEINT * 12671394942373533239::HUGEINT + 11945102399462760018::HUGEINT) % 18446744073709551616::HUGEINT AS h13, (g::HUGEINT * 17026080507310378593::HUGEINT + 7527825692650228129::HUGEINT) % 18446744073709551616::HUGEINT AS h14, (g::HUGEINT * 2934021998537672331::HUGEINT + 3110548985837696240::HUGEINT) % 18446744073709551616::HUGEINT AS h15 FROM g),
         |sig AS (SELECT doc_id, min(CAST(CASE WHEN h0 >= 9223372036854775808::HUGEINT THEN h0 - 18446744073709551616::HUGEINT ELSE h0 END AS BIGINT)) AS m0, min(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT)) AS m1, min(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT)) AS m2, min(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT)) AS m3, min(CAST(CASE WHEN h4 >= 9223372036854775808::HUGEINT THEN h4 - 18446744073709551616::HUGEINT ELSE h4 END AS BIGINT)) AS m4, min(CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT)) AS m5, min(CAST(CASE WHEN h6 >= 9223372036854775808::HUGEINT THEN h6 - 18446744073709551616::HUGEINT ELSE h6 END AS BIGINT)) AS m6, min(CAST(CASE WHEN h7 >= 9223372036854775808::HUGEINT THEN h7 - 18446744073709551616::HUGEINT ELSE h7 END AS BIGINT)) AS m7, min(CAST(CASE WHEN h8 >= 9223372036854775808::HUGEINT THEN h8 - 18446744073709551616::HUGEINT ELSE h8 END AS BIGINT)) AS m8, min(CAST(CASE WHEN h9 >= 9223372036854775808::HUGEINT THEN h9 - 18446744073709551616::HUGEINT ELSE h9 END AS BIGINT)) AS m9, min(CAST(CASE WHEN h10 >= 9223372036854775808::HUGEINT THEN h10 - 18446744073709551616::HUGEINT ELSE h10 END AS BIGINT)) AS m10, min(CAST(CASE WHEN h11 >= 9223372036854775808::HUGEINT THEN h11 - 18446744073709551616::HUGEINT ELSE h11 END AS BIGINT)) AS m11, min(CAST(CASE WHEN h12 >= 9223372036854775808::HUGEINT THEN h12 - 18446744073709551616::HUGEINT ELSE h12 END AS BIGINT)) AS m12, min(CAST(CASE WHEN h13 >= 9223372036854775808::HUGEINT THEN h13 - 18446744073709551616::HUGEINT ELSE h13 END AS BIGINT)) AS m13, min(CAST(CASE WHEN h14 >= 9223372036854775808::HUGEINT THEN h14 - 18446744073709551616::HUGEINT ELSE h14 END AS BIGINT)) AS m14, min(CAST(CASE WHEN h15 >= 9223372036854775808::HUGEINT THEN h15 - 18446744073709551616::HUGEINT ELSE h15 END AS BIGINT)) AS m15 FROM hx GROUP BY doc_id),
         |bands AS (SELECT doc_id, b.band, b.bh FROM sig, LATERAL (VALUES (0, m0 || '|' || m1 || '|' || m2 || '|' || m3) , (1, m4 || '|' || m5 || '|' || m6 || '|' || m7) , (2, m8 || '|' || m9 || '|' || m10 || '|' || m11) , (3, m12 || '|' || m13 || '|' || m14 || '|' || m15)) AS b(band, bh)),
         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |          FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+        |          FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS canonical
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "d02_minhash_lsh" -> s"WITH $minhashPairsCte SELECT a, b FROM pairs ORDER BY a, b",
 
     "d03_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third wave of operators: deterministic stratified sampling, n-gram
+  * language-model counts, dedup clustering (connected components over the
+  * MinHash-LSH candidate graph — the full 100 TB dedup pipeline ending), kNN
+  * label classification over embeddings, and relational breadth (cube,
+  * correlated scalar subquery, exact medians).
+  */
+object DataQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  val queries: Map[String, Q] = Map(
+    // deterministic hash-based stratified sampling: ~10% per document,
+    // reproducible across engines and runs (no RNG state), filter fully
+    // pushed into the scan. The 100 TB form is identical — sampling is a
+    // narrow stateless filter, no shuffle.
+    "d13_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // bigram language-model counts: top-5 bigrams per language. One explode
+    // pass, partial-agg shuffle on (lang, bigram), then a per-lang top-k
+    // window over the (small) aggregated counts.
+    "d14_bigram_lm" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+      val bg = base.select(col("lang"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))).as("bg"))
+      val counts = bg.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("bg"), col("n"))
+        .orderBy("lang", "rank")
+    }),
+
+    // dedup clustering: connected components over the MinHash-LSH candidate
+    // graph (iterative min-label propagation — the standard large-scale CC
+    // algorithm; O(graph diameter) rounds, each a shuffle on node id).
+    // localCheckpoint truncates the growing lineage per round. The cluster
+    // id (min doc_id reachable) is the canonical representative a dedup
+    // pass would keep.
+    "d15_dedup_clusters" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      var labels = edges.select(col("u").as("n")).distinct()
+        .withColumn("l", col("n")).localCheckpoint()
+      var converged = labels.isEmpty
+      while (!converged) {
+        val prop = labels.join(edges, col("n") === col("u"))
+          .select(col("v").as("n"), col("l"))
+          .unionAll(labels)
+          .groupBy("n").agg(min(col("l")).as("l"))
+          .localCheckpoint()
+        // min-label propagation is monotone: the label sum strictly
+        // decreases until fixpoint, so an unchanged sum IS convergence
+        val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
+        converged = sumOf(prop) == sumOf(labels)
+        labels = prop
+      }
+      labels.select(col("n").as("doc_id"), col("l").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
+    // kNN label classification: unlabeled-style queries vote among their 3
+    // nearest labeled neighbors (cosine); majority wins, ties to the smaller
+    // label. Brute-force per query here; the IVF cell assignment of d10 is
+    // the scale path for the candidate set.
+    "d16_knn_classify" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = q.join(broadcast(e), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val top3 = scored.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+      val votes = top3.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+      val wVote = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+        .select(col("qid"), col("label").cast("long").as("pred"), col("votes"))
+        .orderBy("qid")
+    }),
+
+    // cube: all grouping-set combinations with exact decimal sums
+    "q18_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    // join): orders costing more than twice their customer's cheapest order.
+    // min() is accumulation-order-free, so decimal compare is engine-exact.
+    "q19_corr_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+          |FROM orders_v o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 2 * (
+          |  SELECT min(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // exact median per group, computed from explicit rank arithmetic (no
+    // engine-specific percentile interpolation): middle element(s) of the
+    // sorted multiset, averaged. avg of <=2 doubles is IEEE-exact parity.
+    "q20_median" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("p")).as("median_price"), max(col("cnt")).as("n"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d13_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "d14_bigram_lm" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM w),
+        |c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY lang, bg),
+        |r AS (SELECT lang, bg, n, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS BIGINT) AS rank FROM c)
+        |SELECT lang, rank, bg, n FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "d15_dedup_clusters" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n)
+        |SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n ORDER BY doc_id""".stripMargin),
+
+    "d16_knn_classify" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id >= 8 AND vec_id < 24),
+        |scored AS (SELECT qid, e.vec_id, e.label,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * e.v[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (qn * e.nrm) AS cos
+        |  FROM q JOIN e ON e.vec_id <> qid),
+        |top3 AS (SELECT qid, label FROM (
+        |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |  WHERE rn <= 3),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes FROM top3 GROUP BY qid, label)
+        |SELECT qid, CAST(label AS BIGINT) AS pred, votes FROM (
+        |  SELECT qid, label, votes, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr FROM votes)
+        |WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
+    "q19_corr_subquery" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 2 * (
+        |  SELECT min(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_median" ->
+      """WITH x AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, avg(p) AS median_price, max(cnt) AS n
+        |FROM x WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
