@@ -58,5 +58,6 @@ object GraftFunctions {
       invoke(ArrayType(Model.timeseriesSchema, containsNull = false), "pbDecode", Seq(b), nullable = true) }
     f("fingerprint64") { case Seq(s) => invoke(LongType, "fingerprint64", Seq(s)) }
     f("mix64") { case Seq(g, a, b) => invoke(LongType, "mix64", Seq(g, a, b)) }
+    f("simhash64") { case Seq(s) => invoke(StringType, "simhash64", Seq(s)) }
   }
 }

@@ -110,6 +110,8 @@ object PromCatalyst {
 
   def fingerprint64(s: UTF8String): Long = K.fingerprint64(s.toString)
 
+  def simhash64(s: UTF8String): UTF8String = UTF8String.fromString(K.simhash64(s.toString))
+
   /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
   def mix64(g: Long, a: Long, b: Long): Long = g * a + b
 

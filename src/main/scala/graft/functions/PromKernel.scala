@@ -536,4 +536,44 @@ object PromKernel {
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
+
+  // ---------------------------------------------------------------------------
+  // 64-bit SimHash (near-duplicate fingerprinting, north-star)
+  // ---------------------------------------------------------------------------
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Frequency-weighted 64-bit SimHash over whitespace tokens, returned as a
+    * 64-char bitstring (MSB first). Per token: md5, take the first 64 bits
+    * big-endian; bit j votes +1/-1 on counter j; output bit = counter > 0
+    * (strict). Token split mirrors Spark `split(text, ' ')` (regex, trailing
+    * empties kept), so results are identical to the exploded-token formulation
+    * — but computed in one narrow per-row pass with no explode/shuffle.
+    */
+  def simhash64(text: String): String = {
+    val md = md5Digest.get()
+    val counters = new Array[Int](64)
+    val tokens = text.split(" ", -1)
+    var t = 0
+    while (t < tokens.length) {
+      md.reset()
+      val h = md.digest(tokens(t).getBytes(StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        counters(j) += (((v >>> (63 - j)) & 1L).toInt * 2) - 1
+        j += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) { sb.append(if (counters(j) > 0) '1' else '0'); j += 1 }
+    sb.toString
+  }
 }

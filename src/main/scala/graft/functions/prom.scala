@@ -109,6 +109,10 @@ object prom {
   def fingerprint64(s: Column): Column =
     invoke(LongType, "fingerprint64", Seq(expr(s)))
 
+  /** 64-bit frequency-weighted SimHash bitstring over whitespace tokens. */
+  def simhash64(text: Column): Column =
+    invoke(StringType, "simhash64", Seq(expr(text)))
+
   /** Wrapping g*a+b mod 2^64 (minhash family; ANSI-safe). */
   def mix64(g: Column, a: Long, b: Long): Column =
     invoke(LongType, "mix64", Seq(expr(g), Literal(a), Literal(b)))

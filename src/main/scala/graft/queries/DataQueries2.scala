@@ -25,23 +25,14 @@ object DataQueries2 {
 
   val queries: Map[String, Q] = Map(
     // 64-bit SimHash over token md5s (frequency-weighted, strict >0 rule);
-    // output as a bitstring to stay integer-exact across engines
-    "d09_simhash" -> ((s, dir) => {
-      val tok = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", md5(col("t")))
-      val withNibbles = (0 until 16).foldLeft(tok) { (df, k) =>
-        df.withColumn(s"n$k", conv(substring(col("h"), k + 1, 1), 16, 10).cast("int"))
-      }
-      val bitSums = (0 until 64).map { j =>
-        val nib = col(s"n${j / 4}")
-        val bit = shiftright(nib, 3 - (j % 4)).bitwiseAND(lit(1))
-        sum(bit * 2 - 1).as(s"s$j")
-      }
-      val agg = withNibbles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      agg.select(col("doc_id"),
-        concat((0 until 64).map(j => when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
-        .orderBy("doc_id")
-    }),
+    // output as a bitstring to stay integer-exact across engines. One
+    // codegen'd kernel call per document — a narrow map with zero shuffle
+    // (the exploded-token formulation shuffles |corpus tokens| rows into a
+    // 64-column aggregate; same result, orders of magnitude more movement).
+    "d09_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.prom.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
 
     // IVF-style ANN: 4 coarse cells (centroids = vec_id < 4), vectors are
     // assigned to their nearest centroid, queries search ONLY their own cell.

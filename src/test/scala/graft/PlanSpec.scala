@@ -66,4 +66,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("d02_minhash_lsh")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("d09: simhash is a narrow map — no shuffle before the output sort") {
+    val p = plan("d09_simhash")
+    assert("Exchange".r.findAllIn(p).length <= 1, "only the final orderBy may exchange\n" + p)
+    assert(p.contains("static_invoke"), "kernel should bind via StaticInvoke\n" + p)
+  }
+
+  test("d13: deterministic sample keeps scan column-pruned") {
+    val p = plan("d13_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
+  }
+
+  test("q19: correlated scalar subquery decorrelates to an aggregate join") {
+    val p = plan("q19_corr_subquery")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }

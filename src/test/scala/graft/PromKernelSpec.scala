@@ -205,4 +205,25 @@ class PromKernelSpec extends AnyFunSuite {
     for (b <- s.getBytes) h = h * 31L + (b & 0xffL)
     assert(fingerprint64(s) == h)
   }
+
+  test("simhash64 matches the exploded-token md5-nibble formulation") {
+    // independent reference: per token, md5 hex chars -> nibbles -> 64 bit
+    // votes, strict >0 output (the d09 oracle's exact arithmetic)
+    def reference(text: String): String = {
+      val counters = new Array[Int](64)
+      for (t <- text.split(" ", -1)) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (j <- 0 until 64) {
+          val nib = Integer.parseInt(hex((j / 4)).toString, 16)
+          val bit = (nib >> (3 - (j % 4))) & 1
+          counters(j) += bit * 2 - 1
+        }
+      }
+      counters.map(c => if (c > 0) '1' else '0').mkString
+    }
+    for (s <- Seq("the quick brown fox", "a", "", "x  y", "unicode éü token"))
+      assert(simhash64(s) == reference(s), s"mismatch for '$s'")
+    assert(simhash64("abc abc abc").length == 64)
+  }
 }
