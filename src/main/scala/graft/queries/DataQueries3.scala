@@ -22,6 +22,36 @@ object DataQueries3 {
   private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Connected components over the MinHash-LSH candidate graph via iterative
+    * min-label propagation (the standard large-scale CC algorithm; O(graph
+    * diameter) rounds, each a shuffle on node id). localCheckpoint truncates
+    * the growing lineage per round. The cluster id (min doc_id reachable) is
+    * the canonical representative a dedup pass keeps. Returns (doc_id,
+    * cluster), unordered.
+    */
+  private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DataQueries.minhashPairs(s, dir)
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("n")).distinct()
+      .withColumn("l", col("n")).localCheckpoint()
+    var converged = labels.isEmpty
+    while (!converged) {
+      val prop = labels.join(edges, col("n") === col("u"))
+        .select(col("v").as("n"), col("l"))
+        .unionAll(labels)
+        .groupBy("n").agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      // min-label propagation is monotone: the label sum strictly decreases
+      // until fixpoint, so an unchanged sum IS convergence
+      val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
+      converged = sumOf(prop) == sumOf(labels)
+      labels = prop
+    }
+    labels.select(col("n").as("doc_id"), col("l").as("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
     // deterministic hash-based stratified sampling: ~10% per document,
     // reproducible across engines and runs (no RNG state), filter fully
@@ -53,32 +83,26 @@ object DataQueries3 {
     }),
 
     // dedup clustering: connected components over the MinHash-LSH candidate
-    // graph (iterative min-label propagation — the standard large-scale CC
-    // algorithm; O(graph diameter) rounds, each a shuffle on node id).
-    // localCheckpoint truncates the growing lineage per round. The cluster
-    // id (min doc_id reachable) is the canonical representative a dedup
-    // pass would keep.
-    "d15_dedup_clusters" -> ((s, dir) => {
-      val pairs = DataQueries.minhashPairs(s, dir)
-      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint()
-      var labels = edges.select(col("u").as("n")).distinct()
-        .withColumn("l", col("n")).localCheckpoint()
-      var converged = labels.isEmpty
-      while (!converged) {
-        val prop = labels.join(edges, col("n") === col("u"))
-          .select(col("v").as("n"), col("l"))
-          .unionAll(labels)
-          .groupBy("n").agg(min(col("l")).as("l"))
-          .localCheckpoint()
-        // min-label propagation is monotone: the label sum strictly
-        // decreases until fixpoint, so an unchanged sum IS convergence
-        val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
-        converged = sumOf(prop) == sumOf(labels)
-        labels = prop
-      }
-      labels.select(col("n").as("doc_id"), col("l").as("cluster"))
+    // graph — see [[dedupClusters]].
+    "d15_dedup_clusters" -> ((s, dir) =>
+      dedupClusters(s, dir).orderBy("doc_id")),
+
+    // dedup APPLY — the end of the near-dup pipeline: drop every non-canonical
+    // cluster member (canonical = min doc_id = the cluster label) plus every
+    // exact duplicate that isn't its text-group minimum, keep the rest. Both
+    // drop sets are tiny relative to the corpus, so the final step is an
+    // anti-join of the corpus against a broadcastable drop list.
+    "d17_dedup_apply" -> ((s, dir) => {
+      val dropNear = dedupClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+      val wText = Window.partitionBy(col("h"))
+      val dropExact = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("keep", min(col("doc_id")).over(wText))
+        .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
+      docs(s, dir).join(broadcast(dropNear.unionAll(dropExact).distinct()),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -169,6 +193,24 @@ object DataQueries3 {
         |  UNION
         |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n)
         |SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n ORDER BY doc_id""".stripMargin),
+
+    "d17_dedup_apply" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |clusters AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |drop_near AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+        |drop_exact AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents)
+        |  WHERE doc_id <> keep),
+        |dropped AS (SELECT doc_id FROM drop_near UNION SELECT doc_id FROM drop_exact)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin),
 
     "d16_knn_classify" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label,

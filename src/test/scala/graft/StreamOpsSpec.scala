@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Streaming twins of the batch operators: dedup-within-watermark and
+  * event-time tumbling aggregation, driven through MemoryStream.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("streaming dedup drops repeats within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, String, Double)](spark)
+    val deduped = StreamOps.dedupWithinWatermark(
+      ms.toDF().toDF("et", "key", "v"), "et", "10 seconds", Seq("key"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same-batch duplicate + cross-batch duplicate within the horizon
+      ms.addData((ts(1), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "b", 3.0))
+      q.processAllAvailable()
+      ms.addData((ts(3), "a", 4.0)) // still within 10s of first "a"
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("tumbling agg emits closed windows once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.tumblingAgg(
+      ms.toDF().toDF("et", "key", "v"), "et", "5 seconds", "10 seconds", "key", "v")
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(12), "b", 5.0))
+      q.processAllAvailable()
+      // watermark = max(et) - 5s = 7s < window[0,10) end => nothing final yet;
+      // push an event far enough to close the first window
+      ms.addData((ts(30), "c", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((0L, "a", 2L, 3.0)), rows.mkString(","))
+      assert(rows.contains((10L, "b", 1L, 5.0)), rows.mkString(","))
+    } finally q.stop()
+  }
+}
