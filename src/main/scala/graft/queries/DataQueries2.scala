@@ -163,23 +163,25 @@ object DataQueries2 {
         .orderBy("doc_id", "rank")
     }),
 
-    // as-of join composed from built-ins (join + windowed first-match):
-    // for each order, the first lineitem shipped on/after the order date
+    // as-of join composed from built-ins: for each order, the first lineitem
+    // shipped on/after the order date. The "first match" is min(struct(...))
+    // with the tie-break chain as struct fields (lexicographic struct
+    // ordering == the ORDER BY chain) — a partial-aggregatable hash agg that
+    // combines map-side, instead of a row_number window that would fully
+    // sort every order's matches after the shuffle.
+    // (shipdate, linenumber) can collide in the synthetic data — the
+    // tie-break chain must reach a unique key for determinism.
     "q16_asof" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
-      val joined = o.join(li,
-        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") >= col("o_orderdate"))
-      // (shipdate, linenumber) can collide in the synthetic data — the
-      // tie-break chain must reach a unique key for determinism
-      val w = Window.partitionBy(col("o_orderkey"))
-        .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_quantity"),
-          col("l_partkey"), col("l_suppkey"))
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_orderkey"), col("l_linenumber").cast("long").as("first_line"),
-          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
-          round(col("l_quantity"), 2).as("qty"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") >= col("o_orderdate"))
+        .groupBy(col("o_orderkey"))
+        .agg(min(struct(col("l_shipdate"), col("l_linenumber"), col("l_quantity"),
+          col("l_partkey"), col("l_suppkey"))).as("m"))
+        .select(col("o_orderkey"), col("m.l_linenumber").cast("long").as("first_line"),
+          unix_millis(col("m.l_shipdate").cast("timestamp")).as("ship_ms"),
+          round(col("m.l_quantity"), 2).as("qty"))
         .orderBy("o_orderkey")
     }),
 

@@ -128,6 +128,64 @@ object DataQueries3 {
         .orderBy("qid")
     }),
 
+    // k-means update step over the IVF cells: per (cell, dimension), the
+    // centroid component from member vectors. Components are quantized with
+    // floor(x * 1e6) BEFORE summing — long sums are accumulation-order-free,
+    // so the result is engine- and partition-order-exact (float summation
+    // never crosses the oracle). At 100 TB this is one narrow explode +
+    // partial-aggregatable groupBy on (cell, dim) — the canonical
+    // distributed k-means shape.
+    "d18_kmeans_step" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val scoredCells = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          floor(col("x") * lit(1000000.0)).as("xq"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("xq")).as("qsum"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"), col("qsum"), col("n"),
+          (col("qsum").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+            .as("centroid"))
+        .orderBy("cell", "dim")
+    }),
+
+    // text cleaning: lowercase, strip URLs, drop non-alphanumerics, collapse
+    // whitespace — the standard pre-tokenization normalization pass, as a
+    // pure narrow map (verified via content hash of the cleaned text)
+    "d19_clean" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "https?://\\S+", ""),
+          "[^a-z0-9 ]", ""),
+        " +", " "))
+      docs(s, dir)
+        .select(col("doc_id"), md5(cleaned).as("clean_md5"),
+          length(cleaned).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus token-frequency histogram: how many distinct tokens occur in
+    // each power-of-two frequency band (Zipf profile). Bucket = bit length
+    // of the count — pure integer arithmetic, no log2 float edge cases.
+    "d20_freq_hist" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      freq.groupBy(length(bin(col("f"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"), min(col("f")).as("min_f"), max(col("f")).as("max_f"))
+        .orderBy("bucket")
+    }),
+
     // cube: all grouping-set combinations with exact decimal sums
     "q18_cube" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -227,6 +285,38 @@ object DataQueries3 {
         |SELECT qid, CAST(label AS BIGINT) AS pred, votes FROM (
         |  SELECT qid, label, votes, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr FROM votes)
         |WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "d18_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |ex AS (SELECT cell, CAST(i - 1 AS BIGINT) AS dim, CAST(floor(v[i] * 1000000.0) AS BIGINT) AS xq
+        |  FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i))
+        |SELECT cell, dim, CAST(sum(xq) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
+        |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    "d19_clean" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text), 'https?://\S+', '', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cl
+        |FROM documents)
+        |SELECT doc_id, md5(cl) AS clean_md5, CAST(length(cl) AS BIGINT) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "d20_freq_hist" ->
+      """WITH freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |SELECT CAST(length(bin(f)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tokens, min(f) AS min_f, max(f) AS max_f
+        |FROM freq GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q18_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
