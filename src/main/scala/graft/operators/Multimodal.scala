@@ -46,6 +46,25 @@ object Multimodal {
     }
   }
 
+  final case class FrameSample(doc_id: Long, frame_idx: Long, phash: Long)
+
+  /** Frame sampling: every `step`-th frame of each media item, with a
+    * deterministic perceptual-hash stand-in per frame (STUB decode, same
+    * contract as [[extractFeatures]]). Real codecs seek per keyframe; the
+    * plumbing shape — typed flatMap, one codec per partition, bounded output
+    * per item — is the production one.
+    */
+  def sampleFrames(ds: Dataset[MediaItem], step: Int = 3): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      val n = m.media.length.toLong
+      val frames = n / 100L
+      (0L until frames by step.toLong).map { idx =>
+        FrameSample(m.doc_id, idx, (n * 131L + idx * 7L) % 2147483647L)
+      }
+    }
+  }
+
   /** documents -> media table (binary payload + mime from source). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._

@@ -206,7 +206,14 @@ object DataQueries {
       graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)))
         .toDF()
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multimodal frame sampling: typed flatMap, every 3rd frame per item
+    "m02_frame_sample" -> ((s, dir) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle mirror of
@@ -291,6 +298,14 @@ object DataQueries {
         |SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
         |  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "m02_frame_sample" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n // 100 AS BIGINT) - 1, 3)) AS idx
+        |      FROM m WHERE n >= 100)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+        |  CAST((n * 131 + idx * 7) % 2147483647 AS BIGINT) AS phash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "m01_multimodal" ->
       """SELECT doc_id, 'application/x-' || source AS mime,

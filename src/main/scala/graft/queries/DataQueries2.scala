@@ -108,14 +108,21 @@ object DataQueries2 {
     // still exercising the sketch operators themselves.
     "q13_sketches" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          approx_count_distinct(col("l_suppkey"), 0.01).as("asup"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50e"))
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      // exact distincts as their own two-phase aggregations: multiple
+      // countDistinct in one agg would Expand (duplicate) every input row
+      // per distinct column — a 56s plan at sf0.1 vs ~2s for this shape
+      def exact(c: String, as: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val sketches = li.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("asup"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50e"))
+      exact("l_partkey", "exact_parts")
+        .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
+        .join(sketches, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("ap") - col("exact_parts"))
             <= col("exact_parts") * lit(0.05)).as("parts_ok"),
