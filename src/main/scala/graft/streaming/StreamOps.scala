@@ -32,4 +32,15 @@ object StreamOps {
       .groupBy(window(col(eventTimeCol), width).as("w"), col(key))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("v"))
       .select(col("w.start").as("w_start"), col(key), col("n"), col("v"))
+
+  /** Gap-based session windows per key with watermarked state eviction (the
+    * streaming twin of q17). A session closes — and emits, in append mode —
+    * once the watermark passes its end.
+    */
+  def sessionAgg(df: DataFrame, eventTimeCol: String, delay: String,
+      gap: String, key: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap).as("w"), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"), col(key), col("n"))
 }

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Storage-layout levers that carry the 100 TB design: partitioned layouts
+  * whose predicates prune files at planning time, and bucketed tables whose
+  * co-partitioning eliminates the join shuffle entirely.
+  */
+class StorageSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitionBy write + predicate => partition pruning at the scan") {
+    val out = Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val read = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // pruned scan must not list non-matching partitions' files
+    val scanned = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("event_type"), scanned)
+    assert(read.count() > 0)
+  }
+
+  test("bucketed tables co-partition the join: no Exchange in the plan") {
+    Tables.load(spark, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.load(spark, dir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // sf0.001 dims are broadcast-sized; disable auto-broadcast so the plan
+    // exercises the shape big-fact x big-fact joins take at 100 TB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        org.apache.spark.sql.functions.col("o_orderkey") === org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}

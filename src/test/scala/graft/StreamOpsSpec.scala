@@ -63,4 +63,24 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.contains((10L, "b", 1L, 5.0)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("session windows merge gap-close events and emit after watermark") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.sessionAgg(
+      ms.toDF().toDF("et", "key", "v"), "et", "5 seconds", "10 seconds", "key")
+    val q = agg.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // two events 8s apart (< 10s gap) merge; a third 30s later is separate
+      ms.addData((ts(1), "a", 1.0), (ts(9), "a", 1.0))
+      q.processAllAvailable()
+      ms.addData((ts(60), "a", 1.0)) // watermark 55s closes the first session
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(2), r.getLong(3)))
+      assert(rows.contains((1L, "a", 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
 }
