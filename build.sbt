@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one JVM-wide SparkSession default; ExtensionsSpec swaps it
+// (extensions bind at session construction), so suites must not interleave.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

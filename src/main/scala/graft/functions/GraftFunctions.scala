@@ -31,8 +31,18 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** Name -> expression builder, shared by [[register]] and the
+    * `SparkSessionExtensions` injection path ([[graft.GraftExtensions]]).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+      out += (name -> builder)
 
     f("prom_value_string") { case Seq(v) => invoke(StringType, "valueString", Seq(v)) }
     f("prom_seconds_string") { case Seq(ms) => invoke(StringType, "secondsString", Seq(ms)) }
@@ -59,5 +69,6 @@ object GraftFunctions {
     f("fingerprint64") { case Seq(s) => invoke(LongType, "fingerprint64", Seq(s)) }
     f("mix64") { case Seq(g, a, b) => invoke(LongType, "mix64", Seq(g, a, b)) }
     f("simhash64") { case Seq(s) => invoke(StringType, "simhash64", Seq(s)) }
+    out.result()
   }
 }

@@ -39,6 +39,20 @@ class StorageSpec extends AnyFunSuite {
   }
 
   test("bucketed tables co-partition the join: no Exchange in the plan") {
+    // the session (and so the warehouse dir) may be inherited from an
+    // earlier suite: clear both catalog entries and orphan table dirs
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Tables.load(spark, dir, "orders").write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
     Tables.load(spark, dir, "lineitem").write.mode("overwrite")
