@@ -86,7 +86,18 @@ object RelationalQueries2 {
         .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("ids"),
           count(lit(1)).as("n"))
-        .orderBy("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // semi-structured JSON extraction (schema-on-read over a string column):
+    // parse stays a narrow map; malformed rows surface as nulls, not errors
+    "q27_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +153,12 @@ object RelationalQueries2 {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents WHERE doc_id % 100 = 0
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q27_json_extract" ->
+      """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_k,
+        |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
