@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output passes through unprefixed — the driver greps Bench's
+// one-line JSON from stdout, and sbt's default logger would wrap it in
+// [info]/[error] decorations it cannot parse
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Suites share one JVM-wide SparkSession default; ExtensionsSpec swaps it
 // (extensions bind at session construction), so suites must not interleave.
 Test / parallelExecution := false
