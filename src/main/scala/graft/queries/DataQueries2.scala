@@ -163,10 +163,16 @@ object DataQueries2 {
       val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      // top-5 via the bounded TopKStruct aggregate (min on (-score, term) ==
+      // score desc, term asc): partial-aggregates map-side instead of the
+      // full per-group window sort; double negation is IEEE-exact both ways
+      scored.groupBy(col("doc_id"))
+        .agg(graft.functions.TopKStruct.topk_struct(5,
+          struct((-col("score")).as("ns"), col("term"), col("tf"), col("df"))).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"),
+          (-col("t.ns")).as("score"))
         .orderBy("doc_id", "rank")
     }),
 
