@@ -97,7 +97,68 @@ object RelationalQueries2 {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // rank/dense_rank tie semantics (distinct projection => tie-order free)
+    // + multiset set ops (INTERSECT ALL / EXCEPT ALL keep duplicates)
+    "q28_ranks_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      val ranked = li
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter(col("drnk") <= 3)
+        .distinct()
+        .withColumn("op", lit("rank"))
+        .select(col("op"), col("l_returnflag").as("g"), col("qty"), col("rnk"), col("drnk"))
+      val a = li.filter(col("l_suppkey") < 10).select(col("l_partkey"))
+      val b = li.filter(col("l_linenumber") === 1).select(col("l_partkey"))
+      val ia = a.intersectAll(b).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("l_partkey") < 100)
+        .select(lit("intersect_all").as("op"), col("l_partkey").cast("string").as("g"),
+          col("cnt").cast("double").as("qty"), lit(0L).as("rnk"), lit(0L).as("drnk"))
+      val ea = a.exceptAll(b).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("l_partkey") < 100)
+        .select(lit("except_all").as("op"), col("l_partkey").cast("string").as("g"),
+          col("cnt").cast("double").as("qty"), lit(0L).as("rnk"), lit(0L).as("drnk"))
+      ranked.unionAll(ia).unionAll(ea).orderBy("op", "g", "qty", "rnk", "drnk")
+    }),
+
+    // datetime function surface (fields, last_day, date arithmetic, epoch)
+    "q29_datetime" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          year(col("ts")).cast("long").as("y"),
+          quarter(col("ts")).cast("long").as("q"),
+          month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("mi"),
+          second(col("ts")).cast("long").as("sec"),
+          last_day(col("ts")).as("eom"),
+          date_add(col("ts").cast("date"), 7).as("plus7"),
+          unix_millis(col("ts")).as("epoch_ms"))
+        .orderBy("event_id")),
+
+    // null semantics: NULLIF-produced nulls through count/sum/bool aggs and
+    // null-safe equality
+    "q30_nulls" -> ((s, dir) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k")
+      t(s, dir, "events")
+        .withColumn("nk", nullif(pmod(k, lit(7)), lit(0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("nk")).as("n_nk"),
+          sum(col("nk")).as("sum_nk"),
+          sum(when(col("nk").isNull, 1L).otherwise(0L)).as("n_null"),
+          bool_and(col("nk").isNotNull).as("all_present"),
+          bool_or(col("nk") <=> lit(3L)).as("any_three"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +220,48 @@ object RelationalQueries2 {
       """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_k,
         |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q28_ranks_setops" ->
+      """WITH ranked AS (
+        |  SELECT DISTINCT 'rank' AS op, l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS qty,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)),
+        |a AS (SELECT l_partkey FROM lineitem WHERE l_suppkey < 10),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_linenumber = 1),
+        |ia AS (SELECT 'intersect_all' AS op, CAST(l_partkey AS VARCHAR) AS g,
+        |    CAST(count(*) AS DOUBLE) AS qty, 0 AS rnk, 0 AS drnk
+        |  FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        |  GROUP BY l_partkey HAVING l_partkey < 100),
+        |ea AS (SELECT 'except_all' AS op, CAST(l_partkey AS VARCHAR) AS g,
+        |    CAST(count(*) AS DOUBLE) AS qty, 0 AS rnk, 0 AS drnk
+        |  FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        |  GROUP BY l_partkey HAVING l_partkey < 100)
+        |SELECT op, g, qty, CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+        |FROM (SELECT * FROM ranked WHERE drnk <= 3 UNION ALL SELECT * FROM ia UNION ALL SELECT * FROM ea)
+        |ORDER BY op, g, qty, rnk, drnk""".stripMargin,
+
+    "q29_datetime" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy, CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS mi, CAST(second(ts) AS BIGINT) AS sec,
+        |  CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
+        |  CAST(ts AS DATE) + 7 AS plus7,
+        |  epoch_ms(ts) AS epoch_ms
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "q30_nulls" ->
+      """WITH x AS (SELECT event_type,
+        |    nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS nk
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(nk) AS BIGINT) AS n_nk,
+        |  sum(nk) AS sum_nk,
+        |  CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  bool_and(nk IS NOT NULL) AS all_present,
+        |  bool_or(nk IS NOT DISTINCT FROM 3) AS any_three
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
