@@ -42,9 +42,39 @@ object App {
     mode match {
       case "produce" => produce(spark, args)
       case "consume" => consume(spark, args)
+      case "query" => query(spark, args)
       case other =>
-        System.err.println(s"unknown command: $other (expected produce|consume)")
+        System.err.println(s"unknown command: $other (expected produce|consume|query)")
         sys.exit(2)
+    }
+  }
+
+  /** Ad-hoc run of any inventory query:
+    *
+    *   graft.App query --name q01_agg --sf-dir /root/testdata/sf0.01 [--out /tmp/out] [--limit 20]
+    *
+    * Prints the result (or writes parquet with --out). `--name list` prints
+    * the available query names.
+    */
+  private def query(spark: SparkSession, args: Array[String]): Unit = {
+    val name = flag(args, "name", "list")
+    val sfDir = flag(args, "sf-dir", "/root/testdata/sf0.001")
+    val out = flag(args, "out", "")
+    val limit = flag(args, "limit", "20").toInt
+    if (name == "list") {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    SparkEntry.queries.get(name) match {
+      case None =>
+        System.err.println(s"unknown query: $name (try --name list)")
+        sys.exit(2)
+      case Some(fn) =>
+        val df = fn(spark, sfDir)
+        if (out.nonEmpty) {
+          df.write.mode("overwrite").parquet(out)
+          println(s"[graft] $name -> $out")
+        } else df.show(limit, truncate = false)
     }
   }
 
