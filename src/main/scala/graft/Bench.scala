@@ -34,11 +34,16 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try run(fn) catch { case _: Throwable => () }
       }
+    // min of two timed runs per query: one-shot timings on a busy host swing
+    // 2-3x; the minimum is the steady-state cost that projects to a cluster
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn)
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn)
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

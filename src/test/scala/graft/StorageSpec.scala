@@ -38,6 +38,34 @@ class StorageSpec extends AnyFunSuite {
     assert(read.count() > 0)
   }
 
+  test("AQE splits a skewed join at runtime (no manual salting needed)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // heavy-hitter key 0 holds ~all rows — the classic skew shape
+    val left = (1 to 200000).map(i => (if (i <= 199000) 0L else i.toLong, i.toLong)).toDF("k", "v")
+    val right = (0 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "tag")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = left.hint("shuffle_merge").join(right, "k")
+      // collect() executes THIS Dataset's QueryExecution (count() would build
+      // a different one and leave this plan un-adapted)
+      assert(joined.collect().length == 199000) // tail keys (>1000) unmatched
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      // AQE marks the skewed SMJ; the heavy partition was split at runtime
+      assert(finalPlan.contains("skew=true"), "skew join not triggered:\n" + finalPlan)
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
+    }
+  }
+
   test("bucketed tables co-partition the join: no Exchange in the plan") {
     // the session (and so the warehouse dir) may be inherited from an
     // earlier suite: clear both catalog entries and orphan table dirs
