@@ -186,6 +186,16 @@ object DataQueries3 {
         .orderBy("bucket")
     }),
 
+    // Misra-Gries heavy hitters per language (capacity 64 >= |distinct
+    // sources|, so the sketch is exact and oracle-checkable; the operator's
+    // value at 100 TB is the fixed O(capacity) state per group)
+    "d21_heavy_hitters" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.heavy_hitters(64, col("source")).as("hh"))
+        .select(col("lang"), explode(col("hh")).as(Seq("source", "cnt")))
+        .orderBy("lang", "source")),
+
     // cube: all grouping-set combinations with exact decimal sums
     "q18_cube" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -317,6 +327,10 @@ object DataQueries3 {
         |SELECT CAST(length(bin(f)) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_tokens, min(f) AS min_f, max(f) AS max_f
         |FROM freq GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "d21_heavy_hitters" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q18_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
