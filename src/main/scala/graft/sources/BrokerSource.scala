@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,10 +82,12 @@ class BrokerSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new BrokerTable(properties.getOrDefault("topic", "metrics"),
-      properties.getOrDefault("dir", null))
+      properties.getOrDefault("dir", null),
+      properties.getOrDefault("maxRecordsPerTrigger", "0").toLong)
 }
 
-class BrokerTable(topic: String, dir: String = null) extends Table with SupportsRead {
+class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L)
+  extends Table with SupportsRead {
   override def name(): String = s"broker:${if (dir == null) topic else dir}"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -95,7 +97,7 @@ class BrokerTable(topic: String, dir: String = null) extends Table with Supports
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic, dir)
+          new BrokerStream(topic, dir, maxRecords)
       }
     }
 }
@@ -104,11 +106,37 @@ final case class BrokerOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class BrokerStream(topic: String, dir: String = null) extends MicroBatchStream {
+/** @param maxRecords rate limit per micro-batch (0 = unbounded) — the
+  * `maxOffsetsPerTrigger` analog; backpressure knob promised in SURVEY §4.
+  */
+class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val cursor = BrokerSource.cursor(topic, dir)
+  // Trigger.AvailableNow pins the end offset at start-of-query; batches then
+  // step toward it under the read limit and the query stops there
+  @volatile private var availableNowTarget: java.lang.Long = null
 
   override def initialOffset(): Offset = BrokerOffset(0L)
   override def latestOffset(): Offset = BrokerOffset(cursor.poll())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = cursor.poll()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRecords > 0) ReadLimit.maxRows(maxRecords) else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val polled = cursor.poll()
+    val avail = if (availableNowTarget != null) math.min(availableNowTarget, polled) else polled
+    val s = start.asInstanceOf[BrokerOffset].seq
+    limit match {
+      // seqnos are dense, so an offset cap IS a row cap
+      case r: ReadMaxRows => BrokerOffset(math.min(avail, s + r.maxRows()))
+      case _ => BrokerOffset(avail)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = BrokerOffset(cursor.poll())
   override def deserializeOffset(json: String): Offset = BrokerOffset(json.toLong)
   override def commit(end: Offset): Unit = cursor.commit(end.asInstanceOf[BrokerOffset].seq)
   override def stop(): Unit = ()

@@ -83,4 +83,25 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.contains((1L, "a", 2L)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("broker source rate limit: maxRecordsPerTrigger bounds each micro-batch") {
+    import graft.streaming.InMemoryBroker
+    val topic = "rate-limit-t"
+    InMemoryBroker.clear(topic)
+    (1 to 10).foreach(i =>
+      InMemoryBroker.topic(topic).add(InMemoryBroker.Message(s"k$i", s"p$i".getBytes)))
+    val src = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("topic", topic).option("maxRecordsPerTrigger", "3").load()
+    val q = src.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(30000)
+      assert(spark.table("rate_out").count() == 10)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.mkString(","))
+      assert(sizes.length >= 4, sizes.mkString(",")) // 10 rows / 3-cap => >= 4 batches
+    } finally q.stop()
+  }
 }
