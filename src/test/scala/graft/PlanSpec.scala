@@ -83,4 +83,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB a selective dim predicate should gate the fact scan at row
+    // level before the shuffle — Spark's runtime bloom filter does exactly
+    // that once enabled; pin that the lever engages on our data
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      val o = graft.sources.Tables.load(spark, dir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(li("l_returnflag")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        "runtime bloom filter not injected:\n" + p)
+    } finally {
+      Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
+    }
+  }
 }
