@@ -48,6 +48,27 @@ object Multimodal {
 
   final case class FrameSample(doc_id: Long, frame_idx: Long, phash: Long)
 
+  final case class ResizedMedia(
+      doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long)
+
+  /** Resize plan: fit each item's (width, height) into a `maxW` x `maxH` box
+    * preserving aspect ratio (integer arithmetic — floor division — so the
+    * plan is engine-exact). The real pixel work happens in the partition
+    * codec like [[extractFeatures]]; computing target geometry is pure
+    * column math and stays in codegen.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], maxW: Long, maxH: Long): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val (w, h) = (math.max(f.width, 1L), math.max(f.height, 1L))
+      val scaleNum = math.min(maxW * h, maxH * w) // compare maxW/w vs maxH/h
+      val (ow, oh) =
+        if (w <= maxW && h <= maxH) (w, h)
+        else (scaleNum / h, scaleNum / w) // floor((min scale) * dim)
+      ResizedMedia(f.doc_id, f.width, f.height, ow, oh)
+    }
+  }
+
   /** Frame sampling: every `step`-th frame of each media item, with a
     * deterministic perceptual-hash stand-in per frame (STUB decode, same
     * contract as [[extractFeatures]]). Real codecs seek per keyframe; the

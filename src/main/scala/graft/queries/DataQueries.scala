@@ -213,7 +213,15 @@ object DataQueries {
       graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)))
         .toDF()
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // multimodal resize: aspect-preserving fit into 320x240, integer-exact
+    "m03_resize" -> ((s, dir) =>
+      graft.operators.Multimodal.resizePlan(
+        graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))), 320L, 240L)
+        .toDF()
+        .orderBy("doc_id"))
   )
 
   /** DuckDB CTE chain ending in `pairs(a, b)` — the oracle mirror of
@@ -298,6 +306,15 @@ object DataQueries {
         |SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
         |  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "m03_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) % 640 AS BIGINT) AS w0,
+        |    CAST((strlen(text) * 7) % 480 AS BIGINT) AS h0 FROM documents),
+        |g AS (SELECT doc_id, w0, h0, greatest(w0, 1) AS w, greatest(h0, 1) AS h FROM m)
+        |SELECT doc_id, w0 AS width, h0 AS height,
+        |  CASE WHEN w <= 320 AND h <= 240 THEN w ELSE least(320 * h, 240 * w) // h END AS out_w,
+        |  CASE WHEN w <= 320 AND h <= 240 THEN h ELSE least(320 * h, 240 * w) // w END AS out_h
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "m02_frame_sample" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
