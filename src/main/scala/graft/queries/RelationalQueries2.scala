@@ -144,6 +144,34 @@ object RelationalQueries2 {
           unix_millis(col("ts")).as("epoch_ms"))
         .orderBy("event_id")),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE): calendar dimension generated
+    // by recursion, left-joined so order-free days surface with zero counts
+    "q31_recursive_cal" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL
+          |  SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-31')
+          |SELECT d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+          |FROM days LEFT JOIN orders_v ON CAST(o_orderdate AS DATE) = d
+          |GROUP BY d ORDER BY d""".stripMargin)
+    }),
+
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // customers per nation — decorrelates without a manual window)
+    "q32_lateral_topn" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS bal
+          |FROM nation_v n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer_v
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n_name, t.c_custkey""".stripMargin)
+    }),
+
     // null semantics: NULLIF-produced nulls through count/sum/bool aggs and
     // null-safe equality
     "q30_nulls" -> ((s, dir) => {
@@ -252,6 +280,23 @@ object RelationalQueries2 {
         |  CAST(ts AS DATE) + 7 AS plus7,
         |  epoch_ms(ts) AS epoch_ms
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "q31_recursive_cal" ->
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT d + 1 FROM days WHERE d < DATE '1995-03-31')
+        |SELECT d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q32_lateral_topn" ->
+      """SELECT n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS bal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_custkey""".stripMargin,
 
     "q30_nulls" ->
       """WITH x AS (SELECT event_type,
