@@ -84,6 +84,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches against a broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("key", "label")
+    val ms = MemoryStream[(Timestamp, String)](spark)
+    val q = ms.toDF().toDF("et", "key")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "key")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      ms.addData((ts(1), "a"), (ts(2), "b"), (ts(3), "zzz"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect().map(r => (r.getString(0), r.getString(2)))
+      assert(rows.toSet == Set(("a", "alpha"), ("b", "beta")), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join matches within the time bound") {
+    val s = spark
+    import s.implicits._
+    val left = MemoryStream[(Timestamp, String, Double)](spark)
+    val right = MemoryStream[(Timestamp, String, String)](spark)
+    val l = left.toDF().toDF("l_et", "key", "v").withWatermark("l_et", "10 seconds")
+    val r = right.toDF().toDF("r_et", "key", "tag").withWatermark("r_et", "10 seconds")
+    import org.apache.spark.sql.functions.col
+    val q = l.as("l").join(r.as("r"),
+        org.apache.spark.sql.functions.expr(
+          "l.key = r.key AND r_et BETWEEN l_et - INTERVAL 5 SECONDS AND l_et + INTERVAL 5 SECONDS"))
+      .select(col("l.key"), col("v"), col("tag"))
+      .writeStream.format("memory").queryName("ss_join_out").outputMode("append").start()
+    try {
+      left.addData((ts(10), "a", 1.0), (ts(100), "b", 2.0))
+      right.addData((ts(12), "a", "near"), (ts(50), "a", "far"), (ts(102), "b", "near"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_out").collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getString(2))).toSet
+      // only the within-5s pairs join; ("a", 50s) is outside the bound
+      assert(rows == Set(("a", 1.0, "near"), ("b", 2.0, "near")), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("broker source rate limit: maxRecordsPerTrigger bounds each micro-batch") {
     import graft.streaming.InMemoryBroker
     val topic = "rate-limit-t"
