@@ -15,6 +15,9 @@ run / fork := true
 // one-line JSON from stdout, and sbt's default logger would wrap it in
 // [info]/[error] decorations it cannot parse
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the trailing "[success] Total time" line lands AFTER Bench's JSON,
+// so a last-line parse of stdout fails (BENCH_r02 had parsed:null). Silence it.
+Global / showSuccess := false
 // Suites share one JVM-wide SparkSession default; ExtensionsSpec swaps it
 // (extensions bind at session construction), so suites must not interleave.
 Test / parallelExecution := false

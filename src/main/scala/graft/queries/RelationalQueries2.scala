@@ -247,7 +247,7 @@ object RelationalQueries2 {
     "q27_json_extract" ->
       """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_k,
-        |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q28_ranks_setops" ->
@@ -303,7 +303,7 @@ object RelationalQueries2 {
         |    nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS nk
         |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(nk) AS BIGINT) AS n_nk,
-        |  sum(nk) AS sum_nk,
+        |  CAST(sum(nk) AS BIGINT) AS sum_nk,
         |  CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  bool_and(nk IS NOT NULL) AS all_present,
         |  bool_or(nk IS NOT DISTINCT FROM 3) AS any_three
