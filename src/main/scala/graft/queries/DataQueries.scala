@@ -114,10 +114,17 @@ object DataQueries {
     // such heavy hitters so none is applied here.
     "d03_ngram_jaccard" -> ((s, dir) => {
       val base = shingled(s, dir)
+      // shuffle key is a 64-bit hash of (block, shingle), not the shingle
+      // string itself: docs sharing a shingle still meet in one reducer but
+      // the exchange moves 8-byte longs instead of multi-word strings
+      // (a collision would overcount one intersection by 1; odds across a
+      // corpus-sized distinct-shingle set are ~|shingles|^2 / 2^65 —
+      // vanishing, and the exact-hash oracle gate would catch it)
       val sh = base.select(col("doc_id"), col("lang"), col("source"),
-        explode(shinglesOf(col("w"))).as("sh"))
+          explode(shinglesOf(col("w"))).as("s0"))
+        .select(col("doc_id"), xxhash64(col("lang"), col("source"), col("s0")).as("sh"))
       val sizes = base.select(col("doc_id"), size(shinglesOf(col("w"))).cast("long").as("n"))
-      val pairs = sh.groupBy(col("lang"), col("source"), col("sh"))
+      val pairs = sh.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
         .select(explode(flatten(transform(col("ids"), (x, i) =>

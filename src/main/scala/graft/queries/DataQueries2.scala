@@ -118,7 +118,7 @@ object DataQueries2 {
       val sketches = li.groupBy(col("l_returnflag")).agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("asup"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("p50a"),
         expr("percentile(l_extendedprice, 0.5)").as("p50e"))
       exact("l_partkey", "exact_parts")
         .join(exact("l_suppkey", "exact_supps"), "l_returnflag")

@@ -34,20 +34,29 @@ object DataQueries3 {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    // min-label propagation is monotone: the label sum strictly decreases
+    // until fixpoint, so an unchanged sum IS convergence. One action per
+    // round (the sum, which also materializes the cached labels); lineage
+    // stays shallow because each round rebuilds from the cached parent, so
+    // no per-round checkpoint job is needed (the LSH candidate graph is
+    // near-clique, diameter ~2-3 — for long-chain graphs use
+    // operators.ConnectedComponents.alternatingStar, O(log n) rounds).
+    val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
     var labels = edges.select(col("u").as("n")).distinct()
-      .withColumn("l", col("n")).localCheckpoint()
+      .withColumn("l", col("n")).cache()
+    var prevSum = sumOf(labels)
     var converged = labels.isEmpty
     while (!converged) {
       val prop = labels.join(edges, col("n") === col("u"))
         .select(col("v").as("n"), col("l"))
         .unionAll(labels)
         .groupBy("n").agg(min(col("l")).as("l"))
-        .localCheckpoint()
-      // min-label propagation is monotone: the label sum strictly decreases
-      // until fixpoint, so an unchanged sum IS convergence
-      val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
-      converged = sumOf(prop) == sumOf(labels)
+        .cache()
+      val curSum = sumOf(prop)
+      converged = curSum == prevSum
+      labels.unpersist(blocking = false)
       labels = prop
+      prevSum = curSum
     }
     labels.select(col("n").as("doc_id"), col("l").as("cluster"))
   }
