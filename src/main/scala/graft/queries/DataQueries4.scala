@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Fourth wave of training-data pipeline operators: pattern redaction (the
+  * PII-scrub shape), benchmark decontamination, signed-random-projection LSH
+  * over embeddings (the cosine analog of MinHash banding), inverted-index
+  * construction, histogram-based length-band filtering, int8 embedding
+  * quantization, bigram-LM familiarity scoring, and per-stratum min-wise
+  * sampling. All narrow maps or single partial-aggregatable shuffles — the
+  * 100 TB shapes; every one oracle-checked against DuckDB.
+  */
+object DataQueries4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+  private val NumRe = "[0-9]+"
+  private val StopRe = "\\b(the|a|of|and|to)\\b"
+
+  val queries: Map[String, Q] = Map(
+    // pattern redaction — the PII-scrub pipeline stage (emails, digit runs,
+    // a lexicon of sensitive tokens), as a pure narrow map: per-pattern hit
+    // counts plus the content hash of the redacted text. At 100 TB this is
+    // zero-shuffle; the pattern set is a broadcast-sized config.
+    "d22_redact" -> ((s, dir) => {
+      val red = trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<email>"),
+        NumRe, "<num>"),
+        StopRe, "<stop>"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(NumRe), lit(0))).cast("long").as("n_num"),
+        size(regexp_extract_all(col("text"), lit(StopRe), lit(0))).cast("long").as("n_stop"),
+        md5(red).as("red_md5"),
+        length(red).cast("long").as("red_len"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: flag corpus documents sharing any word
+    // 5-gram with the held-out benchmark set (source = src0). The benchmark
+    // gram set is vocabulary-sized -> broadcast; the corpus side is one
+    // explode pass joined against it, so the shuffle moves only matching
+    // (doc, gram) hits. Grams cross the join as 64-bit hashes, not strings.
+    "d23_contamination" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+      val grams = base.select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("w")) - 5),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(5)))))).as("g0"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g0")).as("g"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("g"), col("doc_id").as("bid")).distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"), min(col("bid")).as("first_bench"))
+        .orderBy("doc_id")
+    }),
+
+    // signed-random-projection LSH: 16 hyperplanes with +-1 weights derived
+    // from md5(plane, dim) — the cosine-similarity analog of MinHash
+    // banding. Components quantized to integers BEFORE the weighted sum, so
+    // the signature is accumulation-order-free and engine-exact. Plane
+    // weights are a 16x64 broadcast table; the per-vector work is one
+    // explode + partial-aggregatable groupBy — the scale path that replaces
+    // brute-force cosine for near-neighbor blocking.
+    "d24_srp_lsh" -> ((s, dir) => {
+      val planes = s.range(16).select(col("id").as("p"))
+        .crossJoin(s.range(64).select(col("id").as("d")))
+        .select(col("p"), col("d"),
+          when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+            col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
+            .otherwise(-1L).as("w"))
+      val ex = embs(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          floor(col("x").cast("double") * lit(1000000.0)).as("xq"))
+      val bits = ex.join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("w") * col("xq")).as("sc"))
+        .select(col("vec_id"), col("p"),
+          when(col("sc") > 0, "1").otherwise("0").as("bit"))
+      val sigs = bits.groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("p"), col("bit")))).as("l"))
+        .select(col("vec_id"),
+          array_join(transform(col("l"), x => x.getField("bit")), "").as("sig"))
+      val buckets = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bucket_n"))
+      sigs.join(broadcast(buckets), "sig")
+        .select(col("vec_id"), col("sig"), col("bucket_n"))
+        .orderBy("vec_id")
+    }),
+
+    // inverted-index construction: per term, document frequency + the first
+    // 10 postings. The posting preview uses the bounded TopKStruct aggregate
+    // (fixed O(k) state, map-side partials) instead of collecting the full
+    // posting list — at 100 TB a term's full postings don't fit an executor.
+    "d25_inverted_index" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"), col("doc_id"))
+      dt.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          graft.functions.TopKStruct.topk_struct(10, struct(col("doc_id"))).as("tk"))
+        .select(col("term"), col("df"),
+          array_join(transform(col("tk"), x => x.getField("doc_id").cast("string")), ",")
+            .as("posting10"))
+        .orderBy("term")
+    }),
+
+    // histogram-based length-band filter (trim below p5 / above p95): the
+    // percentile thresholds come from a cumulative window over the TINY
+    // (distinct-lengths-sized) histogram, never a corpus-wide sort — the
+    // single-partition window is over ~hundreds of rows regardless of SF.
+    // Threshold rule in exact integer arithmetic: cum*20 >= tot  <=>
+    // cum >= ceil(0.05*tot).
+    "d26_length_band" -> ((s, dir) => {
+      val hist = docs(s, dir).groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+        .agg(min(when(col("cum") * 20 >= col("tot"), col("n_chars"))).as("lo"),
+          min(when(col("cum") * 20 >= col("tot") * 19, col("n_chars"))).as("hi"))
+      docs(s, dir).crossJoin(broadcast(thr))
+        .filter(col("n_chars").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 embedding quantization: per-vector symmetric scale 127/max|x|,
+    // floor(x*scale) — every step a deterministic IEEE double op, so the
+    // quantized codes are bit-exact across engines. Pure narrow map.
+    "d27_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      embs(s, dir)
+        .select(col("vec_id"), v.as("v"),
+          array_max(transform(v, x => abs(x))).as("mx"))
+        .withColumn("scale", lit(127.0) / greatest(col("mx"), lit(1e-30)))
+        .select(col("vec_id"), col("mx"),
+          array_join(transform(col("v"),
+            x => floor(x * col("scale")).cast("string")), ",").as("q"))
+        .orderBy("vec_id")
+    }),
+
+    // bigram-LM familiarity score: mean corpus frequency of the document's
+    // bigrams — the integer-exact stand-in for LM perplexity filtering
+    // (log-prob sums are not cross-engine exact; rational sums are). The
+    // count table is vocabulary^2-sized -> broadcast.
+    "d28_lm_score" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+      val bg = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))).as("bg"))
+      val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      bg.join(broadcast(counts), "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nbg"), sum(col("n")).as("ssum"))
+        .select(col("doc_id"), col("nbg"), col("ssum"),
+          (col("ssum").cast("double") / col("nbg").cast("double")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // per-stratum min-wise sample: the 3 docs with smallest content hash per
+    // (lang, source) block — deterministic, reproducible corpus sampling via
+    // the bounded TopKStruct aggregate (O(k) state per stratum; no per-group
+    // sort, no window over the corpus).
+    "d29_strat_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.functions.TopKStruct.topk_struct(3,
+          struct(md5(col("text")).as("h"), col("doc_id"))).as("tk"))
+        .select(col("lang"), col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("lang"), col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.doc_id").as("doc_id"), col("t.h").as("h"))
+        .orderBy("lang", "source", "rank"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d22_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.-]+', '<email>', 'g'),
+        |    '[0-9]+', '<num>', 'g'),
+        |    '\b(the|a|of|and|to)\b', '<stop>', 'g')) AS red
+        |FROM documents)
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stop,
+        |  md5(red) AS red_md5, CAST(length(red) AS BIGINT) AS red_len
+        |FROM documents d JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "d23_contamination" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, source, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w),
+        |bench AS (SELECT DISTINCT g, doc_id AS bid FROM g WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, g FROM g WHERE source <> 'src0')
+        |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared, min(b.bid) AS first_bench
+        |FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d24_srp_lsh" ->
+      """WITH pd AS (SELECT p, d, CASE WHEN (instr('0123456789abcdef', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS w
+        |  FROM generate_series(0, 15) t1(p) CROSS JOIN generate_series(0, 63) t2(d)),
+        |ex AS (SELECT vec_id, d, CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d)),
+        |s AS (SELECT vec_id, p, sum(w * xq) AS s FROM ex JOIN pd USING (d) GROUP BY vec_id, p),
+        |sig AS (SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM s GROUP BY vec_id)
+        |SELECT vec_id, sig, CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n FROM sig ORDER BY vec_id""".stripMargin,
+
+    "d25_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+        |top AS (SELECT term, doc_id FROM (
+        |    SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM dt) WHERE rn <= 10)
+        |SELECT t.term, max(f.df) AS df, string_agg(t.doc_id::VARCHAR, ',' ORDER BY t.doc_id) AS posting10
+        |FROM top t JOIN dfreq f ON t.term = f.term GROUP BY t.term ORDER BY t.term""".stripMargin,
+
+    "d26_length_band" ->
+      """WITH hist AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+        |cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |tot AS (SELECT sum(c) AS tot FROM hist),
+        |thr AS (SELECT min(CASE WHEN cum * 20 >= tot THEN n_chars END) AS lo,
+        |               min(CASE WHEN cum * 20 >= tot * 19 THEN n_chars END) AS hi FROM cum, tot)
+        |SELECT doc_id, n_chars FROM documents, thr WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id""".stripMargin,
+
+    "d27_quantize" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS mx FROM e),
+        |s AS (SELECT vec_id, v, mx, 127.0 / greatest(mx, 1e-30) AS scale FROM m)
+        |SELECT vec_id, mx, array_to_string([CAST(floor(x * scale) AS BIGINT) FOR x IN v], ',') AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "d28_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM w),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS nbg, CAST(sum(n) AS BIGINT) AS ssum,
+        |  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+        |FROM bg JOIN c USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d29_strat_sample" ->
+      """SELECT lang, source, rank, doc_id, h FROM (
+        |  SELECT lang, source, doc_id, md5(text) AS h,
+        |    CAST(row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS BIGINT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin
+  )
+}

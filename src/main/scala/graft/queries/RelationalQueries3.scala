@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third wave of relational surface: unpivot/melt, correlated EXISTS /
+  * NOT EXISTS, IGNORE NULLS window navigation (carry-forward), array scalar
+  * surface, FILTER-style conditional aggregation, bitwise aggregates, and
+  * regex extraction — each oracle-checked against DuckDB.
+  */
+object RelationalQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  val queries: Map[String, Q] = Map(
+    // unpivot (melt): wide per-flag measures -> long (flag, measure, value).
+    // Narrow reshape of an already-aggregated (tiny) table.
+    "q33_unpivot" -> ((s, dir) => {
+      val a = li(s, dir).groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("m_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("m_price"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("m_disc"))
+      a.unpivot(Array(col("l_returnflag")),
+          Array(col("m_qty"), col("m_price"), col("m_disc")), "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti joins —
+    // the decorrelated plan shuffles each side once on the correlation key)
+    "q34_exists" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |        WHERE o.o_custkey = c.c_custkey AND CAST(o.o_totalprice AS DOUBLE) > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+          |        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+          |          AND CAST(o2.o_totalprice AS DOUBLE) < 50000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // IGNORE NULLS carry-forward: each event sees the user's most recent
+    // click value (the last-observation-carried-forward shape)
+    "q35_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("click_v", when(col("event_type") === "click", col("value")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("click_v"), ignoreNulls = true).over(w).as("last_click"))
+        .orderBy("event_id")
+    }),
+
+    // array scalar surface: position, distinct size, containment, slicing,
+    // negative indexing, lexicographic max — all narrow codegen'd ops
+    "q36_arrays" -> ((s, dir) => {
+      val tok = split(col("text"), " ")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        array_position(tok, "spark").as("pos_spark"),
+        size(array_distinct(tok)).cast("long").as("n_uniq"),
+        array_contains(tok, "join").as("has_join"),
+        concat_ws(",", slice(tok, 1, 3)).as("first3"),
+        element_at(tok, -1).as("last_tok"),
+        array_max(tok).as("max_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // conditional aggregation: count_if / bool_and / bool_or / filtered sum
+    "q37_filtered_agg" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_returnflag")).agg(
+        count_if(col("l_quantity") > 25).as("n_high"),
+        bool_and(col("l_discount") <= 0.08).as("low_disc"),
+        bool_or(col("l_tax") === 0).as("any_zero_tax"),
+        sum(when(col("l_quantity") > 25, col("l_quantity").cast("decimal(18,2)")))
+          .cast("double").as("sum_high"))
+        .orderBy("l_returnflag")),
+
+    // bitwise aggregates over the key domain
+    "q38_bitwise" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_linestatus")).agg(
+        expr("bit_and(l_orderkey)").cast("long").as("ba"),
+        expr("bit_or(l_orderkey)").cast("long").as("bo"),
+        expr("bit_xor(l_orderkey)").cast("long").as("bx"),
+        count(lit(1)).as("n"))
+        .orderBy("l_linestatus")),
+
+    // regex extraction surface over the JSON-ish props payload: group
+    // capture + per-char match counting, then a plain aggregate
+    "q39_regexp" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"),
+          size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0))).cast("long").as("nd"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("nd")).as("sum_digits"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS m_disc
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'm_qty' AS measure, m_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'm_price', m_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'm_disc', m_disc FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q34_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey AND CAST(o.o_totalprice AS DOUBLE) > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        |          AND CAST(o2.o_totalprice AS DOUBLE) < 50000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q35_ignore_nulls" ->
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q36_arrays" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_position(w, 'spark') AS BIGINT) AS pos_spark,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |  list_contains(w, 'join') AS has_join,
+        |  array_to_string(w[1:3], ',') AS first3,
+        |  w[-1] AS last_tok,
+        |  list_max(w) AS max_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q37_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_high,
+        |  bool_and(l_discount <= 0.08) AS low_disc,
+        |  bool_or(l_tax = 0) AS any_zero_tax,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS sum_high
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_bitwise" ->
+      """SELECT l_linestatus,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS ba,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS bo,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS bx,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q39_regexp" ->
+      """WITH x AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+        |  CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS nd
+        |FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k, CAST(sum(nd) AS BIGINT) AS sum_digits
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
