@@ -183,7 +183,41 @@ object DataQueries4 {
         .select(col("lang"), col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
         .select(col("lang"), col("source"), (col("pos") + 1).cast("long").as("rank"),
           col("t.doc_id").as("doc_id"), col("t.h").as("h"))
-        .orderBy("lang", "source", "rank"))
+        .orderBy("lang", "source", "rank")),
+
+    // corpus mixing: down-sample every language to the smallest language's
+    // share (the data-mixing stage of a training pipeline). Keep rule is
+    // pure integer arithmetic on a 20-bit content-independent hash:
+    // hm * c(lang) < min_c * 2^20  <=>  hash-fraction < min_c/c(lang) —
+    // deterministic, stateless, pushdown-friendly; the per-lang count table
+    // is broadcast-sized.
+    "d30_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val m = counts.agg(min(col("c")).as("m"))
+      docs(s, dir)
+        .withColumn("hm",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+            .cast("long") % 1048576L)
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(m))
+        .filter(col("hm") * col("c") < col("m") * 1048576L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // z-order (Morton) values over (n_chars, doc_id): the locality-
+    // preserving layout key for multidimensional clustering — writing a
+    // table sorted by z lets min/max-pruning serve range predicates on
+    // EITHER dimension. Pure integer bit-interleave, zero shuffle.
+    "d31_zorder" -> ((s, dir) => {
+      val a = col("n_chars") % 1024L
+      val b = col("doc_id") % 1024L
+      val z = (0 until 10).map { i =>
+        shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(b, i).bitwiseAND(lit(1L)) * lit(2L << (2 * i))
+      }.reduce(_ + _)
+      docs(s, dir).select(col("doc_id"), z.cast("long").as("z")).orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,6 +288,21 @@ object DataQueries4 {
         |  SELECT lang, source, doc_id, md5(text) AS h,
         |    CAST(row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS BIGINT) AS rank
         |  FROM documents)
-        |WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin,
+
+    "d30_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+        |m AS (SELECT min(c) AS m FROM c),
+        |h AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1048576 AS hm FROM documents)
+        |SELECT h.doc_id, h.lang FROM h JOIN c USING (lang) CROSS JOIN m
+        |WHERE hm * c < m * 1048576 ORDER BY doc_id""".stripMargin,
+
+    "d31_zorder" -> {
+      val terms = (0 until 10).map { i =>
+        s"(((a >> $i) & 1) * ${1L << (2 * i)}) + (((b >> $i) & 1) * ${2L << (2 * i)})"
+      }.mkString(" + ")
+      s"""WITH x AS (SELECT doc_id, n_chars % 1024 AS a, doc_id % 1024 AS b FROM documents)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS z FROM x ORDER BY doc_id""".stripMargin
+    }
   )
 }
