@@ -84,6 +84,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("d23: benchmark gram set broadcasts; grams join as hashes") {
+    val p = plan("d23_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("xxhash64"), "grams must cross the join hashed, not as strings\n" + p)
+  }
+
+  test("d24: SRP plane table broadcasts; signature agg is two-phase") {
+    val p = plan("d24_srp_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      "HashAggregate".r.findAllIn(p).length >= 2, "map-side partials expected\n" + p)
+  }
+
+  test("d30: mixing rate table broadcasts; no corpus-side shuffle before filter") {
+    val p = plan("d30_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d22/d27/d31: narrow maps — no shuffle before the output sort") {
+    Seq("d22_redact", "d27_quantize", "d31_zorder").foreach { n =>
+      val p = plan(n)
+      assert("Exchange".r.findAllIn(p).length <= 1, s"$n: only the final orderBy may exchange\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
