@@ -92,6 +92,22 @@ object RelationalQueries3 {
         count(lit(1)).as("n"))
         .orderBy("l_linestatus")),
 
+    // map-column surface over the engine's core labels map: keys, lookup,
+    // membership, entry filtering + re-serialization — all narrow
+    // codegen'd ops (the oracle reconstructs expectations from the flat
+    // columns the map was built from)
+    "q40_maps" -> ((s, dir) =>
+      EventSamples.df(s, dir).select(
+        col("event_id"),
+        size(col("labels")).cast("long").as("n_labels"),
+        concat_ws(",", sort_array(map_keys(col("labels")))).as("keys"),
+        element_at(col("labels"), "k").cast("long").as("k_num"),
+        map_contains_key(col("labels"), "__name__").as("has_name"),
+        concat_ws(",", sort_array(transform(
+          map_entries(map_filter(col("labels"), (k, _) => !k.startsWith("__"))),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("user_kv"))
+        .orderBy("event_id")),
+
     // regex extraction surface over the JSON-ish props payload: group
     // capture + per-char match counting, then a plain aggregate
     "q39_regexp" -> ((s, dir) =>
@@ -161,6 +177,16 @@ object RelationalQueries3 {
         |  CAST(bit_xor(l_orderkey) AS BIGINT) AS bx,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q40_maps" -> {
+      SqlFragments.samplesCte +
+      """ SELECT event_id, CAST(4 AS BIGINT) AS n_labels,
+        |  '__name__,__replica__,k,user' AS keys,
+        |  CAST(k AS BIGINT) AS k_num,
+        |  TRUE AS has_name,
+        |  'k=' || k || ',user=' || usr AS user_kv
+        |FROM samples ORDER BY event_id""".stripMargin
+    },
 
     "q39_regexp" ->
       """WITH x AS (SELECT event_type,
