@@ -205,6 +205,25 @@ object DataQueries4 {
         .orderBy("doc_id")
     }),
 
+    // LSH candidate VERIFICATION — the stage after d02's candidate
+    // generation in the classic dedup pipeline (generate cheap candidates,
+    // verify expensively on the tiny candidate set): exact edit distance +
+    // integer-exact length-normalized similarity over only the LSH pairs.
+    // At 100 TB the quadratic-cost levenshtein runs on |candidates| pairs,
+    // never the corpus, and the texts join in via two hash-equi joins.
+    "d32_lsh_verify" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val t = docs(s, dir).select(col("doc_id"), col("text"))
+      pairs.join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long").as("mxlen"))
+        // similarity >= 0.8, integer-exact: 5*dist <= maxlen
+        .withColumn("dup", col("dist") * 5 <= col("mxlen"))
+        .orderBy("a", "b")
+    }),
+
     // z-order (Morton) values over (n_chars, doc_id): the locality-
     // preserving layout key for multidimensional clustering — writing a
     // table sorted by z lets min/max-pruning serve range predicates on
@@ -296,6 +315,15 @@ object DataQueries4 {
         |h AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1048576 AS hm FROM documents)
         |SELECT h.doc_id, h.lang FROM h JOIN c USING (lang) CROSS JOIN m
         |WHERE hm * c < m * 1048576 ORDER BY doc_id""".stripMargin,
+
+    "d32_lsh_verify" ->
+      (s"WITH ${DataQueries.minhashPairsCte}" +
+        """ SELECT p.a, p.b,
+          |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+          |  CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS mxlen,
+          |  levenshtein(x.text, y.text) * 5 <= greatest(length(x.text), length(y.text)) AS dup
+          |FROM pairs p JOIN documents x ON p.a = x.doc_id JOIN documents y ON p.b = y.doc_id
+          |ORDER BY p.a, p.b""".stripMargin),
 
     "d31_zorder" -> {
       val terms = (0 until 10).map { i =>
