@@ -224,6 +224,19 @@ object DataQueries4 {
         .orderBy("a", "b")
     }),
 
+    // deterministic train/validation split (95/5 by content-independent
+    // doc-id hash — stable under re-runs, shards, and corpus appends of new
+    // ids) with per-language counts as the audit output. The split itself
+    // is a stateless narrow map; only the tiny audit aggregate shuffles.
+    "d33_train_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 9, 5), 16, 10)
+            .cast("long") % 20 === 0, "val").otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy("lang", "split")),
+
     // z-order (Morton) values over (n_chars, doc_id): the locality-
     // preserving layout key for multidimensional clustering — writing a
     // table sorted by z lets min/max-pruning serve range predicates on
@@ -324,6 +337,14 @@ object DataQueries4 {
           |  levenshtein(x.text, y.text) * 5 <= greatest(length(x.text), length(y.text)) AS dup
           |FROM pairs p JOIN documents x ON p.a = x.doc_id JOIN documents y ON p.b = y.doc_id
           |ORDER BY p.a, p.b""".stripMargin),
+
+    "d33_train_split" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5)) AS BIGINT) % 20 = 0
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM documents)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS first_id
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "d31_zorder" -> {
       val terms = (0 until 10).map { i =>
