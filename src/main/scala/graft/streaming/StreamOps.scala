@@ -43,4 +43,33 @@ object StreamOps {
       .groupBy(session_window(col(eventTimeCol), gap).as("w"), col(key))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"), col(key), col("n"))
+
+  /** Streaming pattern redaction (the streaming twin of d22): a pure narrow
+    * map, so the identical expression tree runs on a stream with no state,
+    * no watermark, and no shuffle. `patterns` are (regex, replacement)
+    * applied in order; the redacted text lands in `<textCol>_red`.
+    */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame =
+    df.withColumn(s"${textCol}_red",
+      patterns.foldLeft(col(textCol)) { case (c, (re, tag)) =>
+        regexp_replace(c, re, tag)
+      })
+
+  /** Streaming corpus mixing (the streaming twin of d30): a stateless
+    * integer hash-fraction filter against a broadcast per-stratum rate
+    * table (stream-static join — the rate table is recomputed offline and
+    * swapped per deployment, never accumulated in stream state). Keeps a
+    * row when hash20(id) * c < m * 2^20, i.e. with probability m/c for its
+    * stratum; deterministic per id, so replays keep identical rows.
+    * `rates` must carry (stratumCol, c, m).
+    */
+  def mixFilter(stream: DataFrame, rates: DataFrame, stratumCol: String,
+      idCol: String): DataFrame =
+    stream.join(broadcast(rates), stratumCol)
+      .withColumn("hm",
+        conv(substring(md5(col(idCol).cast("string")), 1, 5), 16, 10)
+          .cast("long") % 1048576L)
+      .filter(col("hm") * col("c") < col("m") * 1048576L)
+      .drop("hm", "c", "m")
 }

@@ -100,6 +100,56 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming redaction matches the batch expression on the same rows") {
+    val s = spark
+    import s.implicits._
+    val patterns = Seq("[0-9]+" -> "<num>", "\\b(the|a)\\b" -> "<stop>")
+    val rows = Seq((1L, "call 555 0100 the a x"), (2L, "no digits here"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.redact(ms.toDF().toDF("id", "text"), "text", patterns)
+      .writeStream.format("memory").queryName("redact_out").outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("redact_out").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_red"))).toMap
+      val expect = StreamOps.redact(rows.toDF("id", "text"), "text", patterns)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("text_red"))).toMap
+      assert(got == expect)
+      assert(got(1L) == "call <num> <num> <stop> <stop> x")
+    } finally q.stop()
+  }
+
+  test("streaming mix filter keeps exactly the batch-selected ids") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+    // rate table as d30 builds it: per-stratum count + global min count
+    val counts = docs.groupBy(_._2).map { case (l, xs) => (l, xs.size.toLong) }
+    val m = counts.values.min
+    val rates = counts.toSeq.map { case (l, c) => (l, c, m) }.toDF("lang", "c", "m")
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.mixFilter(ms.toDF().toDF("doc_id", "lang"), rates, "lang", "doc_id")
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("mix_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      val expect = StreamOps.mixFilter(docs.toDF("doc_id", "lang"), rates, "lang", "doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got == expect && got.nonEmpty)
+      // replay determinism: a second identical stream keeps the same ids
+      val ms2 = MemoryStream[(Long, String)](spark)
+      val q2 = StreamOps.mixFilter(ms2.toDF().toDF("doc_id", "lang"), rates, "lang", "doc_id")
+        .writeStream.format("memory").queryName("mix_out2").outputMode("append").start()
+      try {
+        ms2.addData(docs: _*)
+        q2.processAllAvailable()
+        assert(spark.table("mix_out2").collect().map(_.getAs[Long]("doc_id")).toSet == got)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream join matches within the time bound") {
     val s = spark
     import s.implicits._
