@@ -112,6 +112,9 @@ object PromCatalyst {
 
   def simhash64(s: UTF8String): UTF8String = UTF8String.fromString(K.simhash64(s.toString))
 
+  def shingleG(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(K.shingleG(s.toString, n))
+
   /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
   def mix64(g: Long, a: Long, b: Long): Long = g * a + b
 

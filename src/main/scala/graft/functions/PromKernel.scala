@@ -546,6 +546,47 @@ object PromKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Distinct word n-gram shingles of `text` (whitespace-split, Spark
+    * `split(text, ' ')` parity incl. kept trailing empties), each reduced to
+    * its 60-bit md5-prefix value — EXACTLY the value the expression chain
+    * `conv(substring(md5(shingle), 1, 15), 16, 10)` produces, so DuckDB
+    * oracles built on the md5 prefix keep matching. One pass, no per-shingle
+    * string columns in the plan: the explode downstream moves 8-byte longs.
+    * Distinctness is by shingle STRING (first occurrence kept), mirroring
+    * `array_distinct` on the string shingles.
+    */
+  def shingleG(text: String, n: Int): Array[Long] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val md = md5Digest.get()
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val h = md.digest(it.next().getBytes(StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(k) = v >>> 4 // first 15 hex nibbles = top 60 bits
+      k += 1
+    }
+    out
+  }
+
   /** Frequency-weighted 64-bit SimHash over whitespace tokens, returned as a
     * 64-char bitstring (MSB first). Per token: md5, take the first 64 bits
     * big-endian; bit j votes +1/-1 on counter j; output bit = counter > 0

@@ -117,6 +117,15 @@ object prom {
   def mix64(g: Column, a: Long, b: Long): Column =
     invoke(LongType, "mix64", Seq(expr(g), Literal(a), Literal(b)))
 
+  /** Distinct word n-gram shingles as 60-bit md5-prefix values — value-equal
+    * to `conv(substring(md5(shingle),1,15),16,10)` over
+    * `array_distinct(transform(...))` string shingles, in one codegen'd pass
+    * (no per-shingle string columns; downstream explodes move 8-byte longs).
+    */
+  def shingle_g(text: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "shingleG",
+      Seq(expr(text), Literal(n)))
+
   /** Codegen'd left-fold dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))

@@ -24,22 +24,13 @@ object DataQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
-  // --- shared shingling (word 3-grams, distinct) ----------------------------
-
-  /** Distinct word-3-gram shingles from a pre-split `words` array column.
-    * Splitting once and slicing the array is O(words) per document; inlining
-    * `split` inside the transform lambda would re-split the text for every
-    * shingle index (O(words^2) — measurably dominant at bench scale).
-    */
-  private def shinglesOf(w: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
-
-  /** Documents with >=3 words, with the split materialized once. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
+  // --- shared shingling ----------------------------------------------------
+  // Word n-gram shingling is the codegen'd kernel `prom.shingle_g(text, n)`:
+  // distinct shingles (by string, first-occurrence order) reduced to their
+  // 60-bit md5-prefix values in one pass. The earlier expression-chain form
+  // (split once -> transform/slice/concat_ws -> array_distinct -> md5 ->
+  // conv) produced identical values but materialized every shingle as a
+  // string column; the oracles still mirror the md5-prefix definition.
 
   private val MinhashSeeds = 16
   private val Bands = 4 // 4 bands x 4 rows
@@ -67,10 +58,13 @@ object DataQueries {
     * in a single aggregation pass, 4 band buckets, bucket equijoin.
     */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
-      // 60-bit uniform key from the shingle content
-      .withColumn("g", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+    // shingle_g emits the same 60-bit md5-prefix values the expression chain
+    // conv(substring(md5(sh),1,15),16,10) produced, but in one codegen'd
+    // kernel pass — no per-shingle string columns, and docs with <3 words
+    // vanish via the empty array (no separate size filter pass)
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.prom.shingle_g(col("text"), 3)).as("g"))
     val minhashes = (0 until MinhashSeeds)
       .map(i => min(graft.functions.prom.mix64(col("g"), MinhashA(i), MinhashB(i))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
@@ -113,17 +107,18 @@ object DataQueries {
     // docs) bounds the per-group pair fan-out; the synthetic corpus has no
     // such heavy hitters so none is applied here.
     "d03_ngram_jaccard" -> ((s, dir) => {
-      val base = shingled(s, dir)
-      // shuffle key is a 64-bit hash of (block, shingle), not the shingle
-      // string itself: docs sharing a shingle still meet in one reducer but
-      // the exchange moves 8-byte longs instead of multi-word strings
-      // (a collision would overcount one intersection by 1; odds across a
-      // corpus-sized distinct-shingle set are ~|shingles|^2 / 2^65 —
-      // vanishing, and the exact-hash oracle gate would catch it)
-      val sh = base.select(col("doc_id"), col("lang"), col("source"),
-          explode(shinglesOf(col("w"))).as("s0"))
-        .select(col("doc_id"), xxhash64(col("lang"), col("source"), col("s0")).as("sh"))
-      val sizes = base.select(col("doc_id"), size(shinglesOf(col("w"))).cast("long").as("n"))
+      // shuffle key is a 64-bit hash of (block, shingle-hash), never the
+      // shingle string: docs sharing a shingle still meet in one reducer but
+      // the exchange moves 8-byte longs (a collision would overcount one
+      // intersection by 1; odds across a corpus-sized distinct-shingle set
+      // are ~|shingles|^2 / 2^61 — vanishing, and the exact-hash oracle gate
+      // would catch it). shingle_g replaces the whole split/slice/concat/
+      // md5-hex chain with one codegen'd kernel pass per document.
+      val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          explode(graft.functions.prom.shingle_g(col("text"), 3)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("lang"), col("source"), col("g0")).as("sh"))
+      val sizes = docs(s, dir).select(col("doc_id"),
+        size(graft.functions.prom.shingle_g(col("text"), 3)).cast("long").as("n"))
       val pairs = sh.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2)

@@ -51,13 +51,8 @@ object DataQueries4 {
     // explode pass joined against it, so the shuffle moves only matching
     // (doc, gram) hits. Grams cross the join as 64-bit hashes, not strings.
     "d23_contamination" -> ((s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 5)
-      val grams = base.select(col("doc_id"), col("source"),
-          explode(array_distinct(transform(sequence(lit(0), size(col("w")) - 5),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(5)))))).as("g0"))
-        .select(col("doc_id"), col("source"), xxhash64(col("g0")).as("g"))
+      val grams = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
       val bench = grams.filter(col("source") === "src0")
         .select(col("g"), col("doc_id").as("bid")).distinct()
       grams.filter(col("source") =!= "src0")

@@ -84,10 +84,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
-  test("d23: benchmark gram set broadcasts; grams join as hashes") {
+  test("d23: benchmark gram set broadcasts; grams join as kernel hashes") {
     val p = plan("d23_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("xxhash64"), "grams must cross the join hashed, not as strings\n" + p)
+    assert(p.contains("static_invoke") && p.contains("shingleG"),
+      "grams must come from the codegen'd shingle kernel, not string columns\n" + p)
   }
 
   test("d24: SRP plane table broadcasts; signature agg is two-phase") {

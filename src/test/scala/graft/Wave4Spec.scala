@@ -72,6 +72,26 @@ class Wave4Spec extends AnyFunSuite {
     }
   }
 
+  test("shingle_g kernel equals the expression-chain definition") {
+    import org.apache.spark.sql.Column
+    def chain(w: Column, n: Int): Column =
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    Seq(3, 5).foreach { n =>
+      val cmp = docs
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          sort_array(when(size(col("w")) >= n,
+            transform(chain(col("w"), n),
+              sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")))
+            .otherwise(array().cast("array<long>"))).as("expect"),
+          sort_array(graft.functions.prom.shingle_g(col("text"), n)).as("got"))
+        .filter(not(col("expect") <=> col("got")))
+      assert(cmp.isEmpty, s"n=$n mismatch: " + cmp.head(3).mkString(";"))
+    }
+  }
+
   test("d23 contamination never flags the benchmark source itself") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .filter(col("source") === "src0").select("doc_id")
