@@ -115,6 +115,9 @@ object PromCatalyst {
   def shingleG(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(K.shingleG(s.toString, n))
 
+  def ngramG(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(K.ngramG(s.toString, n))
+
   /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
   def mix64(g: Long, a: Long, b: Long): Long = g * a + b
 

@@ -587,6 +587,36 @@ object PromKernel {
     out
   }
 
+  /** All word n-grams of `text` (with repeats, document order) as 60-bit
+    * md5-prefix values — the frequency-carrying sibling of [[shingleG]] for
+    * operators that weight by occurrence (bigram LM scoring). Value-equal to
+    * mapping each n-gram string through conv(substring(md5(s),1,15),16,10).
+    */
+  def ngramG(text: String, n: Int): Array[Long] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) return Array.emptyLongArray
+    val md = md5Digest.get()
+    val out = new Array[Long](w.length - n + 1)
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    out
+  }
+
   /** Frequency-weighted 64-bit SimHash over whitespace tokens, returned as a
     * 64-char bitstring (MSB first). Per token: md5, take the first 64 bits
     * big-endian; bit j votes +1/-1 on counter j; output bit = counter > 0

@@ -126,6 +126,13 @@ object prom {
     invoke(ArrayType(LongType, containsNull = false), "shingleG",
       Seq(expr(text), Literal(n)))
 
+  /** All word n-grams (with repeats, document order) as 60-bit md5-prefix
+    * values — the frequency-carrying sibling of [[shingle_g]].
+    */
+  def ngram_g(text: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "ngramG",
+      Seq(expr(text), Literal(n)))
+
   /** Codegen'd left-fold dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))

@@ -151,12 +151,11 @@ object DataQueries4 {
     // (log-prob sums are not cross-engine exact; rational sums are). The
     // count table is vocabulary^2-sized -> broadcast.
     "d28_lm_score" -> ((s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 2)
-      val bg = base.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - 2),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))).as("bg"))
+      // bigrams flow as 60-bit kernel hashes (ngram_g keeps repeats — the
+      // frequencies are the signal); the count table and joins move longs,
+      // never bigram strings
+      val bg = docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
       bg.join(broadcast(counts), "bg")
         .groupBy(col("doc_id"))
