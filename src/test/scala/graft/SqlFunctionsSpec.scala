@@ -36,4 +36,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fp") == graft.functions.PromKernel.fingerprint64("hello"))
     assert(row.getAs[String]("t") == "org")
   }
+
+  test("shingle kernels reachable from SQL match the Scala kernels") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT shingle_g('a b c d a b c d', 3) AS sg,
+        |       ngram_g('a b c d a b c d', 2) AS ng""".stripMargin).collect().head
+    val sg = row.getSeq[Long](row.fieldIndex("sg")).toList
+    val ng = row.getSeq[Long](row.fieldIndex("ng")).toList
+    assert(sg == graft.functions.PromKernel.shingleG("a b c d a b c d", 3).toList)
+    assert(ng == graft.functions.PromKernel.ngramG("a b c d a b c d", 2).toList)
+    // distinct vs with-repeats: the repeated "a b c"/"b c d" shingles
+    // collapse in shingle_g but stay in ngram_g
+    assert(sg.distinct == sg)
+    assert(ng.length == 7)
+  }
 }
