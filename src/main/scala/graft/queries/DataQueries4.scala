@@ -231,6 +231,48 @@ object DataQueries4 {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
         .orderBy("lang", "split")),
 
+    // the CAPSTONE: the full training-data prep pipeline as ONE composed
+    // query — exact dedup (keep min doc per content hash) -> length-band
+    // filter (thresholds from the deduped histogram) -> per-language mixing
+    // (rates from the banded corpus) -> train/val split -> audit counts.
+    // Every stage is the already-verified operator shape; composition adds
+    // no new shuffle classes (the corpus is touched by one window + narrow
+    // filters; every side table is broadcast).
+    "d34_prep_pipeline" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+        .withColumn("keepid", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .filter(col("doc_id") === col("keepid"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val hist = keep.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+        .agg(min(when(col("cum") * 20 >= col("tot"), col("n_chars"))).as("lo"),
+          min(when(col("cum") * 20 >= col("tot") * 19, col("n_chars"))).as("hi"))
+      val banded = keep.crossJoin(broadcast(thr))
+        .filter(col("n_chars").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("lang"))
+      val cnts = banded.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val mn = cnts.agg(min(col("c")).as("m"))
+      val mixed = banded
+        .withColumn("hm",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+            .cast("long") % 1048576L)
+        .join(broadcast(cnts), "lang").crossJoin(broadcast(mn))
+        .filter(col("hm") * col("c") < col("m") * 1048576L)
+        .select(col("doc_id"), col("lang"))
+      mixed
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 9, 5), 16, 10)
+            .cast("long") % 20 === 0, "val").otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("lang", "split")
+    }),
+
     // z-order (Morton) values over (n_chars, doc_id): the locality-
     // preserving layout key for multidimensional clustering — writing a
     // table sorted by z lets min/max-pruning serve range predicates on
@@ -339,6 +381,30 @@ object DataQueries4 {
         |FROM documents)
         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS first_id
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "d34_prep_pipeline" ->
+      """WITH keep AS (
+        |  SELECT doc_id, lang, n_chars FROM (
+        |    SELECT doc_id, lang, n_chars, min(doc_id) OVER (PARTITION BY md5(text)) AS keepid
+        |    FROM documents) WHERE doc_id = keepid),
+        |hist AS (SELECT n_chars, count(*) AS c FROM keep GROUP BY n_chars),
+        |cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |tot AS (SELECT sum(c) AS tot FROM hist),
+        |thr AS (SELECT min(CASE WHEN cum * 20 >= tot THEN n_chars END) AS lo,
+        |               min(CASE WHEN cum * 20 >= tot * 19 THEN n_chars END) AS hi FROM cum, tot),
+        |banded AS (SELECT doc_id, lang FROM keep, thr WHERE n_chars BETWEEN lo AND hi),
+        |cnts AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM banded GROUP BY lang),
+        |mn AS (SELECT min(c) AS m FROM cnts),
+        |mixed AS (
+        |  SELECT b.doc_id, b.lang FROM banded b JOIN cnts USING (lang) CROSS JOIN mn
+        |  WHERE (CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1048576) * c < m * 1048576),
+        |tagged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5)) AS BIGINT) % 20 = 0
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM mixed)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "d31_zorder" -> {
       val terms = (0 until 10).map { i =>

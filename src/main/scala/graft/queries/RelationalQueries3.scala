@@ -108,6 +108,26 @@ object RelationalQueries3 {
           e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("user_kv"))
         .orderBy("event_id")),
 
+    // exact per-group quartiles from rank arithmetic (q20's median
+    // generalized): rank positions floor/ceil(q*(cnt-1)/4)+1, averaged —
+    // avg of <=2 doubles is IEEE-exact across engines, and no
+    // engine-specific interpolation rule ever applies
+    "q41_quartiles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      def quart(q: Int) = avg(when(
+        col("rn") === expr(s"($q*(cnt-1)) div 4 + 1")
+          || col("rn") === expr(s"($q*(cnt-1)+3) div 4 + 1"), col("p")))
+      li.withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(quart(1).as("p25"), quart(2).as("p50"), quart(3).as("p75"),
+          max(col("cnt")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // regex extraction surface over the JSON-ish props payload: group
     // capture + per-char match counting, then a plain aggregate
     "q39_regexp" -> ((s, dir) =>
@@ -187,6 +207,18 @@ object RelationalQueries3 {
         |  'k=' || k || ',user=' || usr AS user_kv
         |FROM samples ORDER BY event_id""".stripMargin
     },
+
+    "q41_quartiles" ->
+      """WITH x AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  avg(CASE WHEN rn = (1*(cnt-1)) // 4 + 1 OR rn = (1*(cnt-1)+3) // 4 + 1 THEN p END) AS p25,
+        |  avg(CASE WHEN rn = (2*(cnt-1)) // 4 + 1 OR rn = (2*(cnt-1)+3) // 4 + 1 THEN p END) AS p50,
+        |  avg(CASE WHEN rn = (3*(cnt-1)) // 4 + 1 OR rn = (3*(cnt-1)+3) // 4 + 1 THEN p END) AS p75,
+        |  max(cnt) AS n
+        |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q39_regexp" ->
       """WITH x AS (SELECT event_type,
