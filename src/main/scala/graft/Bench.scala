@@ -34,10 +34,11 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try run(fn) catch { case _: Throwable => () }
       }
-    // min of two timed runs per query: one-shot timings on a busy host swing
-    // 2-3x; the minimum is the steady-state cost that projects to a cluster
+    // min of three timed runs per query: one-shot timings on a busy host
+    // swing 2-3x (observed full-suite totals vary ±15% run-to-run); the
+    // minimum is the steady-state cost that projects to a cluster
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run(fn)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
