@@ -92,6 +92,29 @@ class Wave4Spec extends AnyFunSuite {
     }
   }
 
+  test("shingle kernels: edge cases (short, empty, repeated, unicode)") {
+    import graft.functions.PromKernel
+    assert(PromKernel.shingleG("", 3).isEmpty)
+    assert(PromKernel.shingleG("one two", 3).isEmpty)
+    assert(PromKernel.shingleG("a b c", 3).length == 1)
+    // repeats collapse in shingleG, stay in ngramG
+    assert(PromKernel.shingleG("x y x y x y", 2).length == 2)
+    assert(PromKernel.ngramG("x y x y x y", 2).length == 5)
+    // unicode goes through UTF-8 like Spark's md5(string): pin against the
+    // expression-chain value computed by Spark itself
+    val s = spark
+    import s.implicits._
+    val uni = Seq("héllo wörld ünïcode δ ж 中文 test").toDF("text")
+    val fromChain = uni.select(
+      explode(transform(sequence(lit(0), size(split(col("text"), " ")) - 3),
+        i => conv(substring(md5(
+          concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(3)))), 1, 15), 16, 10)
+          .cast("long")))).collect().map(_.getLong(0)).toSet
+    val fromKernel = uni.select(explode(graft.functions.prom.shingle_g(col("text"), 3)))
+      .collect().map(_.getLong(0)).toSet
+    assert(fromKernel == fromChain)
+  }
+
   test("d23 contamination never flags the benchmark source itself") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .filter(col("source") === "src0").select("doc_id")
