@@ -46,10 +46,14 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query detail first; the totals-only line LAST — the driver tail-
+    // captures stdout, and at 90 queries a single combined line overflows its
+    // window (BENCH_r04.json parsed:null), cutting off the leading "total"
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

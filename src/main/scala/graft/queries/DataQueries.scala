@@ -55,7 +55,19 @@ object DataQueries {
 
   /** MinHash-LSH near-duplicate candidate pairs (a < b), shared by d02 and
     * the d15 dedup-cluster query. One md5 per distinct shingle, 16 minhashes
-    * in a single aggregation pass, 4 band buckets, bucket equijoin.
+    * in a single aggregation pass, 4 band buckets.
+    *
+    * Candidate generation is a SHUFFLE on the band bucket, never a join:
+    * each doc emits one 8-byte bucket key per band (xxhash64 of the band id
+    * and its 4 minhash values — no signature strings ever materialize), docs
+    * sharing a bucket meet in one reducer, and the reducer expands the
+    * sorted member list into (a, b) pairs directly. No corpus-sized
+    * broadcast, no self-join; pair work is proportional to co-bucketed docs
+    * (quadratic only within a bucket, which is inherent to LSH candidate
+    * generation in any engine — a bucket-size cap bounds it at 100 TB; the
+    * synthetic corpus needs none). A bucket-key collision would merge two
+    * buckets and add a spurious candidate pair — odds ~|buckets|²/2⁶⁴,
+    * vanishing, and LSH candidates are verified downstream (d32) anyway.
     */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // shingle_g emits the same 60-bit md5-prefix values the expression chain
@@ -68,16 +80,18 @@ object DataQueries {
     val minhashes = (0 until MinhashSeeds)
       .map(i => min(graft.functions.prom.mix64(col("g"), MinhashA(i), MinhashB(i))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val bands = sig.select(col("doc_id"), explode(array(
+    val buckets = sig.select(col("doc_id"), explode(array(
       (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands.as("x").join(broadcast(bands.as("y")),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        xxhash64(lit(b) +: (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+      }: _*)).as("bk"))
+    buckets.groupBy(col("bk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -128,8 +142,11 @@ object DataQueries {
           .as("p"))
       val inter = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("inter"))
-      inter.join(broadcast(sizes).as("sa"), col("a") === col("sa.doc_id"))
-        .join(broadcast(sizes).as("sb"), col("b") === col("sb.doc_id"))
+      // sizes is per-document (corpus-proportional) — never force-broadcast
+      // it; these are plain equi-joins on doc_id and AQE may still choose a
+      // broadcast when the pair side or sizes genuinely fit
+      inter.join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
         .select(col("a"), col("b"), col("inter"),
           (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
         .filter(col("inter") * 20 >= col("uni")) // jaccard >= 0.05, integer-exact

@@ -98,18 +98,20 @@ object DataQueries3 {
 
     // dedup APPLY — the end of the near-dup pipeline: drop every non-canonical
     // cluster member (canonical = min doc_id = the cluster label) plus every
-    // exact duplicate that isn't its text-group minimum, keep the rest. Both
-    // drop sets are tiny relative to the corpus, so the final step is an
-    // anti-join of the corpus against a broadcastable drop list.
+    // exact duplicate that isn't its text-group minimum, keep the rest. The
+    // drop set is dup-rate-proportional — a heavily duplicated crawl makes it
+    // corpus-sized — so the anti-join is a plain shuffle on doc_id (AQE still
+    // broadcasts when the drop list genuinely fits). The exact-dup drop list
+    // comes from the d01 groupBy shape (partial-aggregatable min per content
+    // hash + semi-join), not a corpus-wide window sort.
     "d17_dedup_apply" -> ((s, dir) => {
       val dropNear = dedupClusters(s, dir)
         .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-      val wText = Window.partitionBy(col("h"))
-      val dropExact = docs(s, dir)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .withColumn("keep", min(col("doc_id")).over(wText))
+      val hashed = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val keepExact = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+      val dropExact = hashed.join(keepExact, "h")
         .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
-      docs(s, dir).join(broadcast(dropNear.unionAll(dropExact).distinct()),
+      docs(s, dir).join(dropNear.unionAll(dropExact).distinct(),
           Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")

@@ -149,7 +149,9 @@ object DataQueries4 {
     // bigram-LM familiarity score: mean corpus frequency of the document's
     // bigrams — the integer-exact stand-in for LM perplexity filtering
     // (log-prob sums are not cross-engine exact; rational sums are). The
-    // count table is vocabulary^2-sized -> broadcast.
+    // count table is vocabulary²-sized, which at web-corpus scale is NOT
+    // broadcastable — the join is a plain shuffle on the 8-byte bigram hash
+    // (both sides already carry longs; AQE still broadcasts when it fits).
     "d28_lm_score" -> ((s, dir) => {
       // bigrams flow as 60-bit kernel hashes (ngram_g keeps repeats — the
       // frequencies are the signal); the count table and joins move longs,
@@ -157,7 +159,7 @@ object DataQueries4 {
       val bg = docs(s, dir).select(col("doc_id"),
         explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
-      bg.join(broadcast(counts), "bg")
+      bg.join(counts, "bg")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nbg"), sum(col("n")).as("ssum"))
         .select(col("doc_id"), col("nbg"), col("ssum"),
@@ -236,13 +238,15 @@ object DataQueries4 {
     // filter (thresholds from the deduped histogram) -> per-language mixing
     // (rates from the banded corpus) -> train/val split -> audit counts.
     // Every stage is the already-verified operator shape; composition adds
-    // no new shuffle classes (the corpus is touched by one window + narrow
-    // filters; every side table is broadcast).
+    // no new shuffle classes. The dedup stage is the d01 groupBy shape —
+    // groupBy(h).agg(min(doc_id)) is partial-aggregatable (HashAggregate
+    // with map-side combine, no sort) + a semi-join back on doc_id, where
+    // the window form would shuffle AND sort the whole corpus.
     "d34_prep_pipeline" -> ((s, dir) => {
-      val keep = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
-        .withColumn("keepid", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-        .filter(col("doc_id") === col("keepid"))
+      val keepIds = docs(s, dir)
+        .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val keep = docs(s, dir).join(keepIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val hist = keep.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
       val wCum = Window.orderBy(col("n_chars"))

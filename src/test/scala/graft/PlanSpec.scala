@@ -62,9 +62,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("array_intersect"), "intersections must come from aggregation, not set ops\n" + p)
   }
 
-  test("d02: LSH band join is an equi-join on (band, bucket)") {
+  test("d02: LSH candidate gen is a bucket-shuffle pair expansion, no join") {
+    // the band-bucket phase must never be a (broadcast) self-join of the
+    // corpus band table — docs sharing a bucket meet in a groupBy reducer
+    // that emits the pairs directly (SURVEY §9's claimed shape)
     val p = plan("d02_minhash_lsh")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Join"), "no join of any kind in candidate generation\n" + p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("d03/d17/d28: corpus-proportional join sides are never force-broadcast") {
+    // with auto-broadcast off, any BroadcastHashJoin left in the static plan
+    // can only come from a forced broadcast() hint — exactly the 100 TB
+    // driver-OOM hazard these queries must not have (AQE may still choose a
+    // broadcast at runtime when a side genuinely fits)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("d03_ngram_jaccard", "d17_dedup_apply", "d28_lm_score").foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$n: forced broadcast hint on a corpus-proportional side\n$p")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("d34: exact-dedup stage is the groupBy shape, not a corpus window") {
+    val p = plan("d34_prep_pipeline")
+    assert(!p.contains("windowspecdefinition(h#"),
+      "dedup must be groupBy(h).agg(min) + semi-join, not min over a window on md5(text)\n" + p)
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("d09: simhash is a narrow map — no shuffle before the output sort") {
