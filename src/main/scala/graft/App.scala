@@ -89,6 +89,19 @@ object App {
     val replicaLabels = flag(args, "replica-labels", graft.model.Model.DefaultReplicaLabel)
       .split(",").toSeq
 
+    // multi-writer mode (produce.go:82-98 buildWriters + :155-181): N comma-
+    // separated topic dirs become N concurrent writers; the HTTP response is
+    // synchronous — 200 iff all writers took the request, 500 naming failures
+    val topicDirs = flag(args, "topic-dirs", "")
+    if (topicDirs.nonEmpty) {
+      val r = graft.sources.HttpRemoteWriteSource.receiver(port.toInt, path, validate = true)
+      val ws = topicDirs.split(",").toSeq.map(d =>
+        new Writers.TopicWriter(d, new FileTopic.Factory(d), serializer, replicaLabels))
+      r.setWriters(ws)
+      println(s"[graft] produce (multi-writer): :$port$path -> ${ws.map(_.name).mkString(", ")} ($serializer)")
+      while (true) Thread.sleep(60000L)
+    }
+
     val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
       .option("port", port).option("path", path).load()
     val samples = PromPipeline.attachTenant(
@@ -100,9 +113,13 @@ object App {
       PromPipeline.serialize(samples, serializer, replicaLabels)
         .select(col("key"), col("payload").cast("binary").as("payload")))
 
+    // destination precedence: a real Pulsar broker (--pulsar.url, TLS/auth
+    // flags per pkg/app/pulsar.go:74-93) > file topic > in-memory topic
     val topicDir = flag(args, "topic-dir", "")
+    val pulsarUrl = flag(args, "pulsar.url", "")
     val factory: KeyedSink.ProducerFactory =
-      if (topicDir.nonEmpty) new FileTopic.Factory(topicDir)
+      if (pulsarUrl.nonEmpty) new PulsarSink.Factory(PulsarSink.fromArgs(args))
+      else if (topicDir.nonEmpty) new FileTopic.Factory(topicDir)
       else new InMemoryBroker.Factory(topic)
     val q = out.writeStream
       .foreach(KeyedSink.writer(factory))

@@ -43,7 +43,10 @@ object PromPipeline {
 
   /** Operators #7-9 + #11 (serializers.go): payload in the chosen wire format
     * plus the replica-invariant FNV-64 partition key.
-    * format: "json" | "json-compat" | "avro-json-compat".
+    * format: "json" | "json-compat" | "avro-json-compat" |
+    * "avro-json-compat=&lt;path&gt;" (user Avro schema, read + validated at
+    * plan time — pkg/app/pulsar.go:174-191 opens the file at startup and
+    * fails fast on an unreadable/invalid schema; same here).
     */
   def serialize(df: DataFrame, format: String,
       replicaLabels: Seq[String] = Seq(graft.model.Model.DefaultReplicaLabel)): DataFrame = {
@@ -51,6 +54,16 @@ object PromPipeline {
       case "json" => prom_json(col("timestampMs"), col("value"), col("labels"), col("tenantId"))
       case "json-compat" => prom_json_compat(col("timestampMs"), col("value"), col("labels"), col("tenantId"))
       case "avro-json-compat" => prom_avro_json(col("timestampMs"), col("value"), col("labels"), col("tenantId"))
+      case custom if custom.startsWith("avro-json-compat=") =>
+        val path = custom.stripPrefix("avro-json-compat=")
+        val schemaJson =
+          try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"failed to read avro serializer schema at '$path': ${e.getMessage}", e)
+          }
+        prom_avro_json_schema(schemaJson)(
+          col("timestampMs"), col("value"), col("labels"), col("tenantId"))
       case other => throw new IllegalArgumentException(s"unknown serializer: $other")
     }
     df.withColumn("payload", payload)

@@ -64,6 +64,17 @@ object HttpRemoteWriteSource {
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
 
+    /** Synchronous multi-writer mode (produce.go:155-181): when writers are
+      * configured, each request is decoded, fanned out to every writer
+      * concurrently, and the response reflects the outcome — 200 only when
+      * all writers succeeded, else 500 listing the failed writer names. The
+      * async enqueue path (streaming pipeline) is bypassed; the writers ARE
+      * the destinations, exactly the reference's architecture (it responds
+      * only after its pulsar flush too).
+      */
+    @volatile private var writers: Seq[graft.streaming.Writers.RequestWriter] = Nil
+    def setWriters(ws: Seq[graft.streaming.Writers.RequestWriter]): Unit = writers = ws
+
     /** handlers.go:42-49: stamp Connection: close when the (keep-alive)
       * connection — identified by the client socket address — is too old.
       */
@@ -91,19 +102,13 @@ object HttpRemoteWriteSource {
             try exchange.getRequestBody.readAllBytes()
             catch { case _: Exception => respond(exchange, 500); null }
           if (body != null) {
-            if (validate && !valid(body)) respond(exchange, 400)
+            val ws = writers
+            if (ws.nonEmpty) handleSync(exchange, body, ws)
+            else if (validate && !valid(body)) respond(exchange, 400)
             else {
-              val auth = Option(exchange.getRequestHeaders.getFirst("Authorization"))
-                .filter(_.startsWith("Basic "))
-                .flatMap { h =>
-                  try {
-                    val dec = new String(java.util.Base64.getDecoder.decode(h.drop(6)), "UTF-8")
-                    Some(dec.takeWhile(_ != ':')).filter(_.nonEmpty)
-                  } catch { case _: Exception => None }
-                }.orNull
-              val org = exchange.getRequestHeaders.getFirst(graft.model.Model.TenantHeader)
               buf.put(seq.getAndIncrement(),
-                Received(body, auth, org, System.currentTimeMillis()))
+                Received(body, authUser(exchange), orgHeader(exchange),
+                  System.currentTimeMillis()))
               respond(exchange, 200) // enqueued durably before the 200
             }
           }
@@ -128,8 +133,53 @@ object HttpRemoteWriteSource {
       raw != null && PromKernel.decodeWriteRequest(raw) != null
     }
 
+    /** BasicAuth username, null when absent/malformed (handlers.go:29-40). */
+    private def authUser(e: com.sun.net.httpserver.HttpExchange): String =
+      Option(e.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Basic "))
+        .flatMap { h =>
+          try {
+            val dec = new String(java.util.Base64.getDecoder.decode(h.drop(6)), "UTF-8")
+            Some(dec.takeWhile(_ != ':')).filter(_.nonEmpty)
+          } catch { case _: Exception => None }
+        }.orNull
+
+    private def orgHeader(e: com.sun.net.httpserver.HttpExchange): String =
+      e.getRequestHeaders.getFirst(graft.model.Model.TenantHeader)
+
+    /** produce.go:124-181 synchronous handler: decode (400 on bad body),
+      * count received per tenant, fan out to all writers concurrently, 200
+      * iff every writer succeeded, else 500 whose body names the failures
+      * ("Error sending samples to remote storages: a, b" — errSendingSamples
+      * produce.go:23 + the %ss formatting at :175).
+      */
+    private def handleSync(exchange: com.sun.net.httpserver.HttpExchange,
+        body: Array[Byte], ws: Seq[graft.streaming.Writers.RequestWriter]): Unit = {
+      val raw = PromKernel.snappyUncompress(body)
+      val req = if (raw == null) null else PromKernel.decodeWriteRequest(raw)
+      if (req == null) { respond(exchange, 400); return }
+      val tenant = {
+        val a = authUser(exchange)
+        if (a != null) a else { val o = orgHeader(exchange); if (o != null) o else "" }
+      }
+      val samples = graft.streaming.Writers.samplesOf(req)
+      graft.streaming.Metrics.add("received_samples_total", samples.size.toLong,
+        "tenant" -> tenant)
+      val failed = graft.streaming.Writers.fanOut(ws, tenant, samples)
+      if (failed.isEmpty) respond(exchange, 200)
+      else respondBody(exchange, 500,
+        s"Error sending samples to remote storages: ${failed.mkString(", ")}\n")
+    }
+
     private def respond(e: com.sun.net.httpserver.HttpExchange, code: Int): Unit =
       e.sendResponseHeaders(code, -1)
+
+    private def respondBody(e: com.sun.net.httpserver.HttpExchange,
+        code: Int, msg: String): Unit = {
+      val b = msg.getBytes("UTF-8")
+      e.sendResponseHeaders(code, b.length)
+      e.getResponseBody.write(b)
+    }
 
     def latest: Long = seq.get()
     def range(from: Long, until: Long): Array[Received] =

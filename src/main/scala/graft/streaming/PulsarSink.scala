@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.util.concurrent.TimeUnit
+
+/** Pulsar producer adapter behind [[KeyedSink.ProducerFactory]] (reference:
+  * pkg/pulsar/pulsar.go:75-121 client construction, pkg/app/pulsar.go:74-93
+  * flag surface, :96-115 clientOptions).
+  *
+  * The adapter targets the PUBLIC pulsar-client API
+  * (`org.apache.pulsar.client.api.PulsarClient` et al.) through reflection,
+  * so this library compiles and runs with zero Pulsar dependency; placing the
+  * official pulsar-client jar on the executor classpath makes [[Factory]]
+  * produce to a real broker with the same TLS/auth semantics the reference
+  * configures. Without the jar, `create` fails fast with a clear error —
+  * the file/in-memory topics remain the brokerless stand-ins.
+  */
+object PulsarSink {
+
+  /** pkg/app/pulsar.go:74-93 — one field per reference flag, same defaults. */
+  final case class Config(
+      url: String = "",
+      connectionTimeoutMs: Long = 30000L,
+      topic: String = "metrics",
+      certificateAuthority: String = "",
+      clientCertificate: String = "",
+      clientKey: String = "",
+      insecureSkipTlsVerify: Boolean = false,
+      insecureSkipTlsValidateHostname: Boolean = false,
+      maxConnectionsPerBroker: Int = 1) {
+
+    /** pulsar.go:97-103: TLS auth needs BOTH halves of the keypair. */
+    def validated: Config = {
+      if ((clientKey.isEmpty) != (clientCertificate.isEmpty))
+        throw new IllegalArgumentException(
+          "both pulsar.client-key and pulsar.client-certificate need to be specified")
+      this
+    }
+  }
+
+  /** Parse `30s` / `500ms` / `5m` / `1h` duration literals (kingpin format,
+    * pulsar.go:77 connection-timeout default 30s) to milliseconds.
+    */
+  def parseDurationMs(s: String): Long = s.trim match {
+    case d if d.endsWith("ms") => d.dropRight(2).trim.toLong
+    case d if d.endsWith("s") => d.dropRight(1).trim.toLong * 1000L
+    case d if d.endsWith("m") => d.dropRight(1).trim.toLong * 60000L
+    case d if d.endsWith("h") => d.dropRight(1).trim.toLong * 3600000L
+    case d => d.toLong // bare number = ms
+  }
+
+  /** Build a [[Config]] from `--pulsar.*` CLI args (the reference's flag
+    * names, pkg/app/pulsar.go:74-93; values are `--name value` pairs).
+    */
+  def fromArgs(args: Array[String]): Config = {
+    def flag(name: String, default: String): String = {
+      val i = args.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < args.length) args(i + 1) else default
+    }
+    Config(
+      url = flag("pulsar.url", ""),
+      connectionTimeoutMs = parseDurationMs(flag("pulsar.connection-timeout", "30s")),
+      topic = flag("pulsar.topic", "metrics"),
+      certificateAuthority = flag("pulsar.certificate-authority", ""),
+      clientCertificate = flag("pulsar.client-certificate", ""),
+      clientKey = flag("pulsar.client-key", ""),
+      insecureSkipTlsVerify = flag("pulsar.insecure-skip-tls-verify", "false").toBoolean,
+      insecureSkipTlsValidateHostname =
+        flag("pulsar.insecure-skip-tls-validate-hostname", "false").toBoolean,
+      maxConnectionsPerBroker = flag("pulsar.max-connections-per-broker", "1").toInt
+    ).validated
+  }
+
+  /** One producer per executor partition against a real broker; all
+    * pulsar-client calls go through the public builder API by reflection.
+    * Mapping (clientOptions, pkg/app/pulsar.go:96-115):
+    *   url -> serviceUrl, connectionTimeoutMs -> connectionTimeout,
+    *   certificateAuthority -> tlsTrustCertsFilePath,
+    *   client cert+key -> AuthenticationFactory.TLS,
+    *   insecureSkipTlsVerify -> allowTlsInsecureConnection,
+    *   insecureSkipTlsValidateHostname -> !enableTlsHostnameVerification,
+    *   maxConnectionsPerBroker -> connectionsPerBroker.
+    */
+  final class Factory(cfg: Config) extends KeyedSink.ProducerFactory {
+    cfg.validated
+
+    override def create(partitionId: Long): KeyedSink.Producer = {
+      val (client, producer) =
+        try buildClientAndProducer()
+        catch {
+          case e: ClassNotFoundException =>
+            throw new IllegalStateException(
+              "pulsar-client is not on the classpath; add the official " +
+                "org.apache.pulsar:pulsar-client jar to produce to " + cfg.url, e)
+        }
+      new KeyedSink.Producer {
+        override def sendAsync(key: String, payload: Array[Byte]): Unit = {
+          val msg = call(producer, "newMessage")
+          call(msg, "key", classOf[String] -> key)
+          call(msg, "value", classOf[Object] -> payload)
+          call(msg, "sendAsync")
+          ()
+        }
+        override def flush(): Unit = { call(producer, "flush"); () }
+        override def close(): Unit = {
+          try call(producer, "close") finally call(client, "close")
+          ()
+        }
+      }
+    }
+
+    private def buildClientAndProducer(): (AnyRef, AnyRef) = {
+      val clientClass = Class.forName("org.apache.pulsar.client.api.PulsarClient")
+      val builder = clientClass.getMethod("builder").invoke(null)
+      call(builder, "serviceUrl", classOf[String] -> cfg.url)
+      call(builder, "connectionTimeout",
+        classOf[Int] -> Int.box(cfg.connectionTimeoutMs.toInt),
+        classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
+      call(builder, "connectionsPerBroker",
+        classOf[Int] -> Int.box(cfg.maxConnectionsPerBroker))
+      if (cfg.certificateAuthority.nonEmpty)
+        call(builder, "tlsTrustCertsFilePath", classOf[String] -> cfg.certificateAuthority)
+      call(builder, "allowTlsInsecureConnection",
+        classOf[Boolean] -> Boolean.box(cfg.insecureSkipTlsVerify))
+      call(builder, "enableTlsHostnameVerification",
+        classOf[Boolean] -> Boolean.box(!cfg.insecureSkipTlsValidateHostname))
+      if (cfg.clientCertificate.nonEmpty) {
+        val authFactory = Class.forName("org.apache.pulsar.client.api.AuthenticationFactory")
+        val auth = authFactory
+          .getMethod("TLS", classOf[String], classOf[String])
+          .invoke(null, cfg.clientCertificate, cfg.clientKey)
+        val authIface = Class.forName("org.apache.pulsar.client.api.Authentication")
+        builder.getClass.getMethod("authentication", authIface).invoke(builder, auth)
+      }
+      val client = call(builder, "build")
+      val producerBuilder = call(client, "newProducer")
+      call(producerBuilder, "topic", classOf[String] -> cfg.topic)
+      val producer = call(producerBuilder, "create")
+      (client, producer)
+    }
+
+    /** Invoke `name` on `obj`: exact signature first, then name + arity
+      * (builder methods are not overloaded on arity in the pulsar-client
+      * API). A single value passed to a vararg parameter (e.g.
+      * `ProducerBuilder.topic(String...)`) is wrapped into the array.
+      */
+    private def call(obj: AnyRef, name: String, args: (Class[_], AnyRef)*): AnyRef = {
+      val exact =
+        try Some(obj.getClass.getMethod(name, args.map(_._1): _*))
+        catch { case _: NoSuchMethodException => None }
+      val m = exact
+        .orElse(obj.getClass.getMethods
+          .find(m => m.getName == name && m.getParameterCount == args.length))
+        .getOrElse(throw new NoSuchMethodException(
+          s"${obj.getClass.getName}.$name/${args.length}"))
+      m.setAccessible(true)
+      val actual = m.getParameterTypes.zip(args.map(_._2)).map {
+        case (pt, v) if pt.isArray && v != null && !v.getClass.isArray =>
+          val arr = java.lang.reflect.Array.newInstance(pt.getComponentType, 1)
+          java.lang.reflect.Array.set(arr, 0, v)
+          arr.asInstanceOf[AnyRef]
+        case (_, v) => v
+      }
+      m.invoke(obj, actual: _*)
+    }
+  }
+}

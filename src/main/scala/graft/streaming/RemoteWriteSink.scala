@@ -20,12 +20,16 @@ object RemoteWriteSink {
   /** Transport abstraction so the sink is testable without a network. */
   trait Client extends Serializable {
     def store(tenantId: String, body: Array[Byte]): StoreResult
+    /** Value of the `remote` metrics label (metrics.go labels the sent/
+      * failed/retry instruments {remote, tenant}). */
+    def remoteName: String = "remote_write"
   }
 
   /** Production transport: POST to a remote_write endpoint with the tenant
     * header and UA the reference sends (write.go:83-94, version.go:7-16).
     */
   final class HttpClient(endpoint: String, timeoutMs: Long = 30000L) extends Client {
+    override def remoteName: String = endpoint
     @transient private lazy val http = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
 
@@ -81,6 +85,13 @@ object RemoteWriteSink {
       client.store(b.tenantId, encodeBody(b.samples)) match {
         case Ok => sent += b.size
         case Recoverable(msg) =>
+          // retryable_failed_writes (metrics.go:42-48): count the recoverable
+          // failure BEFORE the replay-triggering throw (write.go:198-206).
+          // The increment lands in the worker JVM's registry — one registry
+          // per process, same as the reference; local mode folds into /metrics
+          // directly, a cluster scrapes each executor's exposition.
+          Metrics.inc("retryable_failed_writes",
+            "remote" -> client.remoteName, "tenant" -> b.tenantId)
           throw new RuntimeException(s"retryable remote_write failure (replaying batch): $msg")
         case Fatal(msg) =>
           // log + count + ack anyway (write.go:222-228)

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import graft.functions.PromKernel
+
+/** Parallel multi-writer fan-out for the produce path (reference:
+  * pkg/app/produce.go:56-60 `writer` interface; :155-181 concurrent
+  * per-request fan-out with per-writer error aggregation and a 500 response
+  * naming the failed writers; :210-224 sendSamples metrics).
+  */
+object Writers {
+
+  /** One decoded remote_write sample (produce.go:187-204 protoToSamples). */
+  final case class WireSample(labels: Map[String, String], value: Double, timestampMs: Long)
+
+  /** The reference's `writer` contract (produce.go:56-60): named destination,
+    * writes one request's samples, throws on failure.
+    */
+  trait RequestWriter {
+    def name: String
+    def write(tenantId: String, samples: Seq[WireSample]): Unit
+  }
+
+  /** Flatten a decoded WriteRequest the way protoToSamples does: one sample
+    * per (timeseries x sample), request order preserved.
+    */
+  def samplesOf(req: PromKernel.PbWriteRequest): Seq[WireSample] =
+    for (ts <- req.timeseries; s <- ts.samples)
+      yield WireSample(ts.labels.map(l => l.name -> l.value).toMap, s.value, s.timestamp)
+
+  /** produce.go:155-181: fan one request out to every writer concurrently
+    * (one goroutine per writer there, one thread here), wait for all, and
+    * return the names of the writers that failed — the caller turns a
+    * non-empty result into the 500 listing them. Per-writer sent/failed
+    * counters and the batch-duration histogram mirror sendSamples
+    * (produce.go:210-224, pkg/metrics/metrics.go).
+    */
+  def fanOut(writers: Seq[RequestWriter], tenantId: String,
+      samples: Seq[WireSample], timeoutMs: Long = 30000L): Seq[String] = {
+    val ok = new Array[Boolean](writers.length)
+    val threads = writers.zipWithIndex.map { case (w, i) =>
+      val t = new Thread(() => {
+        val t0 = System.nanoTime()
+        try {
+          w.write(tenantId, samples)
+          ok(i) = true
+          Metrics.add("sent_samples_total", samples.size.toLong,
+            "remote" -> w.name, "tenant" -> tenantId)
+        } catch {
+          case e: Exception =>
+            Metrics.add("failed_samples_total", samples.size.toLong,
+              "remote" -> w.name, "tenant" -> tenantId)
+            System.err.println(s"[produce] writer '${w.name}' failed: ${e.getMessage}")
+        } finally {
+          Metrics.observeDuration("sent_batch_duration_seconds",
+            (System.nanoTime() - t0) / 1e9, "remote" -> w.name, "tenant" -> tenantId)
+        }
+      }, s"graft-writer-${w.name}")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join(timeoutMs))
+    writers.zipWithIndex.collect { case (w, i) if !ok(i) => w.name }
+  }
+
+  /** A writer publishing to a keyed topic through the same producer seam the
+    * streaming sink uses ([[KeyedSink.ProducerFactory]]): serializes with the
+    * pipeline's wire formats and partitions by the FNV-64 series key — the
+    * Pulsar-client Write shape (pkg/pulsar/pulsar.go:226-263) minus the
+    * broker transport.
+    */
+  final class TopicWriter(val name: String, factory: KeyedSink.ProducerFactory,
+      format: String = "json",
+      replicaLabels: Seq[String] = Seq(graft.model.Model.DefaultReplicaLabel))
+      extends RequestWriter {
+    private lazy val producer = factory.create(0L)
+    override def write(tenantId: String, samples: Seq[WireSample]): Unit = {
+      samples.foreach { s =>
+        // Go json.Marshal emits map keys sorted (byte order) — match it
+        val keys = s.labels.keys.toArray.sortWith(PromKernel.compareUtf8(_, _) < 0)
+        val values = keys.map(s.labels)
+        val payload = format match {
+          case "json" =>
+            PromKernel.promJson(s.timestampMs, s.value, keys, values, tenantId)
+          case "json-compat" =>
+            PromKernel.compatJson(s.timestampMs, s.value, keys, values, tenantId, avroMode = false)
+          case "avro-json-compat" =>
+            PromKernel.compatJson(s.timestampMs, s.value, keys, values, tenantId, avroMode = true)
+          case other => throw new IllegalArgumentException(s"unknown serializer: $other")
+        }
+        producer.sendAsync(
+          PromKernel.seriesKey(keys, values, tenantId, replicaLabels.toArray),
+          payload.getBytes(StandardCharsets.UTF_8))
+      }
+      producer.flush()
+    }
+  }
+}

@@ -49,6 +49,32 @@ class AvroSchemaSpec extends AnyFunSuite {
     assert(out(1) == """{"tenant_id":"fake"}""")
   }
 
+  test("CLI form avro-json-compat=<path> threads the schema file through serialize") {
+    // reference: --pulsar.serializer avro-json-compat=<path> opens the file
+    // at startup (app/pulsar.go:174-191); unreadable path fails fast
+    val s = spark
+    import s.implicits._
+    val schemaFile = java.nio.file.Files.createTempFile("graft-avro", ".avsc")
+    java.nio.file.Files.write(schemaFile,
+      """{"type":"record","name":"M","fields":[
+        |{"name":"value","type":"string"},
+        |{"name":"name","type":"string"},
+        |{"name":"tenant_id","type":"string","default":"anonymous"}]}""".stripMargin.getBytes("UTF-8"))
+    try {
+      val df = Seq(
+        (0L, 456.0, Map("__name__" -> "foo", "labelfoo" -> "label-bar"), ""),
+        (10001L, 456.0, Map("__name__" -> "foo"), "fake")
+      ).toDF("timestampMs", "value", "labels", "tenantId")
+      val out = graft.operators.PromPipeline
+        .serialize(df, s"avro-json-compat=$schemaFile")
+        .select("payload").collect().map(_.getString(0))
+      assert(out(0) == """{"value":"456","name":"foo","tenant_id":"anonymous"}""")
+      assert(out(1) == """{"value":"456","name":"foo","tenant_id":"fake"}""")
+      intercept[IllegalArgumentException](graft.operators.PromPipeline
+        .serialize(df, "avro-json-compat=/nonexistent/schema.avsc"))
+    } finally java.nio.file.Files.deleteIfExists(schemaFile)
+  }
+
   test("invalid schemas rejected at plan time (goavro NewCodec parity)") {
     intercept[IllegalArgumentException](AvroJsonSchema.parse("""{"not json"""))
     intercept[IllegalArgumentException](AvroJsonSchema.parse(

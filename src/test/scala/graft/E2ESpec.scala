@@ -41,7 +41,11 @@ class E2ESpec extends AnyFunSuite {
     PromKernel.snappyCompress(PromKernel.encodeWriteRequest(req))
   }
 
-  private def post(url: String, body: Array[Byte], basicUser: Option[String] = None): Int = {
+  private def post(url: String, body: Array[Byte], basicUser: Option[String] = None): Int =
+    postFull(url, body, basicUser)._1
+
+  private def postFull(url: String, body: Array[Byte],
+      basicUser: Option[String] = None): (Int, String) = {
     val http = java.net.http.HttpClient.newHttpClient()
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
@@ -49,7 +53,8 @@ class E2ESpec extends AnyFunSuite {
       b.header("Authorization", "Basic " +
         java.util.Base64.getEncoder.encodeToString(s"$u:pass".getBytes))
     }
-    http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 
   test("produce path: remote_write POST -> pipeline -> keyed broker messages") {
@@ -176,6 +181,47 @@ class E2ESpec extends AnyFunSuite {
       assert(names.forall(_ == "up"))
     } finally {
       produceQ.stop(); consumeQ.stop(); server.stop(0)
+      graft.sources.HttpRemoteWriteSource.shutdown(port)
+    }
+  }
+
+  test("multi-writer fan-out: failing writer -> 500 naming it, healthy writer still written") {
+    // produce.go:155-181: concurrent fan-out, per-writer error aggregation,
+    // 500 listing failed writer names; partial success still writes the
+    // healthy destinations
+    Metrics.reset()
+    val port = 19207
+    InMemoryBroker.clear("mw-ok")
+    val r = graft.sources.HttpRemoteWriteSource.receiver(port, "/write", validate = true)
+    val failing = new Writers.RequestWriter {
+      override def name: String = "pulsar-b"
+      override def write(t: String, s: Seq[Writers.WireSample]): Unit =
+        throw new RuntimeException("broker down")
+    }
+    r.setWriters(Seq(
+      new Writers.TopicWriter("pulsar-a", new InMemoryBroker.Factory("mw-ok")), failing))
+    try {
+      val body = writeRequestBody(
+        (Map("__name__" -> "up", "instance" -> "i0"), Seq((1.0, 10001L))))
+      val (code, respBody) = postFull(s"http://localhost:$port/write", body,
+        basicUser = Some("team-mw"))
+      assert(code == 500)
+      assert(respBody.contains("Error sending samples to remote storages: pulsar-b"), respBody)
+      // the healthy writer still took the request's samples
+      val msgs = InMemoryBroker.drain("mw-ok")
+      assert(msgs.size == 1)
+      assert(new String(msgs.head.payload, "UTF-8").contains("\"tenant_id\":\"team-mw\""))
+      assert(Metrics.get("sent_samples_total", "remote" -> "pulsar-a", "tenant" -> "team-mw") == 1L)
+      assert(Metrics.get("failed_samples_total", "remote" -> "pulsar-b", "tenant" -> "team-mw") == 1L)
+      assert(Metrics.get("received_samples_total", "tenant" -> "team-mw") == 1L)
+      // corrupt body still 400s in sync mode
+      assert(post(s"http://localhost:$port/write", "junk".getBytes) == 400)
+      // all writers healthy -> 200
+      r.setWriters(Seq(
+        new Writers.TopicWriter("pulsar-a", new InMemoryBroker.Factory("mw-ok"))))
+      assert(post(s"http://localhost:$port/write", body) == 200)
+      assert(InMemoryBroker.drain("mw-ok").size == 1)
+    } finally {
       graft.sources.HttpRemoteWriteSource.shutdown(port)
     }
   }

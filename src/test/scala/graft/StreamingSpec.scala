@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Model.Sample
-import graft.streaming.{RemoteWriteSink, TenantBatcher}
+import graft.streaming.{Metrics, RemoteWriteSink, TenantBatcher}
 import graft.streaming.TenantBatcher.{Batch, Config}
 
 /** Batcher scenarios ported from the reference's pkg/remote/write_test.go
@@ -101,10 +101,15 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("recoverable error replays the batch (throw, no ack)") {
+    Metrics.reset()
     val c = new ScriptedClient(RemoteWriteSink.Recoverable("503"))
     val batch = Batch("t", Seq(sample("t")), 1, "size")
     val e = intercept[RuntimeException](RemoteWriteSink.deliver(c)(Iterator(batch)))
     assert(e.getMessage.contains("retryable"))
+    // retryable_failed_writes (metrics.go:42-48) counted before the throw
+    assert(Metrics.get("retryable_failed_writes",
+      "remote" -> "remote_write", "tenant" -> "t") == 1L)
+    assert(Metrics.render().contains("retryable_failed_writes"))
     // replay (what Spark does after the failed micro-batch) succeeds
     val c2 = new ScriptedClient(RemoteWriteSink.Ok)
     assert(RemoteWriteSink.deliver(c2)(Iterator(batch)) == ((1L, 0L)))
