@@ -237,7 +237,10 @@ object DataQueries2 {
     })
   )
 
-  private def simhashOracle: String = {
+  /** DuckDB CTE chain ending in `sig(doc_id, simhash)` — the oracle mirror
+    * of the simhash64 kernel; d35's banding oracle extends it.
+    */
+  private[queries] val simhashSigCte: String = {
     val nibbleCols = (0 until 16)
       .map(k => s"instr('0123456789abcdef', substr(md5(t), ${k + 1}, 1)) - 1 AS n$k")
       .mkString(", ")
@@ -247,11 +250,14 @@ object DataQueries2 {
     val bits = (0 until 64)
       .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |nib AS (SELECT doc_id, $nibbleCols FROM tok),
-       |agg AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id""".stripMargin
+       |agg AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM agg)""".stripMargin
   }
+
+  private def simhashOracle: String =
+    s"WITH $simhashSigCte SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
   private val foldDot =
     "list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * v[i] FOR i IN generate_series(1, len(v))]), (a, b) -> a + b)"

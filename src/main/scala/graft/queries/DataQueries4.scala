@@ -25,6 +25,35 @@ object DataQueries4 {
   private val NumRe = "[0-9]+"
   private val StopRe = "\\b(the|a|of|and|to)\\b"
 
+  /** Signed-random-projection 16-bit signature per vector (d24's core),
+    * shared with d37's banded near-dup candidates. 16 hyperplanes with +-1
+    * weights from md5(plane, dim); components integer-quantized BEFORE the
+    * weighted sum so the signature is accumulation-order-free. The plane
+    * table is a fixed 16x64 broadcast; per-vector work is one explode +
+    * partial-aggregatable groupBy.
+    */
+  private[queries] def srpSignatures(s: SparkSession, dir: String): DataFrame = {
+    val planes = s.range(16).select(col("id").as("p"))
+      .crossJoin(s.range(64).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
+          .otherwise(-1L).as("w"))
+    val ex = embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * lit(1000000.0)).as("xq"))
+    val bits = ex.join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("w") * col("xq")).as("sc"))
+      .select(col("vec_id"), col("p"),
+        when(col("sc") > 0, "1").otherwise("0").as("bit"))
+    bits.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("bit")))).as("l"))
+      .select(col("vec_id"),
+        array_join(transform(col("l"), x => x.getField("bit")), "").as("sig"))
+  }
+
   val queries: Map[String, Q] = Map(
     // pattern redaction — the PII-scrub pipeline stage (emails, digit runs,
     // a lexicon of sensitive tokens), as a pure narrow map: per-pattern hit
@@ -70,25 +99,7 @@ object DataQueries4 {
     // explode + partial-aggregatable groupBy — the scale path that replaces
     // brute-force cosine for near-neighbor blocking.
     "d24_srp_lsh" -> ((s, dir) => {
-      val planes = s.range(16).select(col("id").as("p"))
-        .crossJoin(s.range(64).select(col("id").as("d")))
-        .select(col("p"), col("d"),
-          when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
-            col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
-            .otherwise(-1L).as("w"))
-      val ex = embs(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), col("d").cast("long").as("d"),
-          floor(col("x").cast("double") * lit(1000000.0)).as("xq"))
-      val bits = ex.join(broadcast(planes), "d")
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("w") * col("xq")).as("sc"))
-        .select(col("vec_id"), col("p"),
-          when(col("sc") > 0, "1").otherwise("0").as("bit"))
-      val sigs = bits.groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(struct(col("p"), col("bit")))).as("l"))
-        .select(col("vec_id"),
-          array_join(transform(col("l"), x => x.getField("bit")), "").as("sig"))
+      val sigs = srpSignatures(s, dir)
       val buckets = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bucket_n"))
       sigs.join(broadcast(buckets), "sig")
         .select(col("vec_id"), col("sig"), col("bucket_n"))
@@ -292,6 +303,17 @@ object DataQueries4 {
     })
   )
 
+  /** DuckDB CTE chain ending in `sig(vec_id, sig)` — the oracle mirror of
+    * [[srpSignatures]]; d37's banding oracle extends it.
+    */
+  private[queries] val srpSigCte: String =
+    """pd AS (SELECT p, d, CASE WHEN (instr('0123456789abcdef', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS w
+      |  FROM generate_series(0, 15) t1(p) CROSS JOIN generate_series(0, 63) t2(d)),
+      |ex AS (SELECT vec_id, d, CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d)),
+      |s AS (SELECT vec_id, p, sum(w * xq) AS s FROM ex JOIN pd USING (d) GROUP BY vec_id, p),
+      |sig AS (SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM s GROUP BY vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d22_redact" ->
       """WITH r AS (SELECT doc_id,
@@ -316,13 +338,7 @@ object DataQueries4 {
         |FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d24_srp_lsh" ->
-      """WITH pd AS (SELECT p, d, CASE WHEN (instr('0123456789abcdef', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS w
-        |  FROM generate_series(0, 15) t1(p) CROSS JOIN generate_series(0, 63) t2(d)),
-        |ex AS (SELECT vec_id, d, CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d)),
-        |s AS (SELECT vec_id, p, sum(w * xq) AS s FROM ex JOIN pd USING (d) GROUP BY vec_id, p),
-        |sig AS (SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM s GROUP BY vec_id)
-        |SELECT vec_id, sig, CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n FROM sig ORDER BY vec_id""".stripMargin,
+      s"WITH $srpSigCte\nSELECT vec_id, sig, CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n FROM sig ORDER BY vec_id",
 
     "d25_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

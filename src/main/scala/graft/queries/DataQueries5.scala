@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Fifth wave of training-data pipeline operators: SimHash band blocking
+  * (the Hamming-space near-dup candidate generator), cross-source overlap
+  * auditing, SRP-banded embedding near-dup with exact-cosine verification
+  * (the full semantic-dedup pipeline), and the Gopher-style repetition and
+  * quality-rule filters. Every candidate generator uses the bucket-shuffle
+  * pair expansion (groupBy bucket -> sorted collect -> in-array pairs) — no
+  * self-joins, no corpus-sized broadcasts; the filters are pure narrow maps.
+  */
+object DataQueries5 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Expand a sorted id array into its (a, b), a &lt; b combinations — the
+    * reducer-side pair generator shared by every banded candidate query.
+    */
+  private def pairExpand(ids: Column): Column =
+    explode(flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b"))))))
+
+  val queries: Map[String, Q] = Map(
+    // SimHash band blocking: near-dup candidates in Hamming space — docs
+    // whose 64-bit simhash agrees on any 16-bit band. The signature is one
+    // codegen'd kernel call (zero shuffle); banding shuffles 8-byte bucket
+    // keys (xxhash64 of band id + band bits) and docs sharing a bucket meet
+    // in one reducer that emits the pairs directly. At 100 TB a bucket-size
+    // cap bounds the per-bucket quadratic fan-out (boilerplate-heavy crawls
+    // concentrate signatures); the synthetic corpus needs none.
+    "d35_simhash_band" -> ((s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), graft.functions.prom.simhash64(col("text")).as("sh"))
+      val buckets = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b =>
+          xxhash64(lit(b), substring(col("sh"), b * 16 + 1, 16))): _*)).as("bk"))
+      buckets.groupBy(col("bk"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(pairExpand(col("ids")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    // cross-source overlap matrix: how many distinct word 3-grams each pair
+    // of sources shares — the corpus-composition audit behind dedup-across-
+    // dumps decisions. Shape: distinct (source, gram-hash) pairs, then a
+    // groupBy on the gram whose collect_set is bounded by |sources| (~20),
+    // pair-expanded in the reducer; the output is |sources|^2 rows. No side
+    // is ever broadcast and nothing quadratic in the corpus exists.
+    "d36_source_overlap" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), explode(graft.functions.prom.shingle_g(col("text"), 3)).as("g"))
+        .distinct()
+      sh.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(pairExpand(col("ss")).as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // SRP-banded embedding near-dup — the semantic-dedup pipeline end to
+    // end: d24's 16-bit SRP signatures -> 2 8-bit band buckets -> pair
+    // expansion -> exact cosine on ONLY the candidate pairs (fold-ordered
+    // doubles, bit-identical across engines). The expensive O(dim) cosine
+    // touches |candidates| pairs, never corpus^2; texts/vectors join in by
+    // two hash equi-joins, neither side force-broadcast.
+    "d37_srp_near_dup" -> ((s, dir) => {
+      val sigs = DataQueries4.srpSignatures(s, dir)
+      val buckets = sigs.select(col("vec_id"), explode(array(
+        (0 until 2).map(b =>
+          xxhash64(lit(b), substring(col("sig"), b * 8 + 1, 8))): _*)).as("bk"))
+      val cand = buckets.groupBy(col("bk"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(pairExpand(col("ids")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+      val n = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      cand
+        .join(n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+        .join(n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .withColumn("dup", col("cos") >= 0.9)
+        .orderBy("a", "b")
+    }),
+
+    // repetition filter (the Gopher/C4 duplicate-content heuristics over
+    // word space): per-doc duplicate-word and duplicate-bigram fractions.
+    // Pure narrow map — the token array materializes once, bigrams come from
+    // the ngram kernel (repeats kept), fractions are single IEEE divisions.
+    "d38_repetition" -> ((s, dir) => {
+      val bg = graft.functions.prom.ngram_g(col("text"), 2)
+      docs(s, dir)
+        .select(col("doc_id"),
+          split(col("text"), " ").as("w"),
+          size(bg).cast("long").as("n_bigrams"),
+          size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+          col("n_bigrams"), col("n_distinct_bigrams"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          ((col("n_words") - col("n_distinct_words")).cast("double") /
+            col("n_words").cast("double")).as("dup_word_frac"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          when(col("n_bigrams") > 0,
+            (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+              col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality-rule filter with INTEGER-exact rule arithmetic:
+    // word-count bounds, mean-word-length band expressed as
+    // 3n <= sum_len <= 10n (no float mean crosses engines), and a stopword
+    // floor. Narrow map; the keep flag is the pipeline's filter predicate.
+    "d39_quality_rules" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_word_len"),
+          size(array_intersect(array_distinct(w),
+            array(Seq("the", "a", "of", "and", "to").map(lit): _*))).cast("long").as("stop_hits"))
+        .withColumn("keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("n_words") * 3 <= col("sum_word_len") &&
+            col("sum_word_len") <= col("n_words") * 10 &&
+            col("stop_hits") >= 2)
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d35_simhash_band" ->
+      (s"WITH ${DataQueries2.simhashSigCte},\n" +
+        """bands AS (SELECT doc_id, b, substr(simhash, b*16 + 1, 16) AS bh FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+          |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin),
+
+    "d36_source_overlap" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS sh FROM w)
+        |SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+        |FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    "d37_srp_near_dup" ->
+      (s"WITH ${DataQueries4.srpSigCte},\n" +
+        """bands AS (SELECT vec_id, b, substr(sig, b*8 + 1, 8) AS bh FROM sig CROSS JOIN (SELECT unnest([0,1]) AS b)),
+          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.vec_id < y.vec_id),
+          |n AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+          |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (acc, el) -> acc + el)) AS nrm FROM embeddings),
+          |sc AS (SELECT c.a, c.b,
+          |  list_reduce(list_prepend(0.0::DOUBLE, [x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))]), (acc, el) -> acc + el) / (x.nrm * y.nrm) AS cos
+          |FROM cand c JOIN n x ON c.a = x.vec_id JOIN n y ON c.b = y.vec_id)
+          |SELECT a, b, cos, cos >= 0.9 AS dup FROM sc ORDER BY a, b""".stripMargin),
+
+    "d38_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+        |  CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bg,
+        |  CASE WHEN len(w) >= 2 THEN len(list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)])) ELSE 0 END AS n_bg_distinct
+        |FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_distinct AS BIGINT) AS n_distinct_words,
+        |  CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+        |  CAST(n_bg AS BIGINT) AS n_bigrams, CAST(n_bg_distinct AS BIGINT) AS n_distinct_bigrams,
+        |  CASE WHEN n_bg > 0 THEN CAST(n_bg - n_bg_distinct AS DOUBLE) / CAST(n_bg AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "d39_quality_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, len(w) AS n_words,
+        |  list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS sum_wlen,
+        |  len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS stop_hits
+        |FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(sum_wlen AS BIGINT) AS sum_word_len,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000 AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words AND stop_hits >= 2) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}

@@ -86,6 +86,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("d35: simhash banding is a bucket shuffle, no join; signature is one kernel call") {
+    val p = plan("d35_simhash_band")
+    assert(!p.contains("Join"), "candidate generation must not join\n" + p)
+    assert(p.contains("static_invoke"), "simhash must come from the codegen'd kernel\n" + p)
+  }
+
+  test("d37: cosine verify runs on candidate pairs via equi-joins, no forced broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("d37_srp_near_dup")
+      // exactly one forced broadcast is legitimate: the fixed 16x64 SRP
+      // plane table inside the signature computation; the corpus-sized
+      // vector sides of the verify join must shuffle. (With auto-broadcast
+      // off the 16x64 plane construction itself may plan as a cartesian of
+      // two tiny ranges — fine; the global no-cartesian test covers the
+      // default config.)
+      assert("BroadcastHashJoin".r.findAllIn(p).length <= 1,
+        "only the fixed plane table may broadcast\n" + p)
+      assert(p.contains("SortMergeJoin"), "verify joins must shuffle\n" + p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("d38/d39: filters are narrow maps — no shuffle before the output sort") {
+    Seq("d38_repetition", "d39_quality_rules").foreach { n =>
+      val p = plan(n)
+      assert("Exchange".r.findAllIn(p).length <= 1, s"$n: only the final orderBy may exchange\n$p")
+    }
+  }
+
   test("d34: exact-dedup stage is the groupBy shape, not a corpus window") {
     val p = plan("d34_prep_pipeline")
     assert(!p.contains("windowspecdefinition(h#"),
