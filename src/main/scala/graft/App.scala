@@ -84,6 +84,11 @@ object App {
   private def produce(spark: SparkSession, args: Array[String]): Unit = {
     val port = flag(args, "web.listen-port", "9201")
     val path = flag(args, "web.write-path", "/write")
+    // app.go:66-69: --web.max-connection-age (kingpin duration, 0 = off),
+    // --web.disable-pprof
+    val maxConnAgeMs =
+      PulsarSink.parseDurationMs(flag(args, "web.max-connection-age", "0"))
+    val pprof = flag(args, "web.disable-pprof", "false") != "true"
     val serializer = flag(args, "serializer", "json")
     val topic = flag(args, "topic", "metrics")
     val replicaLabels = flag(args, "replica-labels", graft.model.Model.DefaultReplicaLabel)
@@ -94,7 +99,8 @@ object App {
     // synchronous — 200 iff all writers took the request, 500 naming failures
     val topicDirs = flag(args, "topic-dirs", "")
     if (topicDirs.nonEmpty) {
-      val r = graft.sources.HttpRemoteWriteSource.receiver(port.toInt, path, validate = true)
+      val r = graft.sources.HttpRemoteWriteSource.receiver(port.toInt, path,
+        validate = true, maxConnectionAgeMs = maxConnAgeMs, pprof = pprof)
       val ws = topicDirs.split(",").toSeq.map(d =>
         new Writers.TopicWriter(d, new FileTopic.Factory(d), serializer, replicaLabels))
       r.setWriters(ws)
@@ -103,7 +109,9 @@ object App {
     }
 
     val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
-      .option("port", port).option("path", path).load()
+      .option("port", port).option("path", path)
+      .option("maxConnectionAgeMs", maxConnAgeMs.toString)
+      .option("pprof", pprof.toString).load()
     val samples = PromPipeline.attachTenant(
       PromPipeline.explodeWriteRequest(
         PromPipeline.decodeBody(src, col("body")).filter(col("timeseries").isNotNull),

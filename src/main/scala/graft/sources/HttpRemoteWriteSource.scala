@@ -56,9 +56,12 @@ object HttpRemoteWriteSource {
     * maxConnectionAgeMs > 0 reproduces MaxConnectionAgeHandler
     * (pkg/context/handlers.go:42-49): connections older than the limit get
     * `Connection: close` so load balancers can re-spread clients.
+    * pprof=true serves a JVM profiling facade under /debug/pprof/ (the
+    * reference registers Go pprof there, server.go:84-92; the JVM analog is
+    * a thread dump + heap summary — deep profiling belongs to the Spark UI).
     */
   final class Receiver(port: Int, path: String, validate: Boolean,
-      maxConnectionAgeMs: Long = 0L) {
+      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true) {
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
@@ -124,6 +127,22 @@ object HttpRemoteWriteSource {
         val body = graft.streaming.Metrics.render().getBytes("UTF-8")
         e.sendResponseHeaders(200, body.length); e.getResponseBody.write(body); e.close()
       })
+      // /debug/pprof/ JVM facade (server.go:84-92; gated by the reference's
+      // --web.disable-pprof): goroutine-dump analog = thread stacks; heap
+      // line from the MemoryMXBean
+      if (pprof) server.createContext("/debug/pprof/",
+        (e: com.sun.net.httpserver.HttpExchange) => {
+          val sb = new StringBuilder
+          val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+          sb.append(s"# heap used=${heap.getUsed} committed=${heap.getCommitted} max=${heap.getMax}\n")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.toSeq.sortBy(_._1.getName).foreach { case (t, st) =>
+            sb.append(s"\nthread ${t.getName} state=${t.getState}\n")
+            st.foreach(f => sb.append(s"  at $f\n"))
+          }
+          val body = sb.toString.getBytes("UTF-8")
+          e.sendResponseHeaders(200, body.length); e.getResponseBody.write(body); e.close()
+        })
       server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
       server.start()
     }
@@ -191,9 +210,9 @@ object HttpRemoteWriteSource {
   private val receivers = new ConcurrentHashMap[Int, Receiver]()
 
   def receiver(port: Int, path: String, validate: Boolean,
-      maxConnectionAgeMs: Long = 0L): Receiver = {
+      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true): Receiver = {
     val r = receivers.computeIfAbsent(port,
-      _ => new Receiver(port, path, validate, maxConnectionAgeMs))
+      _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof))
     r.start()
     r
   }
@@ -215,11 +234,12 @@ class HttpRemoteWriteProvider extends TableProvider {
       properties.getOrDefault("port", "9201").toInt,
       properties.getOrDefault("path", "/write"),
       properties.getOrDefault("validate", "true").toBoolean,
-      properties.getOrDefault("maxConnectionAgeMs", "0").toLong)
+      properties.getOrDefault("maxConnectionAgeMs", "0").toLong,
+      properties.getOrDefault("pprof", "true").toBoolean)
 }
 
 class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
-    maxConnectionAgeMs: Long = 0L)
+    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"http-remote-write:$port$path"
   override def schema(): StructType = HttpRemoteWriteSource.schema
@@ -230,7 +250,7 @@ class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpRemoteWriteSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs)
+          new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs, pprof)
       }
     }
 }
@@ -240,10 +260,10 @@ final case class HttpOffset(seq: Long) extends Offset {
 }
 
 class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean,
-    maxConnectionAgeMs: Long = 0L)
+    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true)
     extends MicroBatchStream {
   private val receiver =
-    HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs)
+    HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs, pprof)
 
   override def initialOffset(): Offset = HttpOffset(0L)
   override def latestOffset(): Offset = HttpOffset(receiver.latest)

@@ -143,6 +143,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.sources.HttpRemoteWriteSource.shutdown(19460)
   }
 
+  test("receiver: /debug/pprof JVM facade (server.go:84-92), disabled when asked") {
+    def get(port: Int): java.net.http.HttpResponse[String] =
+      java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/debug/pprof/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    graft.sources.HttpRemoteWriteSource.receiver(19461, "/write", validate = false)
+    try {
+      val resp = get(19461)
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("# heap used="), resp.body().take(200))
+      assert(resp.body().contains("thread "), resp.body().take(200))
+    } finally graft.sources.HttpRemoteWriteSource.shutdown(19461)
+    graft.sources.HttpRemoteWriteSource.receiver(19462, "/write", validate = false, pprof = false)
+    try assert(get(19462).statusCode() == 404)
+    finally graft.sources.HttpRemoteWriteSource.shutdown(19462)
+  }
+
   test("HTTP client: tenant header + UA propagated, status mapped to error class") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
     val codes = new java.util.concurrent.atomic.AtomicInteger(0)
