@@ -55,14 +55,14 @@ object DataQueries5 {
 
     // cross-source overlap matrix: how many distinct word 3-grams each pair
     // of sources shares — the corpus-composition audit behind dedup-across-
-    // dumps decisions. Shape: distinct (source, gram-hash) pairs, then a
-    // groupBy on the gram whose collect_set is bounded by |sources| (~20),
-    // pair-expanded in the reducer; the output is |sources|^2 rows. No side
-    // is ever broadcast and nothing quadratic in the corpus exists.
+    // dumps decisions. Shape: ONE shuffle on the gram hash; collect_set
+    // dedups sources in-aggregate (bounded O(|sources|) state, ~20, with
+    // map-side partials — no separate distinct pass), then the reducer
+    // pair-expands the set; output is |sources|^2 rows. No side is ever
+    // broadcast and nothing quadratic in the corpus exists.
     "d36_source_overlap" -> ((s, dir) => {
       val sh = docs(s, dir)
         .select(col("source"), explode(graft.functions.prom.shingle_g(col("text"), 3)).as("g"))
-        .distinct()
       sh.groupBy(col("g"))
         .agg(sort_array(collect_set(col("source"))).as("ss"))
         .filter(size(col("ss")) >= 2)
