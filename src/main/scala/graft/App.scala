@@ -151,6 +151,14 @@ object App {
     val url = flag(args, "remote-write.url", "http://localhost:9090/api/v1/write")
     val batchSize = flag(args, "batch-size", "100").toInt
     val maxDelay = flag(args, "batch-max-delay-ms", "5000").toLong
+    // the consume side unmarshals with the configured serializer too
+    // (pkg/app/consume.go reuses the pulsar serializer choice): json -> the
+    // legacy layout, anything compat/avro -> the compat layout with the
+    // __name__ backfill rule
+    val formatId = flag(args, "serializer", "json") match {
+      case "json" => 0
+      case _ => 1
+    }
     val client = new RemoteWriteSink.HttpClient(url)
 
     val topicDir = flag(args, "topic-dir", "")
@@ -158,7 +166,7 @@ object App {
       .option("topic", topic)
     val broker = (if (topicDir.nonEmpty) brokerReader.option("dir", topicDir) else brokerReader).load()
     val samples = PromPipeline.deserialize(
-        broker.withColumn("payload", col("payload").cast("string")), 0, col("payload"))
+        broker.withColumn("payload", col("payload").cast("string")), formatId, col("payload"))
       .filter(col("sample").isNotNull).select("sample.*")
       .as[graft.model.Model.Sample]
     val q = TenantBatcher(samples, TenantBatcher.Config(batchSize, maxDelay))

@@ -128,6 +128,21 @@ object RelationalQueries3 {
         .orderBy("l_returnflag")
     }),
 
+    // PIVOT (q33 unpivot's inverse): explicit value list so no extra
+    // distinct-values job runs before planning — at 100 TB the pivot is then
+    // exactly one partial-aggregatable groupBy with conditional aggregates
+    // (what Catalyst lowers pivot to); decimal sums are engine-exact
+    "q42_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("qty_f"), col("O_qty").as("qty_o"),
+          col("F_n").as("n_f"), col("O_n").as("n_o"))
+        .orderBy("l_returnflag")),
+
     // regex extraction surface over the JSON-ish props payload: group
     // capture + per-char match counting, then a plain aggregate
     "q39_regexp" -> ((s, dir) =>
@@ -207,6 +222,14 @@ object RelationalQueries3 {
         |  'k=' || k || ',user=' || usr AS user_kv
         |FROM samples ORDER BY event_id""".stripMargin
     },
+
+    "q42_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+        |  CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q41_quartiles" ->
       """WITH x AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p,

@@ -76,20 +76,36 @@ object Writers {
       replicaLabels: Seq[String] = Seq(graft.model.Model.DefaultReplicaLabel))
       extends RequestWriter {
     private lazy val producer = factory.create(0L)
+
+    // resolve the wire format once at construction — including the
+    // avro-json-compat=<path> form, which reads + validates the user schema
+    // here exactly like the reference does at client build time
+    // (app/pulsar.go:174-191); bad format/schema fails fast, not per sample
+    private val serialize: (Long, Double, Array[String], Array[String], String) => String =
+      format match {
+        case "json" => PromKernel.promJson
+        case "json-compat" => PromKernel.compatJson(_, _, _, _, _, avroMode = false)
+        case "avro-json-compat" => PromKernel.compatJson(_, _, _, _, _, avroMode = true)
+        case custom if custom.startsWith("avro-json-compat=") =>
+          val path = custom.stripPrefix("avro-json-compat=")
+          val schemaJson =
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(path)), "UTF-8")
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"failed to read avro serializer schema at '$path': ${e.getMessage}", e)
+            }
+          val spec = graft.functions.AvroJsonSchema.parse(schemaJson).spec
+          graft.functions.AvroJsonSchema.serialize(spec, _, _, _, _, _)
+        case other => throw new IllegalArgumentException(s"unknown serializer: $other")
+      }
+
     override def write(tenantId: String, samples: Seq[WireSample]): Unit = {
       samples.foreach { s =>
         // Go json.Marshal emits map keys sorted (byte order) — match it
         val keys = s.labels.keys.toArray.sortWith(PromKernel.compareUtf8(_, _) < 0)
         val values = keys.map(s.labels)
-        val payload = format match {
-          case "json" =>
-            PromKernel.promJson(s.timestampMs, s.value, keys, values, tenantId)
-          case "json-compat" =>
-            PromKernel.compatJson(s.timestampMs, s.value, keys, values, tenantId, avroMode = false)
-          case "avro-json-compat" =>
-            PromKernel.compatJson(s.timestampMs, s.value, keys, values, tenantId, avroMode = true)
-          case other => throw new IllegalArgumentException(s"unknown serializer: $other")
-        }
+        val payload = serialize(s.timestampMs, s.value, keys, values, tenantId)
         producer.sendAsync(
           PromKernel.seriesKey(keys, values, tenantId, replicaLabels.toArray),
           payload.getBytes(StandardCharsets.UTF_8))

@@ -194,4 +194,39 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(sizes.length >= 4, sizes.mkString(",")) // 10 rows / 3-cap => >= 4 batches
     } finally q.stop()
   }
+
+  test("streaming quality filter keeps only rule-passing docs (d39 twin)") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    val good = (1 to 60).map(i => s"word$i of the and").mkString(" ") // 240 words, stopwords, mean len in band
+    val short = "too short the of" // under min words
+    val filtered = StreamOps.qualityFilter(ms.toDF().toDF("id", "text"), "text")
+    val q = filtered.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, good), (2L, short))
+      q.processAllAvailable()
+      val rows = spark.table("quality_out").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming repetition stats computes dup fractions (d38 twin)") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.repetitionStats(ms.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a b a b"), (2L, "x y z w"))
+      q.processAllAvailable()
+      val rows = spark.table("rep_out").collect().map(r =>
+        r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      // 4 words 2 distinct -> 0.5; bigrams ab,ba,ab: 3 total 2 distinct -> 1/3
+      assert(rows(1L) == ((0.5, 1.0 / 3.0)), rows.toString)
+      assert(rows(2L) == ((0.0, 0.0)), rows.toString)
+    } finally q.stop()
+  }
 }
