@@ -126,6 +126,19 @@ object DataQueries5 {
         .orderBy("doc_id")
     }),
 
+    // dedup savings report — the reporting stage that closes the dedup
+    // pipeline: cluster-size histogram over the MinHash-LSH connected
+    // components with docs-removable accounting. Both aggregations run over
+    // the (already tiny) cluster table; the heavy lifting is d15's verified
+    // shape. Output is O(max cluster size) rows at any corpus scale.
+    "d40_dedup_report" -> ((s, dir) =>
+      DataQueries3.dedupClusters(s, dir)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_removable"))
+        .orderBy("sz")),
+
     // Gopher-style quality-rule filter with INTEGER-exact rule arithmetic:
     // word-count bounds, mean-word-length band expressed as
     // 3n <= sum_len <= 10n (no float mean crosses engines), and a stopword
@@ -183,6 +196,20 @@ object DataQueries5 {
         |  CAST(n_bg AS BIGINT) AS n_bigrams, CAST(n_bg_distinct AS BIGINT) AS n_distinct_bigrams,
         |  CASE WHEN n_bg > 0 THEN CAST(n_bg - n_bg_distinct AS DOUBLE) / CAST(n_bg AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "d40_dedup_report" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |clusters AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM clusters GROUP BY cluster)
+        |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_removable
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin),
 
     "d39_quality_rules" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
