@@ -51,4 +51,11 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(sg.distinct == sg)
     assert(ng.length == 7)
   }
+
+  test("vec_dot from SQL: fold-ordered dot product") {
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 32.0)
+  }
 }
