@@ -22,6 +22,10 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("driver contract: entry produces rows (the driver smoke-checks rows>0)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("all queries plan without cartesian products") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
