@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public, table-agnostic text-deduplication API — the same verified shapes
+  * the d01/d02/d15/d17 queries run on the `documents` table, usable on ANY
+  * DataFrame with an id and a text column. Everything here is 100 TB-shaped:
+  * candidate generation is a bucket-shuffle pair expansion (no self-joins,
+  * no corpus-sized broadcasts), clustering shuffles on node id, and the
+  * final apply is a shuffle anti-join.
+  */
+object TextDedup {
+
+  /** Per-seed odd multipliers / offsets for the linear minhash family
+    * (golden-ratio multiples — any fixed odd constants work).
+    */
+  private val A: Array[Long] = Array.tabulate(16)(i => 0x9E3779B97F4A7C15L * (2L * i + 1L))
+  private val B: Array[Long] = Array.tabulate(16)(i => 0xC2B2AE3D27D4EB4FL * (i + 1L))
+
+  /** Expand a sorted id array into (a, b), a &lt; b combinations. */
+  private def pairExpand(ids: Column): Column =
+    explode(flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b"))))))
+
+  /** MinHash-LSH near-duplicate candidate pairs over `(idCol, textCol)`:
+    * word-shingle kernel -> 16 minhashes in one aggregation pass ->
+    * `bands` bucket keys (xxhash64 of the band's minhash slice) ->
+    * bucket-grouped pair expansion. Returns `(a, b)` with `a < b`.
+    *
+    * @param bands number of LSH bands; 16 % bands must be 0
+    * @param maxBucket skew valve: buckets larger than this are dropped
+    *                  (boilerplate-heavy corpora concentrate signatures; a
+    *                  bucket of size k emits k(k-1)/2 pairs). 0 = no cap.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
+    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
+    val rows = 16 / bands
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
+    val minhashes = (0 until 16)
+      .map(i => min(graft.functions.prom.mix64(col("g"), A(i), B(i))).as(s"m$i"))
+    val sig = sh.groupBy("__id").agg(minhashes.head, minhashes.tail: _*)
+    val buckets = sig.select(col("__id"), explode(array(
+      (0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${rows * b + r}")): _*)
+      }: _*)).as("bk"))
+    val grouped = buckets.groupBy(col("bk"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped =
+      if (maxBucket > 0) grouped.filter(size(col("ids")) <= maxBucket) else grouped
+    capped
+      .select(pairExpand(col("ids")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Cluster candidate pairs into near-duplicate groups: `(id, cluster)`
+    * where cluster = min reachable id (the canonical representative).
+    * LSH candidate graphs are near-cliques, so min-label propagation
+    * converges in O(1) rounds; pass `useAlternatingStar = true` for
+    * general graphs with long chains (O(log n) rounds).
+    */
+  def clusters(candidates: DataFrame,
+      useAlternatingStar: Boolean = false): DataFrame = {
+    val edges = candidates.select(col("a").as("u"), col("b").as("v"))
+    if (useAlternatingStar) {
+      val (assign, _) = ConnectedComponents.alternatingStar(edges)
+      assign.select(col("node").as("id"), col("component").as("cluster"))
+    } else {
+      val sym = edges.unionAll(candidates.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
+      var labels = sym.select(col("u").as("n")).distinct()
+        .withColumn("l", col("n")).cache()
+      var prevSum = if (labels.isEmpty) 0L else sumOf(labels)
+      var converged = labels.isEmpty
+      while (!converged) {
+        val prop = labels.join(sym, col("n") === col("u"))
+          .select(col("v").as("n"), col("l"))
+          .unionAll(labels)
+          .groupBy("n").agg(min(col("l")).as("l"))
+          .cache()
+        val curSum = sumOf(prop)
+        converged = curSum == prevSum
+        labels.unpersist(blocking = false)
+        labels = prop
+        prevSum = curSum
+      }
+      labels.select(col("n").as("id"), col("l").as("cluster"))
+    }
+  }
+
+  /** Full dedup apply: drop exact duplicates (non-minimum id per content
+    * hash) and near-duplicates (non-canonical cluster members), keep the
+    * rest. The drop set is dup-rate-proportional, so the final step is a
+    * shuffle anti-join (AQE still broadcasts when it genuinely fits).
+    */
+  def applyDedup(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, shingleN)
+    val dropNear = clusters(cand)
+      .filter(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+    val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
+    val dropExact = hashed.join(keep, "__h")
+      .filter(col(idCol) =!= col("__keep")).select(col(idCol))
+    docs.join(dropNear.unionAll(dropExact).distinct(), Seq(idCol), "left_anti")
+  }
+}

@@ -32,18 +32,6 @@ object DataQueries {
   // conv) produced identical values but materialized every shingle as a
   // string column; the oracles still mirror the md5-prefix definition.
 
-  private val MinhashSeeds = 16
-  private val Bands = 4 // 4 bands x 4 rows
-
-  /** Per-seed odd multipliers / offsets for the linear minhash family
-    * (golden-ratio multiples; any fixed odd constants work — they only need
-    * to be identical in the DuckDB oracle).
-    */
-  private[queries] val MinhashA: Array[Long] =
-    Array.tabulate(16)(i => 0x9E3779B97F4A7C15L * (2L * i + 1L))
-  private[queries] val MinhashB: Array[Long] =
-    Array.tabulate(16)(i => 0xC2B2AE3D27D4EB4FL * (i + 1L))
-
   /** element-wise double ops with identical left-fold order on both engines
     * => bit-identical cosine, no rounding needed for oracle parity.
     */
@@ -69,31 +57,12 @@ object DataQueries {
     * buckets and add a spurious candidate pair — odds ~|buckets|²/2⁶⁴,
     * vanishing, and LSH candidates are verified downstream (d32) anyway.
     */
-  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // shingle_g emits the same 60-bit md5-prefix values the expression chain
-    // conv(substring(md5(sh),1,15),16,10) produced, but in one codegen'd
-    // kernel pass — no per-shingle string columns, and docs with <3 words
-    // vanish via the empty array (no separate size filter pass)
-    val sh = docs(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.prom.shingle_g(col("text"), 3)).as("g"))
-    val minhashes = (0 until MinhashSeeds)
-      .map(i => min(graft.functions.prom.mix64(col("g"), MinhashA(i), MinhashB(i))).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val buckets = sig.select(col("doc_id"), explode(array(
-      (0 until Bands).map { b =>
-        xxhash64(lit(b) +: (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
-      }: _*)).as("bk"))
-    buckets.groupBy(col("bk"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b"))))))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-  }
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // the public table-agnostic API (operators/TextDedup) runs the shapes;
+    // this binding applies them to the `documents` table. shingle_g emits
+    // the same 60-bit md5-prefix values the expression chain
+    // conv(substring(md5(sh),1,15),16,10) produced, in one codegen'd pass.
+    graft.operators.TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text")
 
   val queries: Map[String, Q] = Map(
     // exact dedup: content-hash groups, canonical = min doc_id

@@ -29,37 +29,13 @@ object DataQueries3 {
     * the canonical representative a dedup pass keeps. Returns (doc_id,
     * cluster), unordered.
     */
-  private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DataQueries.minhashPairs(s, dir)
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
-    // min-label propagation is monotone: the label sum strictly decreases
-    // until fixpoint, so an unchanged sum IS convergence. One action per
-    // round (the sum, which also materializes the cached labels); lineage
-    // stays shallow because each round rebuilds from the cached parent, so
-    // no per-round checkpoint job is needed (the LSH candidate graph is
-    // near-clique, diameter ~2-3 — for long-chain graphs use
-    // operators.ConnectedComponents.alternatingStar, O(log n) rounds).
-    val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
-    var labels = edges.select(col("u").as("n")).distinct()
-      .withColumn("l", col("n")).cache()
-    var prevSum = sumOf(labels)
-    var converged = labels.isEmpty
-    while (!converged) {
-      val prop = labels.join(edges, col("n") === col("u"))
-        .select(col("v").as("n"), col("l"))
-        .unionAll(labels)
-        .groupBy("n").agg(min(col("l")).as("l"))
-        .cache()
-      val curSum = sumOf(prop)
-      converged = curSum == prevSum
-      labels.unpersist(blocking = false)
-      labels = prop
-      prevSum = curSum
-    }
-    labels.select(col("n").as("doc_id"), col("l").as("cluster"))
-  }
+  private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // public API binding (operators/TextDedup.clusters): min-label
+    // propagation with sum-convergence detection — the LSH candidate graph
+    // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
+    // the O(log n) general-graph path.
+    graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
+      .select(col("id").as("doc_id"), col("cluster"))
 
   val queries: Map[String, Q] = Map(
     // deterministic hash-based stratified sampling: ~10% per document,
@@ -104,18 +80,10 @@ object DataQueries3 {
     // broadcasts when the drop list genuinely fits). The exact-dup drop list
     // comes from the d01 groupBy shape (partial-aggregatable min per content
     // hash + semi-join), not a corpus-wide window sort.
-    "d17_dedup_apply" -> ((s, dir) => {
-      val dropNear = dedupClusters(s, dir)
-        .filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-      val hashed = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
-      val keepExact = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-      val dropExact = hashed.join(keepExact, "h")
-        .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
-      docs(s, dir).join(dropNear.unionAll(dropExact).distinct(),
-          Seq("doc_id"), "left_anti")
+    "d17_dedup_apply" -> ((s, dir) =>
+      graft.operators.TextDedup.applyDedup(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // kNN label classification: unlabeled-style queries vote among their 3
     // nearest labeled neighbors (cosine); majority wins, ties to the smaller

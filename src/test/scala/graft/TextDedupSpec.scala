@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextDedup
+
+/** The public table-agnostic dedup API on synthetic data (not the testdata
+  * tables) — a reference user pointing the library at their own DataFrame.
+  */
+class TextDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 10
+      (12L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of 10
+      (13L, "completely different words about spark engines and shuffles here"),
+      (14L, "another unrelated sentence mentioning parquet files and columns")
+    ).toDF("id", "text")
+  }
+
+  test("minhashCandidates finds the near-dup pair, not unrelated docs") {
+    val cand = TextDedup.minhashCandidates(corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((10L, 11L)), cand) // identical text, all bands agree
+    // unrelated docs must not pair up with anything
+    assert(!cand.exists { case (a, b) => a == 13L || b == 13L || a == 14L || b == 14L }, cand)
+  }
+
+  test("clusters assigns the min id as canonical; both CC paths agree") {
+    val cand = TextDedup.minhashCandidates(corpus, "id", "text")
+    val byProp = TextDedup.clusters(cand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStar = TextDedup.clusters(cand, useAlternatingStar = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byProp == byStar, s"$byProp vs $byStar")
+    assert(byProp(11L) == 10L)
+    assert(byProp(10L) == 10L)
+  }
+
+  test("applyDedup keeps one representative per duplicate group") {
+    val kept = TextDedup.applyDedup(corpus, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(11L), kept) // exact dup dropped
+    assert(kept.contains(13L) && kept.contains(14L), kept)  // uniques kept
+  }
+
+  test("maxBucket cap drops oversized buckets (the skew valve)") {
+    val s = spark
+    import s.implicits._
+    // 6 identical docs: one bucket of size 6 per band -> capped at 5 = no pairs
+    val many = (0L until 6L).map(i => (i, "same words in every single document here"))
+      .toDF("id", "text")
+    val capped = TextDedup.minhashCandidates(many, "id", "text", maxBucket = 5)
+    assert(capped.isEmpty)
+    val uncapped = TextDedup.minhashCandidates(many, "id", "text")
+    assert(uncapped.count() == 15L) // 6 choose 2
+  }
+
+  test("bands must divide the 16 minhash seeds") {
+    intercept[IllegalArgumentException](
+      TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
+  }
+}
