@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public table-agnostic text-quality API — the Gopher/C4-style filters as
+  * pure narrow maps over any text column, shared by the batch queries
+  * (d38/d39) and their streaming twins. All rule arithmetic is
+  * integer-exact (no float means cross engines or replays).
+  */
+object TextQuality {
+
+  /** Adds repetition stats: `n_words`, `n_distinct_words`, `dup_word_frac`,
+    * `n_bigrams`, `n_distinct_bigrams`, `dup_bigram_frac`. Bigrams come from
+    * the codegen'd ngram kernel (repeats kept — the signal); fractions are
+    * single IEEE divisions.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val bg = graft.functions.prom.ngram_g(col(textCol), 2)
+    df.withColumn("n_words", size(w).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(w)).cast("long"))
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("n_bigrams", size(bg).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(bg)).cast("long"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Default stopword floor lexicon (shared with d05 language-ID). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Adds the quality-rule inputs and verdict: `n_words`, `sum_word_len`,
+    * `stop_hits`, `keep`. Rules: word-count bounds, mean-word-length band
+    * as 3n <= sum_len <= 10n (integer-exact), stopword floor.
+    */
+  def withQualityRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = Stopwords, minStopHits: Int = 2): DataFrame = {
+    val w = split(col(textCol), " ")
+    df.withColumn("n_words", size(w).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long"))
+      .withColumn("stop_hits", size(array_intersect(array_distinct(w),
+        array(stopwords.map(lit): _*))).cast("long"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("n_words") * 3 <= col("sum_word_len") &&
+          col("sum_word_len") <= col("n_words") * 10 &&
+          col("stop_hits") >= minStopHits)
+  }
+}

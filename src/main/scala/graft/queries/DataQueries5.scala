@@ -101,30 +101,13 @@ object DataQueries5 {
     }),
 
     // repetition filter (the Gopher/C4 duplicate-content heuristics over
-    // word space): per-doc duplicate-word and duplicate-bigram fractions.
-    // Pure narrow map — the token array materializes once, bigrams come from
-    // the ngram kernel (repeats kept), fractions are single IEEE divisions.
-    "d38_repetition" -> ((s, dir) => {
-      val bg = graft.functions.prom.ngram_g(col("text"), 2)
-      docs(s, dir)
-        .select(col("doc_id"),
-          split(col("text"), " ").as("w"),
-          size(bg).cast("long").as("n_bigrams"),
-          size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_words"),
-          size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
-          col("n_bigrams"), col("n_distinct_bigrams"))
+    // word space), via the public TextQuality API — a pure narrow map.
+    "d38_repetition" -> ((s, dir) =>
+      graft.operators.TextQuality.withRepetitionStats(docs(s, dir), "text")
         .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
-          ((col("n_words") - col("n_distinct_words")).cast("double") /
-            col("n_words").cast("double")).as("dup_word_frac"),
-          col("n_bigrams"), col("n_distinct_bigrams"),
-          when(col("n_bigrams") > 0,
-            (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
-              col("n_bigrams").cast("double"))
-            .otherwise(lit(0.0)).as("dup_bigram_frac"))
-        .orderBy("doc_id")
-    }),
+          col("dup_word_frac"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("dup_bigram_frac"))
+        .orderBy("doc_id")),
 
     // dedup savings report — the reporting stage that closes the dedup
     // pipeline: cluster-size histogram over the MinHash-LSH connected
@@ -139,25 +122,14 @@ object DataQueries5 {
           sum(col("sz") - 1).as("n_removable"))
         .orderBy("sz")),
 
-    // Gopher-style quality-rule filter with INTEGER-exact rule arithmetic:
-    // word-count bounds, mean-word-length band expressed as
-    // 3n <= sum_len <= 10n (no float mean crosses engines), and a stopword
-    // floor. Narrow map; the keep flag is the pipeline's filter predicate.
-    "d39_quality_rules" -> ((s, dir) => {
-      val w = split(col("text"), " ")
-      docs(s, dir)
-        .select(col("doc_id"),
-          size(w).cast("long").as("n_words"),
-          aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_word_len"),
-          size(array_intersect(array_distinct(w),
-            array(Seq("the", "a", "of", "and", "to").map(lit): _*))).cast("long").as("stop_hits"))
-        .withColumn("keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("n_words") * 3 <= col("sum_word_len") &&
-            col("sum_word_len") <= col("n_words") * 10 &&
-            col("stop_hits") >= 2)
-        .orderBy("doc_id")
-    })
+    // Gopher-style quality-rule filter via the public TextQuality API:
+    // word-count bounds, mean-word-length band as 3n <= sum_len <= 10n (no
+    // float mean crosses engines), stopword floor — all integer-exact.
+    "d39_quality_rules" -> ((s, dir) =>
+      graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+          col("stop_hits"), col("keep"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -74,37 +74,18 @@ object StreamOps {
       .drop("hm", "c", "m")
 
   /** Streaming quality-rule filter (the streaming twin of d39): the
-    * Gopher-style keep predicate as a stateless narrow map — word-count
-    * bounds, mean-word-length band in integer arithmetic
-    * (3n <= sum_len <= 10n), stopword floor. No state, no shuffle; replay
-    * gives identical keeps.
+    * Gopher-style keep predicate via the shared TextQuality narrow map —
+    * no state, no shuffle; replay gives identical keeps.
     */
   def qualityFilter(df: DataFrame, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val w = split(col(textCol), " ")
-    df.withColumn("n_words", size(w).cast("long"))
-      .withColumn("sum_word_len",
-        aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long"))
-      .withColumn("stop_hits", size(array_intersect(array_distinct(w),
-        array(Seq("the", "a", "of", "and", "to").map(lit): _*))).cast("long"))
-      .filter(col("n_words") >= minWords && col("n_words") <= maxWords &&
-        col("n_words") * 3 <= col("sum_word_len") &&
-        col("sum_word_len") <= col("n_words") * 10 &&
-        col("stop_hits") >= 2)
-  }
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    graft.operators.TextQuality
+      .withQualityRules(df, textCol, minWords, maxWords)
+      .filter(col("keep")).drop("keep")
 
   /** Streaming repetition stats (the streaming twin of d38): per-row
-    * duplicate-word/bigram fractions from the ngram kernel — a pure narrow
-    * map the downstream filter thresholds on.
+    * duplicate-word/bigram fractions via the shared TextQuality narrow map.
     */
-  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
-    val w = split(col(textCol), " ")
-    val bg = graft.functions.prom.ngram_g(col(textCol), 2)
-    df.withColumn("dup_word_frac",
-        (size(w) - size(array_distinct(w))).cast("double") / size(w).cast("double"))
-      .withColumn("dup_bigram_frac",
-        when(size(bg) > 0,
-          (size(bg) - size(array_distinct(bg))).cast("double") / size(bg).cast("double"))
-          .otherwise(lit(0.0)))
-  }
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextQuality.withRepetitionStats(df, textCol)
 }

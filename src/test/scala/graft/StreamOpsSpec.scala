@@ -223,7 +223,8 @@ class StreamOpsSpec extends AnyFunSuite {
       ms.addData((1L, "a b a b"), (2L, "x y z w"))
       q.processAllAvailable()
       val rows = spark.table("rep_out").collect().map(r =>
-        r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+        r.getLong(r.fieldIndex("id")) -> (r.getDouble(r.fieldIndex("dup_word_frac")),
+          r.getDouble(r.fieldIndex("dup_bigram_frac")))).toMap
       // 4 words 2 distinct -> 0.5; bigrams ab,ba,ab: 3 total 2 distinct -> 1/3
       assert(rows(1L) == ((0.5, 1.0 / 3.0)), rows.toString)
       assert(rows(2L) == ((0.0, 0.0)), rows.toString)
