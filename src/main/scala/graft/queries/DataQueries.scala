@@ -122,22 +122,16 @@ object DataQueries {
         .orderBy("a", "b")
     }),
 
-    // brute-force cosine top-5 neighbors for query vectors (vec_id < 8);
-    // fold-ordered double math => bit-identical scores across engines
-    "d04_cosine_topk" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val q = withNorm.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = q.join(broadcast(withNorm), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
-        .orderBy("qid", "rank")
-    }),
+    // brute-force cosine top-5 neighbors for query vectors (vec_id < 8) via
+    // the public VectorSearch baseline; fold-ordered double math =>
+    // bit-identical scores across engines. The broadcast of the full vector
+    // set is the documented correctness baseline — d10's IVF cells are the
+    // 100 TB path.
+    "d04_cosine_topk" -> ((s, dir) =>
+      graft.operators.VectorSearch
+        .bruteForceTopK(embs(s, dir), "vec_id", "embedding", col("id") < 8, 5)
+        .select(col("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
+        .orderBy("qid", "rank")),
 
     // language-ID by stopword-hit scoring (argmax with fixed tie order)
     "d05_langid" -> ((s, dir) => {

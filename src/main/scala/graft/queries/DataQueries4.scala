@@ -26,33 +26,13 @@ object DataQueries4 {
   private val StopRe = "\\b(the|a|of|and|to)\\b"
 
   /** Signed-random-projection 16-bit signature per vector (d24's core),
-    * shared with d37's banded near-dup candidates. 16 hyperplanes with +-1
-    * weights from md5(plane, dim); components integer-quantized BEFORE the
-    * weighted sum so the signature is accumulation-order-free. The plane
-    * table is a fixed 16x64 broadcast; per-vector work is one explode +
-    * partial-aggregatable groupBy.
+    * shared with d37's banded near-dup candidates — the public
+    * [[graft.operators.VectorSearch]] API bound to the embeddings table.
     */
-  private[queries] def srpSignatures(s: SparkSession, dir: String): DataFrame = {
-    val planes = s.range(16).select(col("id").as("p"))
-      .crossJoin(s.range(64).select(col("id").as("d")))
-      .select(col("p"), col("d"),
-        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
-          col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
-          .otherwise(-1L).as("w"))
-    val ex = embs(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d").cast("long").as("d"),
-        floor(col("x").cast("double") * lit(1000000.0)).as("xq"))
-    val bits = ex.join(broadcast(planes), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("w") * col("xq")).as("sc"))
-      .select(col("vec_id"), col("p"),
-        when(col("sc") > 0, "1").otherwise("0").as("bit"))
-    bits.groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("p"), col("bit")))).as("l"))
-      .select(col("vec_id"),
-        array_join(transform(col("l"), x => x.getField("bit")), "").as("sig"))
-  }
+  private[queries] def srpSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorSearch
+      .srpSignatures(embs(s, dir), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("sig"))
 
   val queries: Map[String, Q] = Map(
     // pattern redaction — the PII-scrub pipeline stage (emails, digit runs,

@@ -79,23 +79,11 @@ object DataQueries5 {
     // touches |candidates| pairs, never corpus^2; texts/vectors join in by
     // two hash equi-joins, neither side force-broadcast.
     "d37_srp_near_dup" -> ((s, dir) => {
-      val sigs = DataQueries4.srpSignatures(s, dir)
-      val buckets = sigs.select(col("vec_id"), explode(array(
-        (0 until 2).map(b =>
-          xxhash64(lit(b), substring(col("sig"), b * 8 + 1, 8))): _*)).as("bk"))
-      val cand = buckets.groupBy(col("bk"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(pairExpand(col("ids")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
-      val n = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      cand
-        .join(n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
-        .join(n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
-        .select(col("a"), col("b"),
-          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      val e = embs(s, dir)
+      val cand = graft.operators.VectorSearch
+        .srpCandidates(e, "vec_id", "embedding")
+      graft.operators.VectorSearch
+        .cosineVerify(cand, e, "vec_id", "embedding")
         .withColumn("dup", col("cos") >= 0.9)
         .orderBy("a", "b")
     }),
