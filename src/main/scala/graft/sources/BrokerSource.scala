@@ -75,6 +75,13 @@ object BrokerSource {
   def cursor(topic: String, dir: String): Cursor =
     cursors.computeIfAbsent(if (dir == null) s"mem:$topic" else s"file:$dir",
       _ => if (dir == null) new MemCursor(topic) else new FileCursor(dir))
+
+  /** Test hook: drop all in-JVM cursor state, simulating a process restart.
+    * FileCursor seqnos are deterministic (lexicographic file order), so a
+    * rebuilt cursor lines up with checkpointed offsets — the property the
+    * recovery E2E pins.
+    */
+  private[graft] def resetCursors(): Unit = cursors.clear()
 }
 
 class BrokerSourceProvider extends TableProvider {

@@ -226,6 +226,31 @@ class E2ESpec extends AnyFunSuite {
     }
   }
 
+  test("consume restarts from checkpoint without re-delivery (file topic)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-topic").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def startQuery() = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("topic", "ckpt").option("dir", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => received.add(new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+      }
+      .outputMode("append").start()
+    val producer = new FileTopic.Factory(dir).create(0L)
+    Seq("m1", "m2", "m3").foreach(m => producer.sendAsync("k", m.getBytes("UTF-8")))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(received.toArray.toSeq == Seq("m1", "m2", "m3"), received)
+    // "process restart": in-JVM cursor state gone, files + checkpoint remain
+    graft.sources.BrokerSource.resetCursors()
+    Seq("m4", "m5").foreach(m => producer.sendAsync("k", m.getBytes("UTF-8")))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(received.toArray.toSeq == Seq("m1", "m2", "m3", "m4", "m5"),
+      s"no re-delivery, no loss: $received")
+  }
+
   test("consume path: broker messages -> batch -> remote_write POST with tenant header") {
     val s = spark
     import s.implicits._
