@@ -93,6 +93,26 @@ object VectorSearch {
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
   }
 
+  /** IVF coarse assignment — the 100 TB blocking path: every vector joins
+    * the broadcast centroid table (vocabulary-sized) and keeps its nearest
+    * cell by cosine. Returns `(id, v, nrm, cell)`; downstream candidate
+    * work (top-k, near-dup pairs) is cell-equijoined, so per-query work is
+    * corpus/cells, never corpus². Persist the result when both sides of a
+    * candidate join reuse it.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val e = normalized(vectors, idCol, vecCol)
+    val c = normalized(centroids, centroidIdCol, centroidVecCol)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = e.join(broadcast(c))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
   /** Brute-force cosine top-k for the rows matching `queryPred` — the
     * CORRECTNESS BASELINE (broadcasts the full vector set; fine for
     * side-sized corpora and oracle checks, NOT the 100 TB path — use

@@ -39,25 +39,19 @@ object DataQueries2 {
     // This is the 100TB shape: candidate set per query is corpus/cells, and
     // the cell assignment is a narrow pass + small broadcast of centroids.
     "d10_ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      val scoredCells = e.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
-      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      // the cell assignment IS the IVF index: materialize it once instead of
-      // recomputing the scan+assignment on both sides of the candidate join
-      val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val e = embs(s, dir)
+      // the cell assignment IS the IVF index (public VectorSearch API):
+      // materialize it once instead of recomputing the scan+assignment on
+      // both sides of the candidate join
+      val assigned = graft.operators.VectorSearch
+        .ivfAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding")
         .persist()
-      val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+      val q = assigned.filter(col("id") >= 8 && col("id") < 16)
+        .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
       val scored = q.join(assigned, Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(wRank).cast("long"))
@@ -71,22 +65,17 @@ object DataQueries2 {
     // Threshold 0.4 suits this synthetic corpus (max pairwise cos ~0.51);
     // production near-dup dedup would use ~0.95.
     "d11_embed_neardup" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      val scoredCells = e.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
-      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      // materialized IVF index (see d10)
-      val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val e = embs(s, dir)
+      // materialized IVF index (public VectorSearch API, see d10); the
+      // candidate join is a cell equijoin of the assignment against itself
+      // — partitioned by cell, never a broadcast (cells are corpus-sized)
+      val assigned = graft.operators.VectorSearch
+        .ivfAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding")
         .persist()
       assigned.as("x").join(assigned.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
           (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("a", "b")
