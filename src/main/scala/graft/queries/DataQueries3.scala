@@ -43,9 +43,7 @@ object DataQueries3 {
     // pushed into the scan. The 100 TB form is identical — sampling is a
     // narrow stateless filter, no shuffle.
     "d13_sample" -> ((s, dir) =>
-      docs(s, dir)
-        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 10 === 0)
+      graft.operators.Sampling.hashSample(docs(s, dir), "doc_id", 10)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 

@@ -163,13 +163,10 @@ object DataQueries4 {
     // the bounded TopKStruct aggregate (O(k) state per stratum; no per-group
     // sort, no window over the corpus).
     "d29_strat_sample" -> ((s, dir) =>
-      docs(s, dir)
-        .groupBy(col("lang"), col("source"))
-        .agg(graft.functions.TopKStruct.topk_struct(3,
-          struct(md5(col("text")).as("h"), col("doc_id"))).as("tk"))
-        .select(col("lang"), col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
-        .select(col("lang"), col("source"), (col("pos") + 1).cast("long").as("rank"),
-          col("t.doc_id").as("doc_id"), col("t.h").as("h"))
+      graft.operators.Sampling.minwisePerStratum(
+          docs(s, dir).withColumn("h", md5(col("text"))),
+          Seq("lang", "source"), "h", "doc_id", 3)
+        .select(col("lang"), col("source"), col("rank"), col("doc_id"), col("h"))
         .orderBy("lang", "source", "rank")),
 
     // corpus mixing: down-sample every language to the smallest language's
@@ -178,19 +175,10 @@ object DataQueries4 {
     // hm * c(lang) < min_c * 2^20  <=>  hash-fraction < min_c/c(lang) —
     // deterministic, stateless, pushdown-friendly; the per-lang count table
     // is broadcast-sized.
-    "d30_mix" -> ((s, dir) => {
-      val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      val m = counts.agg(min(col("c")).as("m"))
-      docs(s, dir)
-        .withColumn("hm",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
-            .cast("long") % 1048576L)
-        .join(broadcast(counts), "lang")
-        .crossJoin(broadcast(m))
-        .filter(col("hm") * col("c") < col("m") * 1048576L)
+    "d30_mix" -> ((s, dir) =>
+      graft.operators.Sampling.mixToSmallest(docs(s, dir), "lang", "doc_id")
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // LSH candidate VERIFICATION — the stage after d02's candidate
     // generation in the classic dedup pipeline (generate cheap candidates,
@@ -216,10 +204,7 @@ object DataQueries4 {
     // ids) with per-language counts as the audit output. The split itself
     // is a stateless narrow map; only the tiny audit aggregate shuffles.
     "d33_train_split" -> ((s, dir) =>
-      docs(s, dir)
-        .withColumn("split",
-          when(conv(substring(md5(col("doc_id").cast("string")), 9, 5), 16, 10)
-            .cast("long") % 20 === 0, "val").otherwise("train"))
+      graft.operators.Sampling.withTrainValSplit(docs(s, dir), "doc_id")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
         .orderBy("lang", "split")),
