@@ -33,8 +33,11 @@ object TextDedup {
     *                  (boilerplate-heavy corpora concentrate signatures; a
     *                  bucket of size k emits k(k-1)/2 pairs). 0 = no cap.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
+  /** `(__id, bk)` — one 8-byte xxhash64 band-bucket key per (doc, band),
+    * from the 16-minhash signature computed in one aggregation pass.
+    */
+  private def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int): DataFrame = {
     require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
     val rows = 16 / bands
     val sh = docs.select(col(idCol).as("__id"),
@@ -42,10 +45,15 @@ object TextDedup {
     val minhashes = (0 until 16)
       .map(i => min(graft.functions.prom.mix64(col("g"), A(i), B(i))).as(s"m$i"))
     val sig = sh.groupBy("__id").agg(minhashes.head, minhashes.tail: _*)
-    val buckets = sig.select(col("__id"), explode(array(
+    sig.select(col("__id"), explode(array(
       (0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${rows * b + r}")): _*)
       }: _*)).as("bk"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
+    val buckets = bandBuckets(docs, idCol, textCol, shingleN, bands)
     val grouped = buckets.groupBy(col("bk"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -91,6 +99,26 @@ object TextDedup {
       }
       labels.select(col("n").as("id"), col("l").as("cluster"))
     }
+  }
+
+  /** Cross-shard dedup — the incremental-pipeline stage that dedupes a NEW
+    * dump against an EXISTING reference corpus: drop new docs whose content
+    * hash already exists in the reference (exact) or that share any LSH
+    * band bucket with a reference doc (near-dup candidates — verify
+    * downstream if precision matters). Both decisions are hash semi/anti
+    * joins; nothing is broadcast by force, nothing quadratic exists, and
+    * the reference side is touched once per band.
+    */
+  def dedupAgainst(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    val refHashes = reference.select(md5(col(textCol)).as("__h")).distinct()
+    val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
+      .join(bandBuckets(reference, idCol, textCol, shingleN, bands)
+        .select(col("bk")), Seq("bk"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(refHashes, Seq("__h"), "left_anti").drop("__h")
+      .join(nearDropIds, Seq(idCol), "left_anti")
   }
 
   /** Full dedup apply: drop exact duplicates (non-minimum id per content

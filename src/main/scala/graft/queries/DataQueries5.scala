@@ -110,6 +110,20 @@ object DataQueries5 {
           sum(col("sz") - 1).as("n_removable"))
         .orderBy("sz")),
 
+    // cross-shard dedup — dedupe a NEW dump (source != src0) against the
+    // EXISTING reference corpus (src0): exact content-hash anti-join plus
+    // LSH band-bucket semi-join (near-dup candidates), via the public
+    // TextDedup.dedupAgainst API. The incremental-pipeline stage every
+    // multi-dump crawl ingest runs.
+    "d41_cross_shard_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.TextDedup.dedupAgainst(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style quality-rule filter via the public TextQuality API:
     // word-count bounds, mean-word-length band as 3n <= sum_len <= 10n (no
     // float mean crosses engines), stopword floor — all integer-exact.
@@ -170,6 +184,18 @@ object DataQueries5 {
         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_removable
         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin),
+
+    "d41_cross_shard_dedup" ->
+      (s"WITH ${DataQueries.minhashPairsCte},\n" +
+        """refdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+          |dropped AS (
+          |  SELECT p.b AS doc_id FROM pairs p JOIN refdocs r ON p.a = r.doc_id
+          |  UNION SELECT p.a FROM pairs p JOIN refdocs r ON p.b = r.doc_id)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE d.source <> 'src0'
+          |  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE source = 'src0')
+          |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+          |ORDER BY d.doc_id""".stripMargin),
 
     "d39_quality_rules" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -66,6 +66,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 15L) // 6 choose 2
   }
 
+  test("dedupAgainst drops exact and near matches to the reference shard") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "reference only content with very specific wording here")
+    ).toDF("id", "text")
+    val fresh = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 100
+      (201L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of 100
+      (202L, "entirely new material mentioning shuffles and executors today")
+    ).toDF("id", "text")
+    val kept = TextDedup.dedupAgainst(fresh, ref, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(200L), kept) // exact cross-shard dup dropped
+    assert(kept.contains(202L), kept)  // novel doc kept
+  }
+
   test("bands must divide the 16 minhash seeds") {
     intercept[IllegalArgumentException](
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
