@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d41: cross-shard dedup is semi/anti joins, no forced broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("d41_cross_shard_dedup")
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+      assert(!p.contains("BroadcastHashJoin"),
+        "reference-shard sides are corpus-proportional — never force-broadcast\n" + p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("d34: exact-dedup stage is the groupBy shape, not a corpus window") {
     val p = plan("d34_prep_pipeline")
     assert(!p.contains("windowspecdefinition(h#"),
