@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * across engines, re-runs, shards and corpus appends; the filters are
   * stateless narrow maps (pushdown-friendly). Distinct decisions use
   * DISJOINT md5 substring windows so they are independent of each other
-  * (sample: chars 1-8, mix: 1-5 as a 20-bit fraction, split: 9-13).
+  * (sample: chars 1-8, split: 9-13, mix: 14-18 as a 20-bit fraction).
   */
 object Sampling {
 
@@ -37,7 +37,7 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
     val m = counts.agg(min(col("__c")).as("__m"))
     df.withColumn("__hm",
-        conv(substring(md5(col(idCol).cast("string")), 1, 5), 16, 10)
+        conv(substring(md5(col(idCol).cast("string")), 14, 5), 16, 10)
           .cast("long") % 1048576L)
       .join(broadcast(counts), stratumCol)
       .crossJoin(broadcast(m))

@@ -122,7 +122,9 @@ object VectorSearch {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
     val n = normalized(df, idCol, vecCol)
-    val q = n.filter(queryPred)
+    // queryPred resolves against the CALLER's frame (their own column
+    // names), so filter before the internal rename to id/v/nrm.
+    val q = normalized(df.filter(queryPred), idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = q.join(broadcast(n), col("id") =!= col("qid"))
       .select(col("qid"), col("id"),

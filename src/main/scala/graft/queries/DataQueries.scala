@@ -129,7 +129,7 @@ object DataQueries {
     // 100 TB path.
     "d04_cosine_topk" -> ((s, dir) =>
       graft.operators.VectorSearch
-        .bruteForceTopK(embs(s, dir), "vec_id", "embedding", col("id") < 8, 5)
+        .bruteForceTopK(embs(s, dir), "vec_id", "embedding", col("vec_id") < 8, 5)
         .select(col("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
         .orderBy("qid", "rank")),
 

@@ -138,9 +138,11 @@ object DataQueries2 {
     }),
 
     // TF-IDF top terms per document: term frequencies joined against a
-    // document-frequency table (broadcast at this SF; at 100TB the df table
-    // is small anyway — vocabulary-sized). Score = (tf * N) / df in explicit
-    // operation order: integer-to-double exact, two IEEE ops, no rounding.
+    // document-frequency table. The df table is corpus-derived (one row per
+    // distinct term — billions at web scale), so the term join is a plain
+    // shuffle on the term key; AQE broadcasts it when it genuinely fits.
+    // Only the one-row corpus count is force-broadcast. Score = (tf * N)/df
+    // in explicit operation order: int-to-double exact, two IEEE ops.
     "d12_tfidf" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -149,7 +151,7 @@ object DataQueries2 {
       // corpus, and the shared tf exchange is reused across both branches.
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+      val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
         .withColumn("score",
           col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
       // top-5 via the bounded TopKStruct aggregate (min on (-score, term) ==

@@ -238,7 +238,7 @@ object DataQueries4 {
       val mn = cnts.agg(min(col("c")).as("m"))
       val mixed = banded
         .withColumn("hm",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+          conv(substring(md5(col("doc_id").cast("string")), 14, 5), 16, 10)
             .cast("long") % 1048576L)
         .join(broadcast(cnts), "lang").crossJoin(broadcast(mn))
         .filter(col("hm") * col("c") < col("m") * 1048576L)
@@ -346,7 +346,7 @@ object DataQueries4 {
     "d30_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
         |m AS (SELECT min(c) AS m FROM c),
-        |h AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1048576 AS hm FROM documents)
+        |h AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 14, 5)) AS BIGINT) % 1048576 AS hm FROM documents)
         |SELECT h.doc_id, h.lang FROM h JOIN c USING (lang) CROSS JOIN m
         |WHERE hm * c < m * 1048576 ORDER BY doc_id""".stripMargin,
 
@@ -382,7 +382,7 @@ object DataQueries4 {
         |mn AS (SELECT min(c) AS m FROM cnts),
         |mixed AS (
         |  SELECT b.doc_id, b.lang FROM banded b JOIN cnts USING (lang) CROSS JOIN mn
-        |  WHERE (CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) % 1048576) * c < m * 1048576),
+        |  WHERE (CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 14, 5)) AS BIGINT) % 1048576) * c < m * 1048576),
         |tagged AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5)) AS BIGINT) % 20 = 0

@@ -41,14 +41,17 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // 4-way join with broadcast dims: revenue per nation
+    // 4-way join: revenue per nation. Only nation (25 rows, fixed) is
+    // force-broadcast; customer is SF-proportional (150k x SF — ~300 MB at
+    // 100x, impossible at 100 TB), so that join shuffles on the key and AQE
+    // broadcasts it at small SFs where it genuinely fits.
     "q02_join_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(

@@ -68,7 +68,7 @@ object StreamOps {
       idCol: String): DataFrame =
     stream.join(broadcast(rates), stratumCol)
       .withColumn("hm",
-        conv(substring(md5(col(idCol).cast("string")), 1, 5), 16, 10)
+        conv(substring(md5(col(idCol).cast("string")), 14, 5), 16, 10)
           .cast("long") % 1048576L)
       .filter(col("hm") * col("c") < col("m") * 1048576L)
       .drop("hm", "c", "m")

@@ -39,10 +39,19 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg expected\n" + p)
   }
 
-  test("q02: dimension joins broadcast, no shuffle of small sides") {
+  test("q02: only the fixed-size nation dim is force-broadcast") {
     val p = plan("q02_join_agg")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // with auto-broadcast off, any remaining BroadcastHashJoin is a forced
+    // hint: exactly one is legitimate (nation, 25 rows fixed); customer is
+    // SF-proportional (150k x SF) and must shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan("q02_join_agg")
+      assert("BroadcastHashJoin".r.findAllIn(p2).length == 1,
+        "only nation may carry a broadcast hint\n" + p2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("q07: semi/anti joins stay semi/anti (no materialized distinct)") {
@@ -75,14 +84,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
-  test("d03/d17/d28: corpus-proportional join sides are never force-broadcast") {
+  test("d03/d12/d17/d28: corpus-proportional join sides are never force-broadcast") {
     // with auto-broadcast off, any BroadcastHashJoin left in the static plan
     // can only come from a forced broadcast() hint — exactly the 100 TB
     // driver-OOM hazard these queries must not have (AQE may still choose a
-    // broadcast at runtime when a side genuinely fits)
+    // broadcast at runtime when a side genuinely fits). d12's df table is
+    // vocabulary-sized (corpus-derived); its one-row corpus count broadcasts
+    // via BroadcastNestedLoopJoin, which this guard intentionally permits.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Seq("d03_ngram_jaccard", "d17_dedup_apply", "d28_lm_score").foreach { n =>
+      Seq("d03_ngram_jaccard", "d12_tfidf", "d17_dedup_apply",
+          "d28_lm_score").foreach { n =>
         val p = plan(n)
         assert(!p.contains("BroadcastHashJoin"),
           s"$n: forced broadcast hint on a corpus-proportional side\n$p")

@@ -27,7 +27,8 @@ class VectorSearchSpec extends AnyFunSuite {
   }
 
   test("bruteForceTopK ranks the near-duplicate first, negation last") {
-    val top = VectorSearch.bruteForceTopK(vectors, "vid", "vec", col("id") === 0L, 3)
+    // the predicate names the CALLER's id column, not the internal rename
+    val top = VectorSearch.bruteForceTopK(vectors, "vid", "vec", col("vid") === 0L, 3)
       .orderBy("rank").collect()
     assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L), top.mkString(","))
     assert(top.head.getDouble(3) > 0.999)
