@@ -86,8 +86,8 @@ object App {
     val path = flag(args, "web.write-path", "/write")
     // app.go:66-69: --web.max-connection-age (kingpin duration, 0 = off),
     // --web.disable-pprof
-    val maxConnAgeMs =
-      PulsarSink.parseDurationMs(flag(args, "web.max-connection-age", "0"))
+    val maxConnAgeMs = PulsarSink.parseDurationMs(
+      flag(args, "web.max-connection-age", "0"), "web.max-connection-age")
     val pprof = flag(args, "web.disable-pprof", "false") != "true"
     val serializer = flag(args, "serializer", "json")
     val topic = flag(args, "topic", "metrics")
@@ -151,6 +151,13 @@ object App {
     val url = flag(args, "remote-write.url", "http://localhost:9090/api/v1/write")
     val batchSize = flag(args, "batch-size", "100").toInt
     val maxDelay = flag(args, "batch-max-delay-ms", "5000").toLong
+    // consume.go:40-41: --send-timeout (default 30s) bounds the remote_write
+    // POST (the reference wires it to the remote client's Timeout, :99)
+    val sendTimeoutMs = PulsarSink.parseDurationMs(
+      flag(args, "send-timeout", "30s"), "send-timeout")
+    // consume.go:42-43: the shared subscription name — consumers sharing it
+    // split the topic (each message once across them); a new name replays
+    val subscription = flag(args, "pulsar.subscription", "pulsar-adapter")
     // the consume side unmarshals with the configured serializer too
     // (pkg/app/consume.go reuses the pulsar serializer choice): json -> the
     // legacy layout, anything compat/avro -> the compat layout with the
@@ -159,11 +166,11 @@ object App {
       case "json" => 0
       case _ => 1
     }
-    val client = new RemoteWriteSink.HttpClient(url)
+    val client = new RemoteWriteSink.HttpClient(url, sendTimeoutMs)
 
     val topicDir = flag(args, "topic-dir", "")
     val brokerReader = spark.readStream.format("graft.sources.BrokerSourceProvider")
-      .option("topic", topic)
+      .option("topic", topic).option("subscription", subscription)
     val broker = (if (topicDir.nonEmpty) brokerReader.option("dir", topicDir) else brokerReader).load()
     val samples = PromPipeline.deserialize(
         broker.withColumn("payload", col("payload").cast("string")), formatId, col("payload"))

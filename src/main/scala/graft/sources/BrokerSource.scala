@@ -71,9 +71,24 @@ object BrokerSource {
     }
   }
 
+  /** The reference's default subscription name (pkg/app/consume.go:42-43). */
+  val DefaultSubscription = "pulsar-adapter"
+
   private val cursors = new ConcurrentHashMap[String, Cursor]()
-  def cursor(topic: String, dir: String): Cursor =
-    cursors.computeIfAbsent(if (dir == null) s"mem:$topic" else s"file:$dir",
+
+  /** One cursor per (subscription, topic): consumers SHARING a subscription
+    * name share one cursor (each message delivered once across them — the
+    * KeyShared contract consume.go's flag help spells out), while a DIFFERENT
+    * subscription name gets an independent cursor with its own offsets. For
+    * the durable file topic a new subscription replays the topic from the
+    * start (Pulsar's earliest-position semantics); the in-memory queue is
+    * consume-once, so independent subscriptions there only split arrivals —
+    * use the file topic when more than one subscription must see all data.
+    */
+  def cursor(topic: String, dir: String,
+      subscription: String = DefaultSubscription): Cursor =
+    cursors.computeIfAbsent(
+      if (dir == null) s"mem:$topic:$subscription" else s"file:$dir:$subscription",
       _ => if (dir == null) new MemCursor(topic) else new FileCursor(dir))
 
   /** Test hook: drop all in-JVM cursor state, simulating a process restart.
@@ -90,12 +105,14 @@ class BrokerSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new BrokerTable(properties.getOrDefault("topic", "metrics"),
       properties.getOrDefault("dir", null),
-      properties.getOrDefault("maxRecordsPerTrigger", "0").toLong)
+      properties.getOrDefault("maxRecordsPerTrigger", "0").toLong,
+      properties.getOrDefault("subscription", BrokerSource.DefaultSubscription))
 }
 
-class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L)
+class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
+    subscription: String = BrokerSource.DefaultSubscription)
   extends Table with SupportsRead {
-  override def name(): String = s"broker:${if (dir == null) topic else dir}"
+  override def name(): String = s"broker:${if (dir == null) topic else dir}@$subscription"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -104,7 +121,7 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic, dir, maxRecords)
+          new BrokerStream(topic, dir, maxRecords, subscription)
       }
     }
 }
@@ -116,9 +133,10 @@ final case class BrokerOffset(seq: Long) extends Offset {
 /** @param maxRecords rate limit per micro-batch (0 = unbounded) — the
   * `maxOffsetsPerTrigger` analog; backpressure knob promised in SURVEY §4.
   */
-class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L)
+class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
+    subscription: String = BrokerSource.DefaultSubscription)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  private val cursor = BrokerSource.cursor(topic, dir)
+  private val cursor = BrokerSource.cursor(topic, dir, subscription)
   // Trigger.AvailableNow pins the end offset at start-of-query; batches then
   // step toward it under the read limit and the query stops there
   @volatile private var availableNowTarget: java.lang.Long = null

@@ -16,10 +16,17 @@ import java.util.concurrent.TimeUnit
   */
 object PulsarSink {
 
-  /** pkg/app/pulsar.go:74-93 — one field per reference flag, same defaults. */
+  /** pkg/app/pulsar.go:74-93 — one field per reference flag, same defaults.
+    * `operationTimeoutMs` is the command-level `--send-timeout` (produce.go:
+    * 45-46, default 30s, wired to clientOptions.OperationTimeout at :68);
+    * `subscription` is `--pulsar.subscription` (consume.go:42-43, default
+    * "pulsar-adapter" — the shared KeyShared subscription name).
+    */
   final case class Config(
       url: String = "",
       connectionTimeoutMs: Long = 30000L,
+      operationTimeoutMs: Long = 30000L,
+      subscription: String = "pulsar-adapter",
       topic: String = "metrics",
       certificateAuthority: String = "",
       clientCertificate: String = "",
@@ -37,15 +44,38 @@ object PulsarSink {
     }
   }
 
-  /** Parse `30s` / `500ms` / `5m` / `1h` duration literals (kingpin format,
-    * pulsar.go:77 connection-timeout default 30s) to milliseconds.
+  private val DurationTerm = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
+
+  /** Parse kingpin (Go `time.ParseDuration`) duration literals to
+    * milliseconds: single units (`30s`, `500ms`, `2m`, `1h`), fractional
+    * values (`1.5s`), and compound forms (`1m30s`, `2h45m`) — plus a bare
+    * number meaning milliseconds (this CLI's historical shorthand). Rejects
+    * anything else with the flag name and the accepted formats.
     */
-  def parseDurationMs(s: String): Long = s.trim match {
-    case d if d.endsWith("ms") => d.dropRight(2).trim.toLong
-    case d if d.endsWith("s") => d.dropRight(1).trim.toLong * 1000L
-    case d if d.endsWith("m") => d.dropRight(1).trim.toLong * 60000L
-    case d if d.endsWith("h") => d.dropRight(1).trim.toLong * 3600000L
-    case d => d.toLong // bare number = ms
+  def parseDurationMs(s: String, flagName: String = "duration"): Long = {
+    def fail() = throw new IllegalArgumentException(
+      s"--$flagName: invalid duration '$s' (accepted: Go forms like " +
+        "30s, 150ms, 1.5s, 1m30s, 2h45m, or a bare millisecond count)")
+    val trimmed = s.trim
+    if (trimmed.isEmpty) fail()
+    if (trimmed.matches("[+-]?[0-9]+")) return trimmed.toLong // bare number = ms
+    val neg = trimmed.startsWith("-")
+    val body = trimmed.stripPrefix("-").stripPrefix("+")
+    val terms = DurationTerm.findAllMatchIn(body).toSeq
+    // the terms must tile the whole string — "1m30" or "5 s" are errors
+    if (terms.isEmpty || terms.map(_.matched).mkString != body) fail()
+    val ms = terms.map { t =>
+      t.group(1).toDouble * (t.group(2) match {
+        case "ns" => 1e-6
+        case "us" | "µs" => 1e-3
+        case "ms" => 1.0
+        case "s" => 1000.0
+        case "m" => 60000.0
+        case "h" => 3600000.0
+      })
+    }.sum
+    val r = math.rint(ms).toLong
+    if (neg) -r else r
   }
 
   /** Build a [[Config]] from `--pulsar.*` CLI args (the reference's flag
@@ -58,7 +88,10 @@ object PulsarSink {
     }
     Config(
       url = flag("pulsar.url", ""),
-      connectionTimeoutMs = parseDurationMs(flag("pulsar.connection-timeout", "30s")),
+      connectionTimeoutMs = parseDurationMs(
+        flag("pulsar.connection-timeout", "30s"), "pulsar.connection-timeout"),
+      operationTimeoutMs = parseDurationMs(flag("send-timeout", "30s"), "send-timeout"),
+      subscription = flag("pulsar.subscription", "pulsar-adapter"),
       topic = flag("pulsar.topic", "metrics"),
       certificateAuthority = flag("pulsar.certificate-authority", ""),
       clientCertificate = flag("pulsar.client-certificate", ""),
@@ -114,6 +147,10 @@ object PulsarSink {
       call(builder, "serviceUrl", classOf[String] -> cfg.url)
       call(builder, "connectionTimeout",
         classOf[Int] -> Int.box(cfg.connectionTimeoutMs.toInt),
+        classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
+      // --send-timeout -> clientOptions.OperationTimeout (produce.go:68)
+      call(builder, "operationTimeout",
+        classOf[Int] -> Int.box(cfg.operationTimeoutMs.toInt),
         classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
       call(builder, "connectionsPerBroker",
         classOf[Int] -> Int.box(cfg.maxConnectionsPerBroker))

@@ -27,8 +27,10 @@ object RemoteWriteSink {
 
   /** Production transport: POST to a remote_write endpoint with the tenant
     * header and UA the reference sends (write.go:83-94, version.go:7-16).
+    * `timeoutMs` is the CLI's `--send-timeout` (consume.go:40-41, default
+    * 30s), applied to both connect and request.
     */
-  final class HttpClient(endpoint: String, timeoutMs: Long = 30000L) extends Client {
+  final class HttpClient(endpoint: String, val timeoutMs: Long = 30000L) extends Client {
     override def remoteName: String = endpoint
     @transient private lazy val http = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()

@@ -35,9 +35,19 @@ object Writers {
     * non-empty result into the 500 listing them. Per-writer sent/failed
     * counters and the batch-duration histogram mirror sendSamples
     * (produce.go:210-224, pkg/metrics/metrics.go).
+    *
+    * `timeoutMs` is ONE shared deadline for the whole fan-out, not a
+    * per-writer allowance: N stuck writers delay the HTTP response by at
+    * most one timeout (the threads race the same clock), so a request can
+    * never hold its server thread for N x timeout. A writer that misses the
+    * deadline is reported failed but keeps running as a daemon — it may
+    * still complete (and count its metrics) after the client got its 500;
+    * at-least-once delivery to that destination, same as the reference's
+    * abandoned goroutines.
     */
   def fanOut(writers: Seq[RequestWriter], tenantId: String,
       samples: Seq[WireSample], timeoutMs: Long = 30000L): Seq[String] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
     val ok = new Array[Boolean](writers.length)
     val threads = writers.zipWithIndex.map { case (w, i) =>
       val t = new Thread(() => {
@@ -61,7 +71,10 @@ object Writers {
       t.start()
       t
     }
-    threads.foreach(_.join(timeoutMs))
+    threads.foreach { t =>
+      val remainingMs = (deadline - System.nanoTime()) / 1000000L
+      if (remainingMs > 0) t.join(remainingMs)
+    }
     writers.zipWithIndex.collect { case (w, i) if !ok(i) => w.name }
   }
 

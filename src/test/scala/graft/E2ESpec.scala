@@ -226,6 +226,48 @@ class E2ESpec extends AnyFunSuite {
     }
   }
 
+  test("fan-out waits one shared deadline, not one timeout per stuck writer") {
+    // Writers.scala fanOut: N stuck writers must cost the caller at most ONE
+    // timeout (shared deadline), not N sequential join timeouts
+    def slow(n: String) = new Writers.RequestWriter {
+      override def name: String = n
+      override def write(t: String, s: Seq[Writers.WireSample]): Unit =
+        Thread.sleep(5000L)
+    }
+    val t0 = System.nanoTime()
+    val failed = Writers.fanOut(Seq(slow("w1"), slow("w2"), slow("w3")), "t",
+      Seq(Writers.WireSample(Map("__name__" -> "up"), 1.0, 1L)), timeoutMs = 400L)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(failed == Seq("w1", "w2", "w3"), failed)
+    assert(elapsedMs < 1200L, s"three stuck writers must share one 400ms deadline, took ${elapsedMs}ms")
+  }
+
+  test("two subscriptions on one file topic each see every message once") {
+    // consume.go:42-43: consumers SHARING a subscription split the stream;
+    // a DIFFERENT subscription name is an independent cursor over the same
+    // durable topic — both must observe the full message sequence
+    val dir = java.nio.file.Files.createTempDirectory("graft-sub-topic").toString
+    val producer = new FileTopic.Factory(dir).create(0L)
+    Seq("s1", "s2", "s3").foreach(m => producer.sendAsync("k", m.getBytes("UTF-8")))
+    def runOnce(sub: String): Seq[String] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft.sources.BrokerSourceProvider")
+        .option("topic", "subtest").option("dir", dir).option("subscription", sub).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+        }
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      got.toArray.map(_.toString).toSeq
+    }
+    assert(runOnce("sub-a") == Seq("s1", "s2", "s3"))
+    assert(runOnce("sub-b") == Seq("s1", "s2", "s3"),
+      "an independent subscription replays the durable topic in full")
+    // (no-redelivery within ONE subscription is the checkpoint's contract —
+    // pinned by the "consume restarts from checkpoint" test below)
+  }
+
   test("consume restarts from checkpoint without re-delivery (file topic)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-topic").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
