@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data stage that turns per-document token
+  * counts into fixed-length training sequences. Two public shapes:
+  *
+  *   - [[packChunked]]: concatenate each shard's documents (doc_id order)
+  *     into one token stream and cut it every `seqLen` tokens — documents
+  *     MAY span a boundary (the GPT-style pretraining layout, zero padding
+  *     waste). Per doc: the global first/last sequence it lands in and its
+  *     offset in the first one.
+  *   - [[packGreedy]]: greedy next-fit bin packing — a document never
+  *     splits; a sequence closes when the next document doesn't fit
+  *     (oversized documents get a sequence of their own). Per doc: its
+  *     global sequence id.
+  *
+  * Scale design: documents are sharded by `id % shards`, so every windowed
+  * cumulative sum / fold is per-shard (bounded partitions — never a corpus-
+  * wide sort), and the only cross-shard step is the sequence-id prefix-sum
+  * over the `shards`-row per-shard totals table (a single-partition window
+  * over a bounded input, then broadcast back). No driver-side collect
+  * anywhere. Choose `shards` so one shard's (id, count) pairs fit a reducer
+  * (16 bytes/doc — millions of docs per shard are fine); global sequence
+  * ids stay dense 0..N-1 across shards for any choice.
+  *
+  * Everything is integer arithmetic on deterministic inputs, so results are
+  * engine-exact (DuckDB-oracle-checked via d42/d43).
+  */
+object SequencePacking {
+
+  /** Per-shard sequence counts -> global base offsets: the distributed
+    * prefix-sum (a window over `shards` rows, not data).
+    */
+  private def withBases(totals: DataFrame): DataFrame = {
+    val w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    totals.withColumn("base", coalesce(sum(col("nseq")).over(w), lit(0L)))
+      .select(col("shard"), col("base"))
+  }
+
+  private def sharded(df: DataFrame, idCol: String, countCol: String,
+      shards: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(countCol).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+
+  /** Contiguous concat-and-chunk packing. Returns
+    * `(doc_id, n_tok, shard, first_seq, last_seq, seq_off)` with sequence
+    * ids global across shards and `seq_off` the document's start offset
+    * inside `first_seq` (in `[0, seqLen)`).
+    */
+  def packChunked(df: DataFrame, idCol: String, countCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, s"seqLen/shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val cum = sharded(df, idCol, countCol, shards)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val totals = cum.groupBy(col("shard")).agg(max(col("cum")).as("tok"))
+      .select(col("shard"), expr(s"(tok + ${seqLen - 1}) div $seqLen").as("nseq"))
+    cum.join(broadcast(withBases(totals)), "shard")
+      .select(col("doc_id"), col("n_tok"), col("shard"),
+        (col("base") + expr(s"(cum - n_tok) div $seqLen")).as("first_seq"),
+        (col("base") + expr(s"(cum - 1) div $seqLen")).as("last_seq"),
+        ((col("cum") - col("n_tok")) % seqLen).as("seq_off"))
+  }
+
+  /** Greedy next-fit packing (documents never split). Returns
+    * `(doc_id, n_tok, shard, seq)` with `seq` global across shards. The
+    * per-shard fold runs in one reducer over the shard's sorted
+    * (doc_id, n_tok) array — the documented shard-size knob above.
+    */
+  def packGreedy(df: DataFrame, idCol: String, countCol: String,
+      seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, s"seqLen/shards must be positive")
+    val grouped = sharded(df, idCol, countCol, shards)
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tok")))).as("ds"))
+    // next-fit state machine as an array fold: (fill, bin) threaded through
+    // the docs in doc_id order, emitting each doc's bin. bin starts at -1 so
+    // the first doc always opens bin 0; an oversized doc opens its own bin
+    // (fill > seqLen closes it on the next doc).
+    val folded = grouped.withColumn("bins",
+      aggregate(col("ds"),
+        struct(lit(0L).as("fill"), lit(-1L).as("bin"),
+          typedLit(Seq.empty[Long]).as("out")),
+        (acc, d) => {
+          val fits = acc.getField("bin") >= 0 &&
+            acc.getField("fill") + d.getField("n_tok") <= seqLen
+          val nb = when(fits, acc.getField("bin")).otherwise(acc.getField("bin") + 1L)
+          struct(
+            when(fits, acc.getField("fill") + d.getField("n_tok"))
+              .otherwise(d.getField("n_tok")).as("fill"),
+            nb.as("bin"),
+            concat(acc.getField("out"), array(nb)).as("out"))
+        },
+        acc => acc.getField("out")))
+    val perDoc = folded
+      .select(col("shard"), posexplode(arrays_zip(col("ds"), col("bins"))).as(Seq("i", "z")))
+      .select(col("shard"), col("z.ds.doc_id").as("doc_id"),
+        col("z.ds.n_tok").as("n_tok"), col("z.bins").as("bin"))
+    val totals = folded.select(col("shard"), (array_max(col("bins")) + 1L).as("nseq"))
+    perDoc.join(broadcast(withBases(totals)), "shard")
+      .select(col("doc_id"), col("n_tok"), col("shard"),
+        (col("base") + col("bin")).as("seq"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sixth wave: sequence packing — the last mile of a training-data pipeline,
+  * where filtered/deduped/mixed documents become fixed-length training
+  * sequences. Both shapes bind the public
+  * [[graft.operators.SequencePacking]] API to the documents table with
+  * whitespace token counts, seqLen=256, 8 shards.
+  */
+object DataQueries6 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private def withTok(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+
+  val queries: Map[String, Q] = Map(
+    // concat-and-chunk packing (documents may span sequence boundaries):
+    // per-shard cumulative sums (bounded windows), a shards-row prefix-sum
+    // for global ids, zero padding waste — the GPT-style pretraining layout.
+    "d42_seq_pack" -> ((s, dir) =>
+      graft.operators.SequencePacking
+        .packChunked(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8)
+        .orderBy("doc_id")),
+
+    // greedy next-fit packing (documents never split; a sequence closes when
+    // the next doc does not fit): the per-shard fold emits each doc's bin,
+    // global ids from the same shards-row prefix-sum.
+    "d43_pack_greedy" -> ((s, dir) =>
+      graft.operators.SequencePacking
+        .packGreedy(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8)
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d42_seq_pack" ->
+      """WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+        |c AS (SELECT doc_id, n_tok, shard, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+        |t AS (SELECT shard, (max(cum) + 255) // 256 AS nseq FROM c GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
+        |SELECT c.doc_id, c.n_tok, c.shard,
+        |  CAST(bs.base + (c.cum - c.n_tok) // 256 AS BIGINT) AS first_seq,
+        |  CAST(bs.base + (c.cum - 1) // 256 AS BIGINT) AS last_seq,
+        |  CAST((c.cum - c.n_tok) % 256 AS BIGINT) AS seq_off
+        |FROM c JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
+    "d43_pack_greedy" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
+        |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
+        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin
+  )
+}
