@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Public, table-agnostic text-deduplication API — the same verified shapes
@@ -17,6 +17,26 @@ object TextDedup {
     */
   private val A: Array[Long] = Array.tabulate(16)(i => 0x9E3779B97F4A7C15L * (2L * i + 1L))
   private val B: Array[Long] = Array.tabulate(16)(i => 0xC2B2AE3D27D4EB4FL * (i + 1L))
+
+  /** Unique suffix for the bloom pre-filter's transient temp views. */
+  private val BloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Spark ships BloomFilterAggregate / BloomFilterMightContain as internal
+    * (unregistered) Catalyst expressions for its runtime-filter rule; expose
+    * them to this session under graft names so the bloom pre-filter stays an
+    * in-plan distributed aggregate (never a driver-side sketch round-trip).
+    */
+  private def registerBloom(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      { case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      { case Seq(b, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
+      }, "scala_udf")
+  }
 
   /** Expand a sorted id array into (a, b), a &lt; b combinations. */
   private def pairExpand(ids: Column): Column =
@@ -108,17 +128,60 @@ object TextDedup {
     * downstream if precision matters). Both decisions are hash semi/anti
     * joins; nothing is broadcast by force, nothing quadratic exists, and
     * the reference side is touched once per band.
+    *
+    * `bloomItems > 0` adds a bloom pre-filter: one `bloom_filter_agg` over
+    * the reference hashes and one over its band buckets (fixed-size
+    * summaries of the unbounded reference — broadcastable by construction),
+    * and only the new-dump rows the blooms flag as probable hits enter the
+    * semi-joins. Bloom filters have no false negatives, so the result is
+    * IDENTICAL for any size; false positives just take the exact join. At
+    * 100 TB with a low cross-dump dup rate this cuts the join shuffle from
+    * |dump| to ~|actual dups|. Size `bloomItems` to the expected distinct
+    * reference hashes (1% FPP at the default bits-per-item).
     */
   def dedupAgainst(docs: DataFrame, reference: DataFrame,
-      idCol: String, textCol: String, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+      idCol: String, textCol: String, shingleN: Int = 3, bands: Int = 4,
+      bloomItems: Long = 0L): DataFrame = {
     val refHashes = reference.select(md5(col(textCol)).as("__h")).distinct()
-    val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
-      .join(bandBuckets(reference, idCol, textCol, shingleN, bands)
-        .select(col("bk")), Seq("bk"), "left_semi")
-      .select(col("__id").as(idCol)).distinct()
-    docs.withColumn("__h", md5(col(textCol)))
-      .join(refHashes, Seq("__h"), "left_anti").drop("__h")
-      .join(nearDropIds, Seq(idCol), "left_anti")
+    if (bloomItems <= 0L) {
+      val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
+        .join(bandBuckets(reference, idCol, textCol, shingleN, bands)
+          .select(col("bk")), Seq("bk"), "left_semi")
+        .select(col("__id").as(idCol)).distinct()
+      docs.withColumn("__h", md5(col(textCol)))
+        .join(refHashes, Seq("__h"), "left_anti").drop("__h")
+        .join(nearDropIds, Seq(idCol), "left_anti")
+    } else {
+      val spark = docs.sparkSession
+      registerBloom(spark)
+      val refBuckets = bandBuckets(reference, idCol, textCol, shingleN, bands)
+        .select(col("bk"))
+      // might_contain demands its bloom as a constant or scalar subquery, so
+      // the reference blooms go in as scalar subqueries over temp views —
+      // lazily planned, materialized once by subquery reuse, never collected
+      // here. Datasets analyze eagerly, so the views can drop on return.
+      val n = BloomViewSeq.incrementAndGet()
+      val (vh, vb) = (s"graft_bloom_ref_h_$n", s"graft_bloom_ref_b_$n")
+      refHashes.createOrReplaceTempView(vh)
+      refBuckets.createOrReplaceTempView(vb)
+      try {
+        // definite bloom-misses can't semi-match, so only probable hits
+        // join; the drop-id set prices the final anti-join at ~|dups|
+        val exactDropIds = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+          .filter(expr(
+            s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(__h), ${bloomItems}L) FROM $vh), xxhash64(__h))"))
+          .join(refHashes, Seq("__h"), "left_semi").select(col(idCol))
+        val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
+          .filter(expr(
+            s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(bk), ${bloomItems}L) FROM $vb), xxhash64(bk))"))
+          .join(refBuckets, Seq("bk"), "left_semi")
+          .select(col("__id").as(idCol))
+        docs.join(exactDropIds.unionAll(nearDropIds).distinct(), Seq(idCol), "left_anti")
+      } finally {
+        spark.catalog.dropTempView(vh)
+        spark.catalog.dropTempView(vb)
+      }
+    }
   }
 
   /** Full dedup apply: drop exact duplicates (non-minimum id per content

@@ -113,13 +113,17 @@ object DataQueries5 {
     // cross-shard dedup — dedupe a NEW dump (source != src0) against the
     // EXISTING reference corpus (src0): exact content-hash anti-join plus
     // LSH band-bucket semi-join (near-dup candidates), via the public
-    // TextDedup.dedupAgainst API. The incremental-pipeline stage every
-    // multi-dump crawl ingest runs.
+    // TextDedup.dedupAgainst API with the bloom pre-filter on (a fixed-size
+    // summary of the reference gates the dump before the joins; identical
+    // result — blooms have no false negatives — but the join shuffle moves
+    // ~|dups|, not |dump|). The incremental-pipeline stage every multi-dump
+    // crawl ingest runs.
     "d41_cross_shard_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.operators.TextDedup.dedupAgainst(
           d.filter(col("source") =!= "src0"),
-          d.filter(col("source") === "src0"), "doc_id", "text")
+          d.filter(col("source") === "src0"), "doc_id", "text",
+          bloomItems = 65536L)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),

@@ -131,13 +131,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d41: cross-shard dedup is semi/anti joins, no forced broadcast") {
+  test("d41: cross-shard dedup is semi/anti joins behind a bloom pre-filter, no forced broadcast") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("d41_cross_shard_dedup")
       assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
       assert(!p.contains("BroadcastHashJoin"),
         "reference-shard sides are corpus-proportional — never force-broadcast\n" + p)
+      // the bloom summaries gate the dump side BEFORE the semi-joins (only
+      // probable hits shuffle); the blooms themselves are fixed-size and
+      // broadcast via BNLJ — the one legitimate broadcast here
+      assert(p.contains("might_contain"), "bloom pre-filter missing from the plan\n" + p)
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterAggregate"),
+        "reference bloom must be built in-plan\n" + p)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 

@@ -82,6 +82,13 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!kept.contains(200L), kept) // exact cross-shard dup dropped
     assert(kept.contains(202L), kept)  // novel doc kept
+    // bloom pre-filter is a pure superset filter: identical keeps for ANY
+    // size (no false negatives; false positives just take the exact join)
+    for (items <- Seq(16L, 1024L, 1000000L)) {
+      val bloomed = TextDedup.dedupAgainst(fresh, ref, "id", "text", bloomItems = items)
+        .collect().map(_.getLong(0)).toSet
+      assert(bloomed == kept, s"bloomItems=$items changed the result: $bloomed vs $kept")
+    }
   }
 
   test("bands must divide the 16 minhash seeds") {
