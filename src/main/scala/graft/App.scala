@@ -103,7 +103,9 @@ object App {
         validate = true, maxConnectionAgeMs = maxConnAgeMs, pprof = pprof)
       val ws = topicDirs.split(",").toSeq.map(d =>
         new Writers.TopicWriter(d, new FileTopic.Factory(d), serializer, replicaLabels))
-      r.setWriters(ws)
+      // produce.go:45-46: --send-timeout bounds the synchronous fan-out wait
+      r.setWriters(ws, PulsarSink.parseDurationMs(
+        flag(args, "send-timeout", "30s"), "send-timeout"))
       println(s"[graft] produce (multi-writer): :$port$path -> ${ws.map(_.name).mkString(", ")} ($serializer)")
       while (true) Thread.sleep(60000L)
     }

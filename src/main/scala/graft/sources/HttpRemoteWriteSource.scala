@@ -76,7 +76,10 @@ object HttpRemoteWriteSource {
       * only after its pulsar flush too).
       */
     @volatile private var writers: Seq[graft.streaming.Writers.RequestWriter] = Nil
-    def setWriters(ws: Seq[graft.streaming.Writers.RequestWriter]): Unit = writers = ws
+    // --send-timeout (produce.go:45-46): the shared fan-out deadline
+    @volatile private var writerTimeoutMs: Long = 30000L
+    def setWriters(ws: Seq[graft.streaming.Writers.RequestWriter],
+        timeoutMs: Long = 30000L): Unit = { writers = ws; writerTimeoutMs = timeoutMs }
 
     /** handlers.go:42-49: stamp Connection: close when the (keep-alive)
       * connection — identified by the client socket address — is too old.
@@ -184,7 +187,7 @@ object HttpRemoteWriteSource {
       val samples = graft.streaming.Writers.samplesOf(req)
       graft.streaming.Metrics.add("received_samples_total", samples.size.toLong,
         "tenant" -> tenant)
-      val failed = graft.streaming.Writers.fanOut(ws, tenant, samples)
+      val failed = graft.streaming.Writers.fanOut(ws, tenant, samples, writerTimeoutMs)
       if (failed.isEmpty) respond(exchange, 200)
       else respondBody(exchange, 500,
         s"Error sending samples to remote storages: ${failed.mkString(", ")}\n")
