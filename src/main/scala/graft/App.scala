@@ -171,8 +171,27 @@ object App {
     val client = new RemoteWriteSink.HttpClient(url, sendTimeoutMs)
 
     val topicDir = flag(args, "topic-dir", "")
-    val brokerReader = spark.readStream.format("graft.sources.BrokerSourceProvider")
-      .option("topic", topic).option("subscription", subscription)
+    // source precedence mirrors produce: real Pulsar broker (--pulsar.url +
+    // TLS/auth flags -> the reflection-bound KeyShared consumer) > file
+    // topic > in-memory topic
+    val pulsarCfg = PulsarSink.fromArgs(args)
+    val brokerReader = {
+      val r = spark.readStream.format("graft.sources.BrokerSourceProvider")
+        .option("topic", topic).option("subscription", subscription)
+      if (pulsarCfg.url.nonEmpty)
+        r.option("pulsar.url", pulsarCfg.url)
+          .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)
+          .option("send-timeout-ms", pulsarCfg.operationTimeoutMs.toString)
+          .option("pulsar.certificate-authority", pulsarCfg.certificateAuthority)
+          .option("pulsar.client-certificate", pulsarCfg.clientCertificate)
+          .option("pulsar.client-key", pulsarCfg.clientKey)
+          .option("pulsar.insecure-skip-tls-verify", pulsarCfg.insecureSkipTlsVerify.toString)
+          .option("pulsar.insecure-skip-tls-validate-hostname",
+            pulsarCfg.insecureSkipTlsValidateHostname.toString)
+          .option("pulsar.max-connections-per-broker",
+            pulsarCfg.maxConnectionsPerBroker.toString)
+      else r
+    }
     val broker = (if (topicDir.nonEmpty) brokerReader.option("dir", topicDir) else brokerReader).load()
     val samples = PromPipeline.deserialize(
         broker.withColumn("payload", col("payload").cast("string")), formatId, col("payload"))

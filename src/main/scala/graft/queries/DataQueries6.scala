@@ -35,7 +35,23 @@ object DataQueries6 {
     "d43_pack_greedy" -> ((s, dir) =>
       graft.operators.SequencePacking
         .packGreedy(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // packing-efficiency audit: per shard, how many sequences the greedy
+    // packing produced and how many pad tokens they waste (a sequence over
+    // seqLen is a single oversized doc — no padding). The input is the d43
+    // shape; the audit itself is two bounded aggregations.
+    "d44_pack_report" -> ((s, dir) => {
+      val f = graft.operators.SequencePacking
+        .packGreedy(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8)
+        .groupBy(col("shard"), col("seq"))
+        .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("nd"))
+      f.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("nd")).as("n_docs"),
+          sum(col("fill")).as("n_tokens"),
+          sum(when(col("fill") <= 256, lit(256) - col("fill")).otherwise(0L)).as("waste"))
+        .orderBy("shard")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -64,6 +80,23 @@ object DataQueries6 {
         |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
         |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
         |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
-        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin
+        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
+    "d44_pack_report" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |f AS (SELECT shard, bin, CAST(sum(n_tok) AS BIGINT) AS fill, CAST(count(*) AS BIGINT) AS nd FROM r GROUP BY shard, bin)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN fill <= 256 THEN 256 - fill ELSE 0 END) AS BIGINT) AS waste
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -29,9 +29,10 @@ import graft.streaming.InMemoryBroker
   *   - at-least-once: a failed micro-batch leaves offsets uncommitted and
   *     replays (the reference's Nack/redelivery path).
   *
-  * The in-memory topic stands in for a Pulsar subscription; a production
-  * connector implements the same reader against the public pulsar-client
-  * API with messageId-based offsets.
+  * Three cursor backends share these semantics: the in-memory topic (same
+  * JVM), the file topic (cross-process), and [[BrokerSource.PulsarCursor]]
+  * — a reflection-bound KeyShared consumer against the public
+  * pulsar-client API (real broker; individually acks on offset commit).
   */
 object BrokerSource {
   val schema: StructType = StructType(Seq(
@@ -71,6 +72,68 @@ object BrokerSource {
     }
   }
 
+  /** Real-broker consumer cursor: a KeyShared subscription on a Pulsar
+    * topic through the reflection-bound public pulsar-client API (the
+    * consume-side twin of [[graft.streaming.PulsarSink.Factory]];
+    * reference pkg/pulsar/pulsar.go:98-121 subscribe + :170-224 Receiver).
+    * Offsets map to received messages in arrival order; `commit`
+    * individually acknowledges the consumed messages (KeyShared forbids
+    * cumulative acks), so an uncommitted micro-batch leaves them unacked
+    * and the broker redelivers after the ack timeout — the reference's
+    * Nack/redelivery path. The cursor lives on the driver (offset
+    * management polls there; readers receive materialized message ranges).
+    * Fails fast with a clear error when the pulsar-client jar is absent.
+    */
+  final class PulsarCursor(cfg: graft.streaming.PulsarSink.Config,
+      subscription: String) extends Cursor {
+    import graft.streaming.PulsarSink.{buildClient, call}
+    private val mids = new java.util.concurrent.ConcurrentSkipListMap[Long, AnyRef]()
+    private lazy val consumer: AnyRef = {
+      val client = buildClient(cfg, "consume from")
+      val cb = call(client, "newConsumer")
+      call(cb, "topic", classOf[String] -> cfg.topic)
+      // consume.go:42-43: the shared subscription name; KeyShared preserves
+      // per-key order across parallel consumers (pulsar.go:109-111)
+      call(cb, "subscriptionName", classOf[String] -> subscription)
+      val subType = Class.forName("org.apache.pulsar.client.api.SubscriptionType")
+      call(cb, "subscriptionType",
+        subType -> subType.getMethod("valueOf", classOf[String])
+          .invoke(null, "Key_Shared"))
+      call(cb, "subscribe")
+    }
+
+    override def poll(): Long = synchronized {
+      var m = call(consumer, "receive",
+        classOf[Int] -> Int.box(0),
+        classOf[java.util.concurrent.TimeUnit] -> java.util.concurrent.TimeUnit.MILLISECONDS)
+      while (m != null) {
+        val s = seq.getAndIncrement()
+        buf.put(s, InMemoryBroker.Message(
+          call(m, "getKey").asInstanceOf[String],
+          call(m, "getData").asInstanceOf[Array[Byte]]))
+        mids.put(s, call(m, "getMessageId"))
+        m = call(consumer, "receive",
+          classOf[Int] -> Int.box(0),
+          classOf[java.util.concurrent.TimeUnit] -> java.util.concurrent.TimeUnit.MILLISECONDS)
+      }
+      seq.get()
+    }
+
+    override def commit(until: Long): Unit = synchronized {
+      val acked = mids.headMap(until)
+      if (!acked.isEmpty) {
+        // acknowledge(Message) and acknowledge(MessageId) share an arity —
+        // resolve the MessageId overload explicitly
+        val midIface = Class.forName("org.apache.pulsar.client.api.MessageId")
+        val ack = consumer.getClass.getMethod("acknowledge", midIface)
+        ack.setAccessible(true)
+        acked.values.forEach(id => { ack.invoke(consumer, id); () })
+        acked.clear()
+      }
+      super.commit(until)
+    }
+  }
+
   /** The reference's default subscription name (pkg/app/consume.go:42-43). */
   val DefaultSubscription = "pulsar-adapter"
 
@@ -86,10 +149,19 @@ object BrokerSource {
     * use the file topic when more than one subscription must see all data.
     */
   def cursor(topic: String, dir: String,
-      subscription: String = DefaultSubscription): Cursor =
+      subscription: String = DefaultSubscription,
+      pulsar: Option[graft.streaming.PulsarSink.Config] = None): Cursor =
     cursors.computeIfAbsent(
-      if (dir == null) s"mem:$topic:$subscription" else s"file:$dir:$subscription",
-      _ => if (dir == null) new MemCursor(topic) else new FileCursor(dir))
+      pulsar match {
+        case Some(c) => s"pulsar:${c.url}:${c.topic}:$subscription"
+        case None if dir == null => s"mem:$topic:$subscription"
+        case None => s"file:$dir:$subscription"
+      },
+      _ => pulsar match {
+        case Some(c) => new PulsarCursor(c, subscription)
+        case None if dir == null => new MemCursor(topic)
+        case None => new FileCursor(dir)
+      })
 
   /** Test hook: drop all in-JVM cursor state, simulating a process restart.
     * FileCursor seqnos are deterministic (lexicographic file order), so a
@@ -102,17 +174,40 @@ object BrokerSource {
 class BrokerSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = BrokerSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new BrokerTable(properties.getOrDefault("topic", "metrics"),
+      properties: util.Map[String, String]): Table = {
+    // a non-empty pulsar.url selects the reflection-bound real-broker
+    // consumer; the remaining pulsar.* options mirror the CLI flag surface
+    def p(k: String, d: String) = properties.getOrDefault(k, d)
+    val pulsar = Option(p("pulsar.url", "")).filter(_.nonEmpty).map { url =>
+      graft.streaming.PulsarSink.Config(
+        url = url,
+        connectionTimeoutMs = p("pulsar.connection-timeout-ms", "30000").toLong,
+        operationTimeoutMs = p("send-timeout-ms", "30000").toLong,
+        topic = p("topic", "metrics"),
+        certificateAuthority = p("pulsar.certificate-authority", ""),
+        clientCertificate = p("pulsar.client-certificate", ""),
+        clientKey = p("pulsar.client-key", ""),
+        insecureSkipTlsVerify = p("pulsar.insecure-skip-tls-verify", "false").toBoolean,
+        insecureSkipTlsValidateHostname =
+          p("pulsar.insecure-skip-tls-validate-hostname", "false").toBoolean,
+        maxConnectionsPerBroker = p("pulsar.max-connections-per-broker", "1").toInt
+      ).validated
+    }
+    new BrokerTable(p("topic", "metrics"),
       properties.getOrDefault("dir", null),
-      properties.getOrDefault("maxRecordsPerTrigger", "0").toLong,
-      properties.getOrDefault("subscription", BrokerSource.DefaultSubscription))
+      p("maxRecordsPerTrigger", "0").toLong,
+      p("subscription", BrokerSource.DefaultSubscription),
+      pulsar)
+  }
 }
 
 class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
-    subscription: String = BrokerSource.DefaultSubscription)
+    subscription: String = BrokerSource.DefaultSubscription,
+    pulsar: Option[graft.streaming.PulsarSink.Config] = None)
   extends Table with SupportsRead {
-  override def name(): String = s"broker:${if (dir == null) topic else dir}@$subscription"
+  override def name(): String =
+    s"broker:${pulsar.map(c => s"pulsar:${c.url}/${c.topic}")
+      .getOrElse(if (dir == null) topic else dir)}@$subscription"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -121,7 +216,7 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic, dir, maxRecords, subscription)
+          new BrokerStream(topic, dir, maxRecords, subscription, pulsar)
       }
     }
 }
@@ -134,9 +229,10 @@ final case class BrokerOffset(seq: Long) extends Offset {
   * `maxOffsetsPerTrigger` analog; backpressure knob promised in SURVEY §4.
   */
 class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
-    subscription: String = BrokerSource.DefaultSubscription)
+    subscription: String = BrokerSource.DefaultSubscription,
+    pulsar: Option[graft.streaming.PulsarSink.Config] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  private val cursor = BrokerSource.cursor(topic, dir, subscription)
+  private val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
   // Trigger.AvailableNow pins the end offset at start-of-query; batches then
   // step toward it under the read limit and the query stops there
   @volatile private var availableNowTarget: java.lang.Long = null

@@ -103,52 +103,53 @@ object PulsarSink {
     ).validated
   }
 
-  /** One producer per executor partition against a real broker; all
-    * pulsar-client calls go through the public builder API by reflection.
-    * Mapping (clientOptions, pkg/app/pulsar.go:96-115):
+  /** Invoke `name` on `obj`: exact signature first, then name + arity
+    * (builder methods are not overloaded on arity in the pulsar-client
+    * API). A single value passed to a vararg parameter (e.g.
+    * `ProducerBuilder.topic(String...)`) is wrapped into the array.
+    * Shared by the producer [[Factory]] and the consumer cursor
+    * ([[graft.sources.BrokerSource.PulsarCursor]]).
+    */
+  private[graft] def call(obj: AnyRef, name: String, args: (Class[_], AnyRef)*): AnyRef = {
+    val exact =
+      try Some(obj.getClass.getMethod(name, args.map(_._1): _*))
+      catch { case _: NoSuchMethodException => None }
+    val m = exact
+      .orElse(obj.getClass.getMethods
+        .find(m => m.getName == name && m.getParameterCount == args.length))
+      .getOrElse(throw new NoSuchMethodException(
+        s"${obj.getClass.getName}.$name/${args.length}"))
+    m.setAccessible(true)
+    val actual = m.getParameterTypes.zip(args.map(_._2)).map {
+      case (pt, v) if pt.isArray && v != null && !v.getClass.isArray =>
+        val arr = java.lang.reflect.Array.newInstance(pt.getComponentType, 1)
+        java.lang.reflect.Array.set(arr, 0, v)
+        arr.asInstanceOf[AnyRef]
+      case (_, v) => v
+    }
+    m.invoke(obj, actual: _*)
+  }
+
+  /** Build a PulsarClient from [[Config]] through the public builder API by
+    * reflection. Mapping (clientOptions, pkg/app/pulsar.go:96-115):
     *   url -> serviceUrl, connectionTimeoutMs -> connectionTimeout,
-    *   certificateAuthority -> tlsTrustCertsFilePath,
+    *   operationTimeoutMs -> operationTimeout (--send-timeout,
+    *   produce.go:68), certificateAuthority -> tlsTrustCertsFilePath,
     *   client cert+key -> AuthenticationFactory.TLS,
     *   insecureSkipTlsVerify -> allowTlsInsecureConnection,
     *   insecureSkipTlsValidateHostname -> !enableTlsHostnameVerification,
     *   maxConnectionsPerBroker -> connectionsPerBroker.
+    * Throws IllegalStateException with a clear message when the
+    * pulsar-client jar is absent.
     */
-  final class Factory(cfg: Config) extends KeyedSink.ProducerFactory {
-    cfg.validated
-
-    override def create(partitionId: Long): KeyedSink.Producer = {
-      val (client, producer) =
-        try buildClientAndProducer()
-        catch {
-          case e: ClassNotFoundException =>
-            throw new IllegalStateException(
-              "pulsar-client is not on the classpath; add the official " +
-                "org.apache.pulsar:pulsar-client jar to produce to " + cfg.url, e)
-        }
-      new KeyedSink.Producer {
-        override def sendAsync(key: String, payload: Array[Byte]): Unit = {
-          val msg = call(producer, "newMessage")
-          call(msg, "key", classOf[String] -> key)
-          call(msg, "value", classOf[Object] -> payload)
-          call(msg, "sendAsync")
-          ()
-        }
-        override def flush(): Unit = { call(producer, "flush"); () }
-        override def close(): Unit = {
-          try call(producer, "close") finally call(client, "close")
-          ()
-        }
-      }
-    }
-
-    private def buildClientAndProducer(): (AnyRef, AnyRef) = {
+  private[graft] def buildClient(cfg: Config, what: String): AnyRef =
+    try {
       val clientClass = Class.forName("org.apache.pulsar.client.api.PulsarClient")
       val builder = clientClass.getMethod("builder").invoke(null)
       call(builder, "serviceUrl", classOf[String] -> cfg.url)
       call(builder, "connectionTimeout",
         classOf[Int] -> Int.box(cfg.connectionTimeoutMs.toInt),
         classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
-      // --send-timeout -> clientOptions.OperationTimeout (produce.go:68)
       call(builder, "operationTimeout",
         classOf[Int] -> Int.box(cfg.operationTimeoutMs.toInt),
         classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
@@ -168,36 +169,40 @@ object PulsarSink {
         val authIface = Class.forName("org.apache.pulsar.client.api.Authentication")
         builder.getClass.getMethod("authentication", authIface).invoke(builder, auth)
       }
-      val client = call(builder, "build")
+      call(builder, "build")
+    } catch {
+      case e: ClassNotFoundException =>
+        throw new IllegalStateException(
+          "pulsar-client is not on the classpath; add the official " +
+            s"org.apache.pulsar:pulsar-client jar to $what " + cfg.url, e)
+    }
+
+  /** One producer per executor partition against a real broker; all
+    * pulsar-client calls go through the public builder API by reflection
+    * (see [[buildClient]] for the flag mapping).
+    */
+  final class Factory(cfg: Config) extends KeyedSink.ProducerFactory {
+    cfg.validated
+
+    override def create(partitionId: Long): KeyedSink.Producer = {
+      val client = buildClient(cfg, "produce to")
       val producerBuilder = call(client, "newProducer")
       call(producerBuilder, "topic", classOf[String] -> cfg.topic)
       val producer = call(producerBuilder, "create")
-      (client, producer)
-    }
-
-    /** Invoke `name` on `obj`: exact signature first, then name + arity
-      * (builder methods are not overloaded on arity in the pulsar-client
-      * API). A single value passed to a vararg parameter (e.g.
-      * `ProducerBuilder.topic(String...)`) is wrapped into the array.
-      */
-    private def call(obj: AnyRef, name: String, args: (Class[_], AnyRef)*): AnyRef = {
-      val exact =
-        try Some(obj.getClass.getMethod(name, args.map(_._1): _*))
-        catch { case _: NoSuchMethodException => None }
-      val m = exact
-        .orElse(obj.getClass.getMethods
-          .find(m => m.getName == name && m.getParameterCount == args.length))
-        .getOrElse(throw new NoSuchMethodException(
-          s"${obj.getClass.getName}.$name/${args.length}"))
-      m.setAccessible(true)
-      val actual = m.getParameterTypes.zip(args.map(_._2)).map {
-        case (pt, v) if pt.isArray && v != null && !v.getClass.isArray =>
-          val arr = java.lang.reflect.Array.newInstance(pt.getComponentType, 1)
-          java.lang.reflect.Array.set(arr, 0, v)
-          arr.asInstanceOf[AnyRef]
-        case (_, v) => v
+      new KeyedSink.Producer {
+        override def sendAsync(key: String, payload: Array[Byte]): Unit = {
+          val msg = call(producer, "newMessage")
+          call(msg, "key", classOf[String] -> key)
+          call(msg, "value", classOf[Object] -> payload)
+          call(msg, "sendAsync")
+          ()
+        }
+        override def flush(): Unit = { call(producer, "flush"); () }
+        override def close(): Unit = {
+          try call(producer, "close") finally call(client, "close")
+          ()
+        }
       }
-      m.invoke(obj, actual: _*)
     }
   }
 }

@@ -89,4 +89,26 @@ class PulsarSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pulsar-client is not on the classpath"))
     assert(e.getCause.isInstanceOf[ClassNotFoundException])
   }
+
+  test("consumer cursor fails fast without pulsar-client on the classpath") {
+    val c = graft.sources.BrokerSource.cursor("t-consumer-ff", null, "sub-ff",
+      Some(PulsarSink.Config(url = "pulsar://localhost:6650", topic = "t-consumer-ff")))
+    val e = intercept[IllegalStateException](c.poll())
+    assert(e.getMessage.contains("pulsar-client is not on the classpath"), e.getMessage)
+    assert(e.getMessage.contains("consume from"), e.getMessage)
+  }
+
+  test("broker source provider selects the pulsar consumer for pulsar.url") {
+    val props = new java.util.HashMap[String, String]()
+    props.put("topic", "pt")
+    props.put("subscription", "my-sub")
+    props.put("pulsar.url", "pulsar+ssl://proxy:6651")
+    val t = new graft.sources.BrokerSourceProvider().getTable(null, Array.empty, props)
+    assert(t.name() == "broker:pulsar:pulsar+ssl://proxy:6651/pt@my-sub", t.name())
+    // TLS validation applies to the consumer config path too
+    props.put("pulsar.client-key", "/etc/key.pem")
+    val e = intercept[IllegalArgumentException](
+      new graft.sources.BrokerSourceProvider().getTable(null, Array.empty, props))
+    assert(e.getMessage.contains("both pulsar.client-key and pulsar.client-certificate"))
+  }
 }
