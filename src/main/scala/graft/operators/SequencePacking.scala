@@ -31,14 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object SequencePacking {
 
-  /** Per-shard sequence counts -> global base offsets: the distributed
-    * prefix-sum (a window over `shards` rows, not data).
+  /** The shards-row prefix-sum turning per-shard sequence counts into
+    * global base offsets (a single-partition window over `shards` rows,
+    * never data).
     */
-  private def withBases(totals: DataFrame): DataFrame = {
-    val w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    totals.withColumn("base", coalesce(sum(col("nseq")).over(w), lit(0L)))
-      .select(col("shard"), col("base"))
-  }
+  private val BaseWindow = Window.orderBy("shard")
+    .rowsBetween(Window.unboundedPreceding, -1)
 
   private def sharded(df: DataFrame, idCol: String, countCol: String,
       shards: Int): DataFrame =
@@ -53,12 +51,16 @@ object SequencePacking {
   def packChunked(df: DataFrame, idCol: String, countCol: String,
       seqLen: Int, shards: Int): DataFrame = {
     require(seqLen > 0 && shards > 0, s"seqLen/shards must be positive")
+    val s = sharded(df, idCol, countCol, shards)
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    val cum = sharded(df, idCol, countCol, shards)
-      .withColumn("cum", sum(col("n_tok")).over(w))
-    val totals = cum.groupBy(col("shard")).agg(max(col("cum")).as("tok"))
+    val cum = s.withColumn("cum", sum(col("n_tok")).over(w))
+    // per-shard totals come from a plain scan-aggregate (map-side partials
+    // to `shards` rows — no second corpus window/shuffle on this branch)
+    val bases = s.groupBy(col("shard")).agg(sum(col("n_tok")).as("tok"))
       .select(col("shard"), expr(s"(tok + ${seqLen - 1}) div $seqLen").as("nseq"))
-    cum.join(broadcast(withBases(totals)), "shard")
+      .withColumn("base", coalesce(sum(col("nseq")).over(BaseWindow), lit(0L)))
+      .select(col("shard"), col("base"))
+    cum.join(broadcast(bases), "shard")
       .select(col("doc_id"), col("n_tok"), col("shard"),
         (col("base") + expr(s"(cum - n_tok) div $seqLen")).as("first_seq"),
         (col("base") + expr(s"(cum - 1) div $seqLen")).as("last_seq"),
@@ -95,13 +97,15 @@ object SequencePacking {
             concat(acc.getField("out"), array(nb)).as("out"))
         },
         acc => acc.getField("out")))
-    val perDoc = folded
-      .select(col("shard"), posexplode(arrays_zip(col("ds"), col("bins"))).as(Seq("i", "z")))
-      .select(col("shard"), col("z.ds.doc_id").as("doc_id"),
-        col("z.ds.n_tok").as("n_tok"), col("z.bins").as("bin"))
-    val totals = folded.select(col("shard"), (array_max(col("bins")) + 1L).as("nseq"))
-    perDoc.join(broadcast(withBases(totals)), "shard")
-      .select(col("doc_id"), col("n_tok"), col("shard"),
-        (col("base") + col("bin")).as("seq"))
+    // the folded frame is one row per shard, so the global-id prefix-sum is
+    // a window over it directly — attached BEFORE the explode, one fold
+    // total, no join, no second pass over the corpus
+    folded
+      .withColumn("nseq", array_max(col("bins")) + 1L)
+      .withColumn("base", coalesce(sum(col("nseq")).over(BaseWindow), lit(0L)))
+      .select(col("shard"), col("base"),
+        posexplode(arrays_zip(col("ds"), col("bins"))).as(Seq("i", "z")))
+      .select(col("z.ds.doc_id").as("doc_id"), col("z.ds.n_tok").as("n_tok"),
+        col("shard"), (col("base") + col("z.bins")).as("seq"))
   }
 }

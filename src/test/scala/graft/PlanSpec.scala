@@ -197,6 +197,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d42/d43: packing is per-shard windows/folds; greedy joins nothing") {
+    // greedy: ONE fold pass — the global-id prefix-sum windows the folded
+    // shards-row frame before the explode, so no join and no second pass
+    val p43 = plan("d43_pack_greedy")
+    assert(!p43.contains("Join"), "greedy packing must not join\n" + p43)
+    // chunked: the only join is the shards-row base table broadcast back
+    val p42 = plan("d42_seq_pack")
+    assert("BroadcastHashJoin".r.findAllIn(p42).length <= 1,
+      "only the shards-row base table may broadcast-join\n" + p42)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
