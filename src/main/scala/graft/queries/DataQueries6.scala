@@ -37,6 +37,16 @@ object DataQueries6 {
         .packGreedy(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8)
         .orderBy("doc_id")),
 
+    // fixed-window chunking with overlap (200-char windows every 150 chars):
+    // the context-window stage for retrieval/embedding pipelines, as a pure
+    // narrow map + per-row explode — zero shuffle, full tail coverage.
+    "d45_chunk_text" -> ((s, dir) =>
+      graft.operators.TextChunking
+        .chunkFixed(docs(s, dir), "doc_id", "text", 200, 150)
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -55,6 +65,14 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d45_chunk_text" ->
+      """WITH t AS (SELECT doc_id, text, CAST(greatest(0, length(text) - 51) // 150 + 1 AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx, CAST(1 + s.i * 150 AS BIGINT) AS start,
+        |  CAST(length(substr(text, CAST(1 + s.i * 150 AS BIGINT), 200)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(1 + s.i * 150 AS BIGINT), 200)) AS chunk_md5
+        |FROM t, unnest(generate_series(0, n - 1)) AS s(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "d42_seq_pack" ->
       """WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
         |c AS (SELECT doc_id, n_tok, shard, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
