@@ -73,6 +73,15 @@ object StreamOps {
       .filter(col("hm") * col("c") < col("m") * 1048576L)
       .drop("hm", "c", "m")
 
+  /** Streaming context-window chunking (the streaming twin of d45): the
+    * shared [[graft.operators.TextChunking]] narrow map + per-row explode —
+    * stateless, so documents arriving on a stream chunk identically to the
+    * batch path with no watermark and no shuffle.
+    */
+  def chunkFixed(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame =
+    graft.operators.TextChunking.chunkFixed(df, idCol, textCol, width, stride)
+
   /** Streaming quality-rule filter (the streaming twin of d39): the
     * Gopher-style keep predicate via the shared TextQuality narrow map —
     * no state, no shuffle; replay gives identical keeps.

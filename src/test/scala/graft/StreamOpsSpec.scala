@@ -150,6 +150,24 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking emits the batch chunks exactly") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "a" * 30), (2L, "b" * 500), (3L, ""))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.chunkFixed(ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      val expect = StreamOps.chunkFixed(rows.toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream join matches within the time bound") {
     val s = spark
     import s.implicits._
