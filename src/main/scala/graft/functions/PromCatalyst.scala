@@ -121,6 +121,33 @@ object PromCatalyst {
   /** Wrapping linear mix g*a+b mod 2^64 (ANSI mode would throw on overflow). */
   def mix64(g: Long, a: Long, b: Long): Long = g * a + b
 
+  /** Greedy next-fit bin ids over per-doc token counts (input order): a doc
+    * joins the open bin when it fits under `seqLen` AND the bin holds fewer
+    * than `maxDocs` docs (maxDocs <= 0 = unbounded); otherwise it opens the
+    * next bin (an oversized doc gets a bin of its own). One linear pass with
+    * a mutable builder — O(n) per shard, unlike a Catalyst `aggregate` fold,
+    * whose immutable accumulator array would copy O(n^2) elements.
+    */
+  def nextFitBins(toks: ArrayData, seqLen: Long, maxDocs: Long): ArrayData = {
+    val n = toks.numElements()
+    val bins = new Array[Long](n)
+    var fill = 0L
+    var bin = -1L
+    var docs = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getLong(i)
+      if (bin >= 0 && fill + t <= seqLen && (maxDocs <= 0 || docs < maxDocs)) {
+        fill += t; docs += 1
+      } else {
+        bin += 1; fill = t; docs = 1
+      }
+      bins(i) = bin
+      i += 1
+    }
+    new GenericArrayData(bins)
+  }
+
   /** Left-fold dot product over array<double> — identical accumulation order
     * to `aggregate(zip_with(...))` (bit-identical results) but codegen'd
     * (Catalyst higher-order functions are interpreted).

@@ -136,4 +136,13 @@ object prom {
   /** Codegen'd left-fold dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))
+
+  /** Greedy next-fit bin ids for an array<long> of token counts — the O(n)
+    * mutable-builder kernel behind `SequencePacking.packGreedy` (a Catalyst
+    * `aggregate` fold carrying the output array would copy O(n^2) elements).
+    * `maxDocsPerSeq <= 0` = unbounded.
+    */
+  def next_fit_bins(toks: Column, seqLen: Int, maxDocsPerSeq: Int = 0): Column =
+    invoke(ArrayType(LongType, containsNull = false), "nextFitBins",
+      Seq(expr(toks), Literal(seqLen.toLong), Literal(maxDocsPerSeq.toLong)))
 }

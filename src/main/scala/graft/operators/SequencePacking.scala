@@ -38,9 +38,14 @@ object SequencePacking {
   private val BaseWindow = Window.orderBy("shard")
     .rowsBetween(Window.unboundedPreceding, -1)
 
+  /** Rows with `n_tok <= 0` are dropped: a zero-token document occupies no
+    * sequence positions, and keeping it would make packChunked emit a
+    * nonsensical `last_seq < first_seq` row.
+    */
   private def sharded(df: DataFrame, idCol: String, countCol: String,
       shards: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), col(countCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0L)
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
 
   /** Contiguous concat-and-chunk packing. Returns
@@ -71,32 +76,24 @@ object SequencePacking {
     * `(doc_id, n_tok, shard, seq)` with `seq` global across shards. The
     * per-shard fold runs in one reducer over the shard's sorted
     * (doc_id, n_tok) array — the documented shard-size knob above.
+    *
+    * @param maxDocsPerSeq cap on documents per sequence (the attention-mask
+    *                      constraint: a sequence closes after k docs even if
+    *                      more would fit). 0 = unbounded.
     */
   def packGreedy(df: DataFrame, idCol: String, countCol: String,
-      seqLen: Int, shards: Int): DataFrame = {
+      seqLen: Int, shards: Int, maxDocsPerSeq: Int = 0): DataFrame = {
     require(seqLen > 0 && shards > 0, s"seqLen/shards must be positive")
     val grouped = sharded(df, idCol, countCol, shards)
       .groupBy(col("shard"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tok")))).as("ds"))
-    // next-fit state machine as an array fold: (fill, bin) threaded through
-    // the docs in doc_id order, emitting each doc's bin. bin starts at -1 so
-    // the first doc always opens bin 0; an oversized doc opens its own bin
-    // (fill > seqLen closes it on the next doc).
+    // next-fit state machine over the doc_id-ordered counts: one codegen'd
+    // O(n) kernel pass per shard (prom.next_fit_bins) emitting each doc's
+    // bin. The first doc always opens bin 0; an oversized doc opens its own
+    // bin (fill > seqLen closes it on the next doc).
     val folded = grouped.withColumn("bins",
-      aggregate(col("ds"),
-        struct(lit(0L).as("fill"), lit(-1L).as("bin"),
-          typedLit(Seq.empty[Long]).as("out")),
-        (acc, d) => {
-          val fits = acc.getField("bin") >= 0 &&
-            acc.getField("fill") + d.getField("n_tok") <= seqLen
-          val nb = when(fits, acc.getField("bin")).otherwise(acc.getField("bin") + 1L)
-          struct(
-            when(fits, acc.getField("fill") + d.getField("n_tok"))
-              .otherwise(d.getField("n_tok")).as("fill"),
-            nb.as("bin"),
-            concat(acc.getField("out"), array(nb)).as("out"))
-        },
-        acc => acc.getField("out")))
+      graft.functions.prom.next_fit_bins(
+        transform(col("ds"), d => d.getField("n_tok")), seqLen, maxDocsPerSeq))
     // the folded frame is one row per shard, so the global-id prefix-sum is
     // a window over it directly — attached BEFORE the explode, one fold
     // total, no join, no second pass over the corpus

@@ -47,6 +47,16 @@ object DataQueries6 {
           md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // capped greedy packing: next-fit with a max-docs-per-sequence knob (the
+    // attention-mask constraint — a sequence closes after 4 docs even when
+    // more would fit). Same per-shard O(n) kernel fold as d43, one extra
+    // condition; the cap binds here (~8 short docs would fit 256 tokens).
+    "d47_pack_capped" -> ((s, dir) =>
+      graft.operators.SequencePacking
+        .packGreedy(withTok(docs(s, dir)), "doc_id", "n_tok", 256, 8,
+          maxDocsPerSeq = 4)
+        .orderBy("doc_id")),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -93,6 +103,23 @@ object DataQueries6 {
         |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
         |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
         |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
+        |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
+        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
+    "d47_pack_capped" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin, CAST(1 AS BIGINT) AS nd FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 256 AND r.nd < 4 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 256 AND r.nd < 4 THEN r.bin ELSE r.bin + 1 END AS bin,
+        |    CASE WHEN r.fill + n.n_tok <= 256 AND r.nd < 4 THEN r.nd + 1 ELSE CAST(1 AS BIGINT) END AS nd
         |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
         |),
         |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),

@@ -55,6 +55,51 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(p.exceptAll(again).count() == 0 && again.exceptAll(p).count() == 0)
   }
 
+  test("packGreedy matches a reference Scala fold (linear kernel, one big shard)") {
+    // 20k docs in ONE shard: the O(n) kernel is instant; the old Catalyst
+    // aggregate fold copied O(n^2) accumulator elements here
+    val n = 20000
+    val toks = Array.tabulate(n)(i => (i.toLong * 37 + 11) % 150 + 1)
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(col("id") * 37 + 11, lit(150)) + 1).as("n_tok"))
+    val got = SequencePacking.packGreedy(df, "doc_id", "n_tok", L, 1)
+      .orderBy("doc_id").select("seq").collect().map(_.getLong(0))
+    var fill = 0L; var bin = -1L
+    val want = toks.map { t =>
+      if (bin >= 0 && fill + t <= L) fill += t else { bin += 1; fill = t }
+      bin
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("maxDocsPerSeq closes a sequence after k docs even when more fit") {
+    val s = spark
+    import s.implicits._
+    // five 10-token docs all fit 100; cap 2 forces bins [0,0,1,1,2]
+    val df = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("doc_id", "n_tok")
+    val p = SequencePacking.packGreedy(df, "doc_id", "n_tok", 100, 1, maxDocsPerSeq = 2)
+      .orderBy("doc_id").collect().map(_.getLong(3))
+    assert(p.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+    // and the cap holds under the synthetic mix too
+    val capped = SequencePacking.packGreedy(counts, "doc_id", "n_tok", L, Shards,
+      maxDocsPerSeq = 3)
+    val over = capped.groupBy("seq").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 3).count()
+    assert(over == 0)
+  }
+
+  test("zero-token documents are dropped, not packed into nonsense rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 5L), (1L, 0L), (2L, 7L)).toDF("doc_id", "n_tok")
+    val c = SequencePacking.packChunked(df, "doc_id", "n_tok", 10, 1)
+    assert(c.count() == 2 &&
+      c.filter(col("last_seq") < col("first_seq")).count() == 0)
+    val g = SequencePacking.packGreedy(df, "doc_id", "n_tok", 10, 1)
+    assert(g.count() == 2)
+  }
+
   test("greedy packs in doc_id order within a shard (next-fit, not first-fit)") {
     val s = spark
     import s.implicits._
