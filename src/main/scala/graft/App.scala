@@ -181,7 +181,8 @@ object App {
       if (pulsarCfg.url.nonEmpty)
         r.option("pulsar.url", pulsarCfg.url)
           .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)
-          .option("send-timeout-ms", pulsarCfg.operationTimeoutMs.toString)
+          // no operation-timeout option: the consumer client leaves it unset,
+          // like the reference (send-timeout only bounds the HTTP POST below)
           .option("pulsar.certificate-authority", pulsarCfg.certificateAuthority)
           .option("pulsar.client-certificate", pulsarCfg.clientCertificate)
           .option("pulsar.client-key", pulsarCfg.clientKey)

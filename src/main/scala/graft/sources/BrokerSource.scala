@@ -33,6 +33,17 @@ import graft.streaming.InMemoryBroker
   * JVM), the file topic (cross-process), and [[BrokerSource.PulsarCursor]]
   * — a reflection-bound KeyShared consumer against the public
   * pulsar-client API (real broker; individually acks on offset commit).
+  *
+  * Scale posture: the driver tracks OFFSETS, not payloads. The durable
+  * file topic keeps only (seqno -> file name) on the driver and ships name
+  * ranges to executors, whose [[PartitionReader]]s open the segment files
+  * themselves — payload bytes never transit the driver. The in-memory topic
+  * is same-JVM by construction (local test stand-in), and the real-broker
+  * cursor receives on the driver because the pulsar-client consumer lives
+  * there (parity with the reference's single-process consume loop,
+  * consume.go:80-94) — its documented ceiling is the driver NIC; scale out
+  * by running more queries with distinct subscription names over key-hash
+  * ranges.
   */
 object BrokerSource {
   val schema: StructType = StructType(Seq(
@@ -40,19 +51,37 @@ object BrokerSource {
     StructField("payload", BinaryType, nullable = false)
   ))
 
-  /** Consumed-but-uncommitted view: seqno -> message. */
+  /** Consumed-but-uncommitted view addressed by dense seqno offsets. */
   sealed abstract class Cursor {
-    protected val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, InMemoryBroker.Message]()
     protected val seq = new AtomicLong(0L)
     /** Pull everything currently available into the offset-addressed buffer. */
     def poll(): Long
+    /** Drop (and where the broker needs it, acknowledge) offsets below `until`. */
+    def commit(until: Long): Unit
+    /** Plan the executor-side partitions for [from, until). */
+    def planPartitions(from: Long, until: Long): Array[InputPartition]
+    /** Rebase a fresh cursor so new deliveries number from the checkpointed
+      * start (no-op unless a backend's seqnos are not stable across
+      * restarts — see [[PulsarCursor]]).
+      */
+    def ensureBase(start: Long): Unit = ()
+  }
+
+  /** Cursor whose buffer holds materialized messages on the driver (the
+    * in-memory queue — same JVM by definition — and the real-broker
+    * consumer, which receives on the driver).
+    */
+  sealed abstract class MaterializedCursor extends Cursor {
+    protected val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, InMemoryBroker.Message]()
     def range(from: Long, until: Long): Array[InMemoryBroker.Message] =
       buf.subMap(from, until).values.toArray(Array.empty[InMemoryBroker.Message])
-    def commit(until: Long): Unit = buf.headMap(until).clear()
+    override def commit(until: Long): Unit = buf.headMap(until).clear()
+    override def planPartitions(from: Long, until: Long): Array[InputPartition] =
+      Array(BrokerInputPartition(range(from, until)))
   }
 
   /** In-memory topic (same JVM). */
-  final class MemCursor(topic: String) extends Cursor {
+  final class MemCursor(topic: String) extends MaterializedCursor {
     override def poll(): Long = synchronized {
       var m = InMemoryBroker.topic(topic).poll()
       while (m != null) { buf.put(seq.getAndIncrement(), m); m = InMemoryBroker.topic(topic).poll() }
@@ -60,16 +89,27 @@ object BrokerSource {
     }
   }
 
-  /** File-backed topic directory (cross-process; see graft.streaming.FileTopic). */
+  /** File-backed topic directory (cross-process; see
+    * graft.streaming.FileTopic). The driver buffers only FILE NAMES — one
+    * small string per message; payload bytes are read on executors by
+    * [[FileRangePartition]] readers opening the segment files directly.
+    * Seqnos are deterministic (lexicographic file order), so a rebuilt
+    * cursor lines up with checkpointed offsets after a restart.
+    */
   final class FileCursor(dir: String) extends Cursor {
+    private val names = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
     private var lastName = ""
     override def poll(): Long = synchronized {
-      graft.streaming.FileTopic.listAfter(dir, lastName).foreach { st =>
-        buf.put(seq.getAndIncrement(), InMemoryBroker.Message(st.key, st.payload))
-        lastName = st.name
+      graft.streaming.FileTopic.listNamesAfter(dir, lastName).foreach { name =>
+        names.put(seq.getAndIncrement(), name)
+        lastName = name
       }
       seq.get()
     }
+    override def commit(until: Long): Unit = names.headMap(until).clear()
+    override def planPartitions(from: Long, until: Long): Array[InputPartition] =
+      Array(FileRangePartition(dir,
+        names.subMap(from, until).values.toArray(Array.empty[String])))
   }
 
   /** Real-broker consumer cursor: a KeyShared subscription on a Pulsar
@@ -83,13 +123,30 @@ object BrokerSource {
     * Nack/redelivery path. The cursor lives on the driver (offset
     * management polls there; readers receive materialized message ranges).
     * Fails fast with a clear error when the pulsar-client jar is absent.
+    *
+    * Restart safety: in-memory seqnos start at 0 per incarnation, but a
+    * restored checkpoint carries the PREVIOUS incarnation's numbering.
+    * [[ensureBase]] rebases a fresh cursor so redelivered unacked messages
+    * number from the checkpointed start — without it, `commit` would
+    * acknowledge seqnos below the start that were never served to any
+    * batch in this run (silent data loss under at-least-once).
     */
-  final class PulsarCursor(cfg: graft.streaming.PulsarSink.Config,
-      subscription: String) extends Cursor {
-    import graft.streaming.PulsarSink.{buildClient, call}
+  class PulsarCursor(cfg: graft.streaming.PulsarSink.Config,
+      subscription: String) extends MaterializedCursor {
+    import graft.streaming.PulsarSink.call
     private val mids = new java.util.concurrent.ConcurrentSkipListMap[Long, AnyRef]()
-    private lazy val consumer: AnyRef = {
-      val client = buildClient(cfg, "consume from")
+    private var served = false
+    private var rebased = false
+
+    /** Overridable seam: tests inject a fake consumer (same method shape);
+      * production builds the KeyShared subscription by reflection. The
+      * client deliberately does NOT set operationTimeout: the reference
+      * leaves OperationTimeout unset on the consume path (`--send-timeout`
+      * there bounds only the remote_write POST, consume.go:40-41).
+      */
+    protected def newConsumer(): AnyRef = {
+      val client = graft.streaming.PulsarSink
+        .buildClient(cfg, "consume from", setOperationTimeout = false)
       val cb = call(client, "newConsumer")
       call(cb, "topic", classOf[String] -> cfg.topic)
       // consume.go:42-43: the shared subscription name; KeyShared preserves
@@ -100,6 +157,33 @@ object BrokerSource {
         subType -> subType.getMethod("valueOf", classOf[String])
           .invoke(null, "Key_Shared"))
       call(cb, "subscribe")
+    }
+
+    private lazy val consumer: AnyRef = newConsumer()
+
+    override def range(from: Long, until: Long): Array[InMemoryBroker.Message] =
+      synchronized { served = true; super.range(from, until) }
+
+    override def ensureBase(start: Long): Unit = synchronized {
+      // one-shot rebase on the FIRST restored offset: the checkpointed
+      // start becomes this incarnation's zero, so redelivered unacked
+      // messages line up with the restored numbering. Entries polled
+      // before the start was known (Trigger.AvailableNow polls during
+      // query initialization) are shifted up — they were numbered from 0
+      // and nothing was served or committed yet.
+      if (!rebased) {
+        rebased = true
+        if (start > 0 && !served) {
+          val bufOld = new java.util.TreeMap(buf)
+          buf.clear()
+          bufOld.forEach((k, v) => { buf.put(k + start, v); () })
+          val midsOld = new java.util.TreeMap(mids)
+          mids.clear()
+          midsOld.forEach((k, v) => { mids.put(k + start, v); () })
+          seq.addAndGet(start)
+          ()
+        }
+      }
     }
 
     override def poll(): Long = synchronized {
@@ -120,12 +204,18 @@ object BrokerSource {
     }
 
     override def commit(until: Long): Unit = synchronized {
+      served = true
+      // acks only ever touch mids entries — i.e. messages actually received
+      // by THIS incarnation (post-rebase numbering), never bare offsets
       val acked = mids.headMap(until)
       if (!acked.isEmpty) {
         // acknowledge(Message) and acknowledge(MessageId) share an arity —
-        // resolve the MessageId overload explicitly
-        val midIface = Class.forName("org.apache.pulsar.client.api.MessageId")
-        val ack = consumer.getClass.getMethod("acknowledge", midIface)
+        // resolve the MessageId overload by parameter type name
+        val ack = consumer.getClass.getMethods
+          .find(m => m.getName == "acknowledge" && m.getParameterCount == 1 &&
+            m.getParameterTypes()(0).getSimpleName.endsWith("MessageId"))
+          .getOrElse(throw new NoSuchMethodException(
+            s"${consumer.getClass.getName}.acknowledge(MessageId)"))
         ack.setAccessible(true)
         acked.values.forEach(id => { ack.invoke(consumer, id); () })
         acked.clear()
@@ -182,7 +272,6 @@ class BrokerSourceProvider extends TableProvider {
       graft.streaming.PulsarSink.Config(
         url = url,
         connectionTimeoutMs = p("pulsar.connection-timeout-ms", "30000").toLong,
-        operationTimeoutMs = p("send-timeout-ms", "30000").toLong,
         topic = p("topic", "metrics"),
         certificateAuthority = p("pulsar.certificate-authority", ""),
         clientCertificate = p("pulsar.client-certificate", ""),
@@ -233,21 +322,28 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
-  // Trigger.AvailableNow pins the end offset at start-of-query; batches then
-  // step toward it under the read limit and the query stops there
+  // Trigger.AvailableNow pins the end offset at the first planned batch;
+  // batches then step toward it under the read limit and the query stops
+  // there. The pin happens INSIDE latestOffset(start, _) — after
+  // ensureBase — so a restored PulsarCursor's rebase can't strand the
+  // target in pre-rebase numbering.
+  @volatile private var availableNowRequested = false
   @volatile private var availableNowTarget: java.lang.Long = null
 
   override def initialOffset(): Offset = BrokerOffset(0L)
   override def latestOffset(): Offset = BrokerOffset(cursor.poll())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = cursor.poll()
+    availableNowRequested = true
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxRecords > 0) ReadLimit.maxRows(maxRecords) else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    cursor.ensureBase(start.asInstanceOf[BrokerOffset].seq)
     val polled = cursor.poll()
+    if (availableNowRequested && availableNowTarget == null)
+      availableNowTarget = polled
     val avail = if (availableNowTarget != null) math.min(availableNowTarget, polled) else polled
     val s = start.asInstanceOf[BrokerOffset].seq
     limit match {
@@ -265,23 +361,48 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BrokerOffset].seq
     val e = end.asInstanceOf[BrokerOffset].seq
-    if (e <= s) Array.empty else Array(BrokerInputPartition(cursor.range(s, e)))
+    cursor.ensureBase(s)
+    if (e <= s) Array.empty else cursor.planPartitions(s, e)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => new PartitionReader[InternalRow] {
-      private val msgs = partition.asInstanceOf[BrokerInputPartition].msgs
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < msgs.length }
-      override def get(): InternalRow = {
-        val m = msgs(i)
-        InternalRow(
-          if (m.key == null) null else UTF8String.fromString(m.key),
-          m.payload)
+    (partition: InputPartition) => partition match {
+      case BrokerInputPartition(msgs) => new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < msgs.length }
+        override def get(): InternalRow = {
+          val m = msgs(i)
+          InternalRow(
+            if (m.key == null) null else UTF8String.fromString(m.key),
+            m.payload)
+        }
+        override def close(): Unit = ()
       }
-      override def close(): Unit = ()
+      // executor-side segment reads: only file names crossed the driver
+      case FileRangePartition(d, names) => new PartitionReader[InternalRow] {
+        private var i = -1
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          i += 1
+          if (i >= names.length) false
+          else {
+            val (k, payload) = graft.streaming.FileTopic.read(d, names(i))
+            row = InternalRow(
+              if (k == null) null else UTF8String.fromString(k), payload)
+            true
+          }
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass.getName}")
     }
 }
 
 final case class BrokerInputPartition(msgs: Array[InMemoryBroker.Message])
+    extends InputPartition
+
+/** File-topic partition: the driver ships names; executors read payloads. */
+final case class FileRangePartition(dir: String, names: Array[String])
     extends InputPartition

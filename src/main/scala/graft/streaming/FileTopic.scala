@@ -52,20 +52,30 @@ object FileTopic {
 
   /** List messages with names strictly greater than `after` (exclusive),
     * in name order. */
-  def listAfter(dir: String, after: String): Seq[Stored] = {
+  def listAfter(dir: String, after: String): Seq[Stored] =
+    listNamesAfter(dir, after).map { name =>
+      val (k, payload) = read(dir, name)
+      Stored(name, k, payload)
+    }
+
+  /** Names only — no payload reads. This is what the driver-side cursor
+    * buffers; executors call [[read]] per name to materialize payloads.
+    */
+  def listNamesAfter(dir: String, after: String): Seq[String] = {
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Stored]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val stream = Files.list(base)
     try {
       stream.iterator().forEachRemaining { p: Path =>
         val name = p.getFileName.toString
-        if (name.endsWith(".msg") && name > after) {
-          val (k, payload) = decode(Files.readAllBytes(p))
-          out += Stored(name, k, payload)
-        }
+        if (name.endsWith(".msg") && name > after) out += name
       }
     } finally stream.close()
-    out.sortBy(_.name).toSeq
+    out.sorted.toSeq
   }
+
+  /** Read one message file: (key, payload). */
+  def read(dir: String, name: String): (String, Array[Byte]) =
+    decode(Files.readAllBytes(Paths.get(dir).resolve(name)))
 }

@@ -141,8 +141,15 @@ object PulsarSink {
     *   maxConnectionsPerBroker -> connectionsPerBroker.
     * Throws IllegalStateException with a clear message when the
     * pulsar-client jar is absent.
+    *
+    * `setOperationTimeout = false` leaves the client's OperationTimeout at
+    * its default — the consume path uses this, matching the reference,
+    * whose consumer clientOptions deliberately omit OperationTimeout
+    * (`--send-timeout` there bounds only the remote_write POST,
+    * consume.go:40-41).
     */
-  private[graft] def buildClient(cfg: Config, what: String): AnyRef =
+  private[graft] def buildClient(cfg: Config, what: String,
+      setOperationTimeout: Boolean = true): AnyRef =
     try {
       val clientClass = Class.forName("org.apache.pulsar.client.api.PulsarClient")
       val builder = clientClass.getMethod("builder").invoke(null)
@@ -150,9 +157,10 @@ object PulsarSink {
       call(builder, "connectionTimeout",
         classOf[Int] -> Int.box(cfg.connectionTimeoutMs.toInt),
         classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
-      call(builder, "operationTimeout",
-        classOf[Int] -> Int.box(cfg.operationTimeoutMs.toInt),
-        classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
+      if (setOperationTimeout)
+        call(builder, "operationTimeout",
+          classOf[Int] -> Int.box(cfg.operationTimeoutMs.toInt),
+          classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
       call(builder, "connectionsPerBroker",
         classOf[Int] -> Int.box(cfg.maxConnectionsPerBroker))
       if (cfg.certificateAuthority.nonEmpty)
