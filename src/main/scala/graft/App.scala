@@ -26,6 +26,35 @@ object App {
     if (i >= 0 && i + 1 < args.length) args(i + 1) else default
   }
 
+  /** First present flag wins — used where the reference spelling and this
+    * CLI's historical shorthand are both accepted.
+    */
+  private[graft] def firstFlag(args: Array[String], names: Seq[String],
+      default: String): String =
+    names.iterator
+      .map(n => args.indexOf(s"--$n"))
+      .collectFirst { case i if i >= 0 && i + 1 < args.length => args(i + 1) }
+      .getOrElse(default)
+
+  /** The reference's serializer flag is `--pulsar.serializer`
+    * (pkg/app/pulsar.go:161-167); `--serializer` stays as the alias this
+    * CLI historically used.
+    */
+  private[graft] def serializerOf(args: Array[String]): String =
+    firstFlag(args, Seq("pulsar.serializer", "serializer"), "json")
+
+  /** app.go:60-62: `--web.listen-address` takes "host:port" (":9201" = all
+    * interfaces). Returns (host, port); throws with the flag name on junk.
+    */
+  private[graft] def parseListenAddress(addr: String): (String, Int) = {
+    val i = addr.lastIndexOf(':')
+    val port =
+      try { require(i >= 0); addr.substring(i + 1).toInt }
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"--web.listen-address: expected host:port, got '$addr'") }
+    (addr.substring(0, math.max(i, 0)), port)
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("produce")
     val spark = SparkSession.builder()
@@ -82,14 +111,22 @@ object App {
     * keyed publish (pkg/app/produce.go).
     */
   private def produce(spark: SparkSession, args: Array[String]): Unit = {
-    val port = flag(args, "web.listen-port", "9201")
+    // app.go:60-62: --web.listen-address (host:port) is the reference
+    // spelling; --web.listen-port stays as the port-only shorthand
+    val (host, port) = {
+      val addr = flag(args, "web.listen-address", "")
+      if (addr.nonEmpty) parseListenAddress(addr)
+      else ("", flag(args, "web.listen-port", "9201").toInt)
+    }
     val path = flag(args, "web.write-path", "/write")
+    // app.go:65-67: --web.telemetry-path relocates the metrics endpoint
+    val telemetryPath = flag(args, "web.telemetry-path", "/metrics")
     // app.go:66-69: --web.max-connection-age (kingpin duration, 0 = off),
     // --web.disable-pprof
     val maxConnAgeMs = PulsarSink.parseDurationMs(
       flag(args, "web.max-connection-age", "0"), "web.max-connection-age")
     val pprof = flag(args, "web.disable-pprof", "false") != "true"
-    val serializer = flag(args, "serializer", "json")
+    val serializer = serializerOf(args)
     val topic = flag(args, "topic", "metrics")
     val replicaLabels = flag(args, "replica-labels", graft.model.Model.DefaultReplicaLabel)
       .split(",").toSeq
@@ -99,8 +136,9 @@ object App {
     // synchronous — 200 iff all writers took the request, 500 naming failures
     val topicDirs = flag(args, "topic-dirs", "")
     if (topicDirs.nonEmpty) {
-      val r = graft.sources.HttpRemoteWriteSource.receiver(port.toInt, path,
-        validate = true, maxConnectionAgeMs = maxConnAgeMs, pprof = pprof)
+      val r = graft.sources.HttpRemoteWriteSource.receiver(port, path,
+        validate = true, maxConnectionAgeMs = maxConnAgeMs, pprof = pprof,
+        host = host, telemetryPath = telemetryPath)
       val ws = topicDirs.split(",").toSeq.map(d =>
         new Writers.TopicWriter(d, new FileTopic.Factory(d), serializer, replicaLabels))
       // produce.go:45-46: --send-timeout bounds the synchronous fan-out wait
@@ -111,9 +149,10 @@ object App {
     }
 
     val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
-      .option("port", port).option("path", path)
+      .option("port", port.toString).option("path", path)
       .option("maxConnectionAgeMs", maxConnAgeMs.toString)
-      .option("pprof", pprof.toString).load()
+      .option("pprof", pprof.toString)
+      .option("host", host).option("telemetryPath", telemetryPath).load()
     val samples = PromPipeline.attachTenant(
       PromPipeline.explodeWriteRequest(
         PromPipeline.decodeBody(src, col("body")).filter(col("timeseries").isNotNull),
@@ -164,7 +203,7 @@ object App {
     // (pkg/app/consume.go reuses the pulsar serializer choice): json -> the
     // legacy layout, anything compat/avro -> the compat layout with the
     // __name__ backfill rule
-    val formatId = flag(args, "serializer", "json") match {
+    val formatId = serializerOf(args) match {
       case "json" => 0
       case _ => 1
     }

@@ -59,9 +59,14 @@ object HttpRemoteWriteSource {
     * pprof=true serves a JVM profiling facade under /debug/pprof/ (the
     * reference registers Go pprof there, server.go:84-92; the JVM analog is
     * a thread dump + heap summary — deep profiling belongs to the Spark UI).
+    * `host` binds a specific interface (the host half of the reference's
+    * `--web.listen-address`, app.go:60-62; empty = all interfaces) and
+    * `telemetryPath` relocates the metrics endpoint
+    * (`--web.telemetry-path`, app.go:65-67).
     */
   final class Receiver(port: Int, path: String, validate: Boolean,
-      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true) {
+      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
+      host: String = "", telemetryPath: String = "/metrics") {
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
@@ -100,7 +105,10 @@ object HttpRemoteWriteSource {
 
     def start(): Unit = synchronized {
       if (server != null) return
-      server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress(port), 0)
+      val addr =
+        if (host.isEmpty) new java.net.InetSocketAddress(port)
+        else new java.net.InetSocketAddress(host, port)
+      server = com.sun.net.httpserver.HttpServer.create(addr, 0)
       server.createContext(path, (exchange: com.sun.net.httpserver.HttpExchange) => {
         try {
           ageGate(exchange)
@@ -124,9 +132,10 @@ object HttpRemoteWriteSource {
       server.createContext("/ready", (e: com.sun.net.httpserver.HttpExchange) => {
         e.sendResponseHeaders(200, 0); e.getResponseBody.write("ready\n".getBytes); e.close()
       })
-      // /metrics: prometheus text exposition of the engine registry
-      // (server.go:71-73; instruments in graft.streaming.Metrics)
-      server.createContext("/metrics", (e: com.sun.net.httpserver.HttpExchange) => {
+      // telemetry path (default /metrics): prometheus text exposition of the
+      // engine registry (server.go:71-73 registers the handler on the
+      // configurable --web.telemetry-path; instruments in graft.streaming.Metrics)
+      server.createContext(telemetryPath, (e: com.sun.net.httpserver.HttpExchange) => {
         val body = graft.streaming.Metrics.render().getBytes("UTF-8")
         e.sendResponseHeaders(200, body.length); e.getResponseBody.write(body); e.close()
       })
@@ -213,9 +222,11 @@ object HttpRemoteWriteSource {
   private val receivers = new ConcurrentHashMap[Int, Receiver]()
 
   def receiver(port: Int, path: String, validate: Boolean,
-      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true): Receiver = {
+      maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
+      host: String = "", telemetryPath: String = "/metrics"): Receiver = {
     val r = receivers.computeIfAbsent(port,
-      _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof))
+      _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof,
+        host, telemetryPath))
     r.start()
     r
   }
@@ -238,11 +249,14 @@ class HttpRemoteWriteProvider extends TableProvider {
       properties.getOrDefault("path", "/write"),
       properties.getOrDefault("validate", "true").toBoolean,
       properties.getOrDefault("maxConnectionAgeMs", "0").toLong,
-      properties.getOrDefault("pprof", "true").toBoolean)
+      properties.getOrDefault("pprof", "true").toBoolean,
+      properties.getOrDefault("host", ""),
+      properties.getOrDefault("telemetryPath", "/metrics"))
 }
 
 class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
-    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true)
+    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
+    host: String = "", telemetryPath: String = "/metrics")
     extends Table with SupportsRead {
   override def name(): String = s"http-remote-write:$port$path"
   override def schema(): StructType = HttpRemoteWriteSource.schema
@@ -253,7 +267,8 @@ class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpRemoteWriteSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs, pprof)
+          new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs, pprof,
+            host, telemetryPath)
       }
     }
 }
@@ -263,10 +278,12 @@ final case class HttpOffset(seq: Long) extends Offset {
 }
 
 class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean,
-    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true)
+    maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
+    host: String = "", telemetryPath: String = "/metrics")
     extends MicroBatchStream {
   private val receiver =
-    HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs, pprof)
+    HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs, pprof,
+      host, telemetryPath)
 
   override def initialOffset(): Offset = HttpOffset(0L)
   override def latestOffset(): Offset = HttpOffset(receiver.latest)
