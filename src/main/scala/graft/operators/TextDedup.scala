@@ -71,6 +71,63 @@ object TextDedup {
       }: _*)).as("bk"))
   }
 
+  /** Per-ROW band bucket keys: the same 16-minhash / banded-xxhash64 values
+    * [[bandBuckets]] computes with an aggregation, derived narrowly from one
+    * row's shingle array (`array_min` over the codegen'd mix instead of a
+    * grouped `min`). Value-identical to the batch path — that parity is what
+    * lets a STREAM join against batch-built reference buckets — but O(16 ×
+    * shingles) per row with zero shuffle, which is the right trade on a
+    * stream (and the wrong one on a 100 TB batch corpus, where the grouped
+    * form keeps shuffle volume at |shingles|). Empty-shingle docs (fewer
+    * than `shingleN` words) get an empty array — they never band-match,
+    * matching the batch semantics where they emit no signature rows.
+    */
+  def rowBandBuckets(text: Column, shingleN: Int = 3, bands: Int = 4): Column = {
+    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
+    val rows = 16 / bands
+    val sh = graft.functions.prom.shingle_g(text, shingleN)
+    val mins = (0 until 16).map(i =>
+      array_min(transform(sh, g => graft.functions.prom.mix64(g, A(i), B(i)))))
+    val bks = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => mins(rows * b + r)): _*)
+    }
+    when(size(sh) > 0, array(bks: _*))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Streaming twin of [[dedupAgainst]]: dedupe a STREAM of new documents
+    * against a STATIC reference corpus. Same decisions — drop on an exact
+    * content-hash match or on sharing any LSH band bucket with a reference
+    * doc — expressed as stream-static LEFT ANTI equi-joins (one per band
+    * plus one for the hash), which Structured Streaming supports stateless:
+    * no watermark, no stream state, and replays keep identical rows because
+    * every decision is a pure function of (row, static reference). Band
+    * keys come from [[rowBandBuckets]], so they equal the batch signature
+    * values; the reference side is touched once per band, exactly like the
+    * batch path. Also callable on a batch frame (result equals
+    * [[dedupAgainst]]).
+    */
+  def dedupAgainstStream(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val refHashes = reference.select(md5(col(textCol)).as("__h")).distinct()
+    val refBuckets = bandBuckets(reference, idCol, textCol, shingleN, bands)
+      .select(col("bk")).distinct()
+    val withBk = docs.withColumn("__bks",
+      rowBandBuckets(col(textCol), shingleN, bands))
+    val noNear = (0 until bands).foldLeft(withBk) { (df, b) =>
+      // get() is 0-based and null-safe on the empty array; a null join key
+      // never equals, so empty-shingle docs pass every band anti-join
+      df.withColumn(s"__bk$b", get(col("__bks"), lit(b)))
+        .join(refBuckets.withColumnRenamed("bk", s"__bk$b"),
+          Seq(s"__bk$b"), "left_anti")
+        .drop(s"__bk$b")
+    }.drop("__bks")
+    noNear.withColumn("__h", md5(col(textCol)))
+      .join(refHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     val buckets = bandBuckets(docs, idCol, textCol, shingleN, bands)

@@ -57,6 +57,21 @@ object DataQueries6 {
           maxDocsPerSeq = 4)
         .orderBy("doc_id")),
 
+    // per-domain rate capping: keep at most 10 docs per source (domain),
+    // chosen by deterministic md5(id) order — the web-corpus curation step
+    // that stops any one domain from dominating the mix. Shape =
+    // Sampling.minwisePerStratum (bounded TopKStruct aggregate): O(k) state
+    // per domain with map-side partials, no per-group sort, no window over
+    // the corpus; reproducible across engines, re-runs, and appends.
+    "d46_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      graft.operators.Sampling
+        .minwisePerStratum(d, Seq("source"), "h", "doc_id", 10)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -75,6 +90,13 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d46_domain_cap" ->
+      """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, rank""".stripMargin,
+
     "d45_chunk_text" ->
       """WITH t AS (SELECT doc_id, text, CAST(greatest(0, length(text) - 51) // 150 + 1 AS BIGINT) AS n FROM documents)
         |SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx, CAST(1 + s.i * 150 AS BIGINT) AS start,

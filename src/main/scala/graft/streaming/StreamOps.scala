@@ -82,6 +82,20 @@ object StreamOps {
       width: Int, stride: Int): DataFrame =
     graft.operators.TextChunking.chunkFixed(df, idCol, textCol, width, stride)
 
+  /** Streaming cross-shard dedup (the streaming twin of d41): dedupe a
+    * stream of newly ingested documents against a STATIC reference corpus —
+    * drop on an exact content-hash match or any shared LSH band bucket, as
+    * stateless stream-static left-anti joins (no watermark, no stream
+    * state; replays keep identical rows). The reference buckets use the
+    * batch signature shape, so a corpus indexed offline dedupes a live dump
+    * stream with the same decisions the batch pipeline would make.
+    */
+  def dedupAgainstStatic(stream: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      bands: Int = 4): DataFrame =
+    graft.operators.TextDedup.dedupAgainstStream(
+      stream, reference, idCol, textCol, shingleN, bands)
+
   /** Streaming quality-rule filter (the streaming twin of d39): the
     * Gopher-style keep predicate via the shared TextQuality narrow map —
     * no state, no shuffle; replay gives identical keeps.

@@ -230,6 +230,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-shard dedup matches the batch decisions (d41 twin)") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a reference paragraph about spark engines and shuffles here")
+    ).toDF("id", "text")
+    val dump = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (11L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (12L, "a genuinely new document mentioning parquet files and columns")
+    )
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.StreamOps.dedupAgainstStatic(
+      ms.toDF().toDF("id", "text"), reference, "id", "text")
+    val q = out.writeStream.format("memory").queryName("xdedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(dump: _*)
+      q.processAllAvailable()
+      val got = spark.table("xdedup_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.TextDedup.dedupAgainst(
+        dump.toDF("id", "text"), reference, "id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batch && got == Set(12L), s"$got vs $batch")
+      // replay determinism: the same rows arriving again make the same keeps
+      ms.addData(dump: _*)
+      q.processAllAvailable()
+      val again = spark.table("xdedup_out").collect().map(_.getLong(0)).toSeq
+      assert(again.sorted == Seq(12L, 12L), again.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming repetition stats computes dup fractions (d38 twin)") {
     val s = spark
     import s.implicits._

@@ -102,6 +102,27 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupAgainstStream (batch-callable) matches dedupAgainst decisions") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "shared reference sentence about spark engines and shuffles here")
+    ).toDF("id", "text")
+    val dump = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (11L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (12L, "a genuinely new document mentioning parquet files and columns"),
+      (13L, "xy") // fewer than 3 words: no shingles, must be kept
+    ).toDF("id", "text")
+    val batch = TextDedup.dedupAgainst(dump, reference, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val twin = TextDedup.dedupAgainstStream(dump, reference, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(twin == batch, s"$twin vs $batch")
+    assert(twin == Set(12L, 13L), twin)
+  }
+
   test("bands must divide the 16 minhash seeds") {
     intercept[IllegalArgumentException](
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
