@@ -21,12 +21,39 @@ object TextDedup {
   /** Unique suffix for the bloom pre-filter's transient temp views. */
   private val BloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Serializes register -> analyze -> unregister so concurrent dedup calls
+    * never see the temp functions vanish mid-analysis.
+    */
+  private val BloomLock = new Object
+
   /** Spark ships BloomFilterAggregate / BloomFilterMightContain as internal
     * (unregistered) Catalyst expressions for its runtime-filter rule; expose
     * them to this session under graft names so the bloom pre-filter stays an
     * in-plan distributed aggregate (never a driver-side sketch round-trip).
+    *
+    * The constructors are NOT a stable API across Spark versions, so the
+    * binding is probed eagerly here: on a Spark where the shapes moved this
+    * throws one clear "bloom pre-filter unavailable" error (callers pass
+    * `bloomItems = 0` to run without the pre-filter) instead of an obscure
+    * analysis-time MatchError. The functions are registered only for the
+    * duration of plan analysis — [[dedupAgainst]] unregisters them before
+    * returning (Datasets analyze eagerly; execution reads the resolved
+    * plan, not the registry), so nothing session-global leaks.
     */
   private def registerBloom(spark: SparkSession): Unit = {
+    try {
+      val probe = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(probe, probe)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(probe, probe)
+      ()
+    } catch {
+      case e: Throwable =>
+        throw new IllegalStateException(
+          "bloom pre-filter unavailable: this Spark version's internal " +
+            "BloomFilterAggregate/BloomFilterMightContain shapes are " +
+            "incompatible; call dedupAgainst with bloomItems = 0 to run " +
+            "without the pre-filter (identical results)", e)
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       { case Seq(c, n) =>
@@ -36,6 +63,13 @@ object TextDedup {
       { case Seq(b, v) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
       }, "scala_udf")
+  }
+
+  private def unregisterBloom(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq("graft_bloom_agg", "graft_might_contain").foreach { n =>
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    }
   }
 
   /** Expand a sorted id array into (a, b), a &lt; b combinations. */
@@ -210,33 +244,37 @@ object TextDedup {
         .join(nearDropIds, Seq(idCol), "left_anti")
     } else {
       val spark = docs.sparkSession
-      registerBloom(spark)
-      val refBuckets = bandBuckets(reference, idCol, textCol, shingleN, bands)
-        .select(col("bk"))
-      // might_contain demands its bloom as a constant or scalar subquery, so
-      // the reference blooms go in as scalar subqueries over temp views —
-      // lazily planned, materialized once by subquery reuse, never collected
-      // here. Datasets analyze eagerly, so the views can drop on return.
-      val n = BloomViewSeq.incrementAndGet()
-      val (vh, vb) = (s"graft_bloom_ref_h_$n", s"graft_bloom_ref_b_$n")
-      refHashes.createOrReplaceTempView(vh)
-      refBuckets.createOrReplaceTempView(vb)
-      try {
-        // definite bloom-misses can't semi-match, so only probable hits
-        // join; the drop-id set prices the final anti-join at ~|dups|
-        val exactDropIds = docs.select(col(idCol), md5(col(textCol)).as("__h"))
-          .filter(expr(
-            s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(__h), ${bloomItems}L) FROM $vh), xxhash64(__h))"))
-          .join(refHashes, Seq("__h"), "left_semi").select(col(idCol))
-        val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
-          .filter(expr(
-            s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(bk), ${bloomItems}L) FROM $vb), xxhash64(bk))"))
-          .join(refBuckets, Seq("bk"), "left_semi")
-          .select(col("__id").as(idCol))
-        docs.join(exactDropIds.unionAll(nearDropIds).distinct(), Seq(idCol), "left_anti")
-      } finally {
-        spark.catalog.dropTempView(vh)
-        spark.catalog.dropTempView(vb)
+      BloomLock.synchronized {
+        registerBloom(spark)
+        val refBuckets = bandBuckets(reference, idCol, textCol, shingleN, bands)
+          .select(col("bk"))
+        // might_contain demands its bloom as a constant or scalar subquery, so
+        // the reference blooms go in as scalar subqueries over temp views —
+        // lazily planned, materialized once by subquery reuse, never collected
+        // here. Datasets analyze eagerly, so the views (and the temp
+        // functions) can drop on return.
+        val n = BloomViewSeq.incrementAndGet()
+        val (vh, vb) = (s"graft_bloom_ref_h_$n", s"graft_bloom_ref_b_$n")
+        refHashes.createOrReplaceTempView(vh)
+        refBuckets.createOrReplaceTempView(vb)
+        try {
+          // definite bloom-misses can't semi-match, so only probable hits
+          // join; the drop-id set prices the final anti-join at ~|dups|
+          val exactDropIds = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+            .filter(expr(
+              s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(__h), ${bloomItems}L) FROM $vh), xxhash64(__h))"))
+            .join(refHashes, Seq("__h"), "left_semi").select(col(idCol))
+          val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
+            .filter(expr(
+              s"graft_might_contain((SELECT graft_bloom_agg(xxhash64(bk), ${bloomItems}L) FROM $vb), xxhash64(bk))"))
+            .join(refBuckets, Seq("bk"), "left_semi")
+            .select(col("__id").as(idCol))
+          docs.join(exactDropIds.unionAll(nearDropIds).distinct(), Seq(idCol), "left_anti")
+        } finally {
+          unregisterBloom(spark)
+          spark.catalog.dropTempView(vh)
+          spark.catalog.dropTempView(vb)
+        }
       }
     }
   }

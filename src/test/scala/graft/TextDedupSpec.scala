@@ -100,6 +100,13 @@ class TextDedupSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(bloomed == kept, s"bloomItems=$items changed the result: $bloomed vs $kept")
     }
+    // the internal-API bridge functions are registered only for the
+    // duration of plan analysis — nothing session-global remains
+    val reg = spark.sessionState.functionRegistry
+    Seq("graft_bloom_agg", "graft_might_contain").foreach { n =>
+      assert(!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n leaked into the session registry")
+    }
   }
 
   test("dedupAgainstStream (batch-callable) matches dedupAgainst decisions") {
