@@ -30,6 +30,23 @@ object DataQueries5 {
     explode(flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b"))))))
 
+  /** d35's candidate generator, shared with the d48 verification stage:
+    * (a, b) pairs of docs whose 64-bit simhash agrees on any 16-bit band.
+    */
+  private[queries] def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = docs(s, dir)
+      .select(col("doc_id"), graft.functions.prom.simhash64(col("text")).as("sh"))
+    val buckets = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b =>
+        xxhash64(lit(b), substring(col("sh"), b * 16 + 1, 16))): _*)).as("bk"))
+    buckets.groupBy(col("bk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(pairExpand(col("ids")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // SimHash band blocking: near-dup candidates in Hamming space — docs
     // whose 64-bit simhash agrees on any 16-bit band. The signature is one
@@ -38,18 +55,25 @@ object DataQueries5 {
     // in one reducer that emits the pairs directly. At 100 TB a bucket-size
     // cap bounds the per-bucket quadratic fan-out (boilerplate-heavy crawls
     // concentrate signatures); the synthetic corpus needs none.
-    "d35_simhash_band" -> ((s, dir) => {
+    "d35_simhash_band" -> ((s, dir) =>
+      simhashCandidates(s, dir).orderBy("a", "b")),
+
+    // SimHash verify — closes the Hamming-space generate->verify loop the
+    // way d32 (edit distance) and d37 (exact cosine) do for their families:
+    // the exact 64-bit Hamming distance is computed for ONLY the d35 band
+    // candidates (signatures join in by two hash equi-joins; the per-pair
+    // bit compare prices on |candidates|, never corpus^2). dup = distance
+    // <= 8 bits, the standard simhash near-dup threshold.
+    "d48_simhash_verify" -> ((s, dir) => {
       val sig = docs(s, dir)
         .select(col("doc_id"), graft.functions.prom.simhash64(col("text")).as("sh"))
-      val buckets = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b =>
-          xxhash64(lit(b), substring(col("sh"), b * 16 + 1, 16))): _*)).as("bk"))
-      buckets.groupBy(col("bk"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(pairExpand(col("ids")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
+      simhashCandidates(s, dir)
+        .join(sig.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(sig.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("hamming", expr(
+          "cast(size(filter(sequence(1, 64), i -> substr(sha, i, 1) <> substr(shb, i, 1))) as bigint)"))
+        .select(col("a"), col("b"), col("hamming"),
+          (col("hamming") <= 8).as("dup"))
         .orderBy("a", "b")
     }),
 
@@ -146,6 +170,15 @@ object DataQueries5 {
         """bands AS (SELECT doc_id, b, substr(simhash, b*16 + 1, 16) AS bh FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
           |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
           |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin),
+
+    "d48_simhash_verify" ->
+      (s"WITH ${DataQueries2.simhashSigCte},\n" +
+        """bands AS (SELECT doc_id, b, substr(simhash, b*16 + 1, 16) AS bh FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+          |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          |h AS (SELECT p.a, p.b,
+          |  CAST(len([i FOR i IN generate_series(1, 64) IF substr(x.simhash, i, 1) <> substr(y.simhash, i, 1)]) AS BIGINT) AS hamming
+          |FROM pairs p JOIN sig x ON p.a = x.doc_id JOIN sig y ON p.b = y.doc_id)
+          |SELECT a, b, hamming, hamming <= 8 AS dup FROM h ORDER BY a, b""".stripMargin),
 
     "d36_source_overlap" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),

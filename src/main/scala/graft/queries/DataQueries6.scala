@@ -57,6 +57,27 @@ object DataQueries6 {
           maxDocsPerSeq = 4)
         .orderBy("doc_id")),
 
+    // tokenizer-prep: build a 256-word vocabulary (top corpus frequencies,
+    // ties by word) and account each document's out-of-vocabulary tokens —
+    // the coverage audit run before committing to a tokenizer. The vocab is
+    // a TakeOrdered over the word aggregate (bounded 256 rows at any corpus
+    // size — broadcast by construction, like the 25-row nation dim); the
+    // per-doc accounting is one explode + broadcast join + groupBy(doc).
+    "d49_token_ids" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(256)
+        .select(col("w"), lit(true).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tok").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // per-domain rate capping: keep at most 10 docs per source (domain),
     // chosen by deterministic md5(id) order — the web-corpus curation step
     // that stops any one domain from dominating the mix. Shape =
@@ -90,6 +111,14 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d49_token_ids" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM w GROUP BY w ORDER BY n DESC, w LIMIT 256)),
+        |j AS (SELECT w.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov FROM w LEFT JOIN v ON w.w = v.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d46_domain_cap" ->
       """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
         |  SELECT source, doc_id,
