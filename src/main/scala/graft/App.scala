@@ -199,6 +199,9 @@ object App {
     // consume.go:42-43: the shared subscription name — consumers sharing it
     // split the topic (each message once across them); a new name replays
     val subscription = flag(args, "pulsar.subscription", "pulsar-adapter")
+    // --readers N: split each micro-batch into up to N partitions by key
+    // hash (per-key order preserved) so decode parallelizes across tasks
+    val readers = flag(args, "readers", "1")
     // the consume side unmarshals with the configured serializer too
     // (pkg/app/consume.go reuses the pulsar serializer choice): json -> the
     // legacy layout, anything compat/avro -> the compat layout with the
@@ -217,6 +220,7 @@ object App {
     val brokerReader = {
       val r = spark.readStream.format("graft.sources.BrokerSourceProvider")
         .option("topic", topic).option("subscription", subscription)
+        .option("readers", readers)
       if (pulsarCfg.url.nonEmpty)
         r.option("pulsar.url", pulsarCfg.url)
           .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)

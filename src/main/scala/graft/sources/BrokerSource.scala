@@ -58,8 +58,13 @@ object BrokerSource {
     def poll(): Long
     /** Drop (and where the broker needs it, acknowledge) offsets below `until`. */
     def commit(until: Long): Unit
-    /** Plan the executor-side partitions for [from, until). */
-    def planPartitions(from: Long, until: Long): Array[InputPartition]
+    /** Plan the executor-side partitions for [from, until). `readers > 1`
+      * splits the batch into up to that many partitions BY KEY HASH, so
+      * decode/transform work parallelizes across tasks while every key
+      * stays in one partition in arrival order — the KeyShared contract
+      * carried into the task layout.
+      */
+    def planPartitions(from: Long, until: Long, readers: Int): Array[InputPartition]
     /** Rebase a fresh cursor so new deliveries number from the checkpointed
       * start (no-op unless a backend's seqnos are not stable across
       * restarts — see [[PulsarCursor]]).
@@ -76,8 +81,15 @@ object BrokerSource {
     def range(from: Long, until: Long): Array[InMemoryBroker.Message] =
       buf.subMap(from, until).values.toArray(Array.empty[InMemoryBroker.Message])
     override def commit(until: Long): Unit = buf.headMap(until).clear()
-    override def planPartitions(from: Long, until: Long): Array[InputPartition] =
-      Array(BrokerInputPartition(range(from, until)))
+    override def planPartitions(from: Long, until: Long,
+        readers: Int): Array[InputPartition] = {
+      val msgs = range(from, until)
+      if (readers <= 1 || msgs.length <= 1) Array(BrokerInputPartition(msgs))
+      else msgs.groupBy(m => graft.streaming.FileTopic.keyHash(m.key) % readers)
+        .toSeq.sortBy(_._1)
+        .map { case (_, ms) => BrokerInputPartition(ms): InputPartition }
+        .toArray
+    }
   }
 
   /** In-memory topic (same JVM). */
@@ -107,9 +119,15 @@ object BrokerSource {
       seq.get()
     }
     override def commit(until: Long): Unit = names.headMap(until).clear()
-    override def planPartitions(from: Long, until: Long): Array[InputPartition] =
-      Array(FileRangePartition(dir,
-        names.subMap(from, until).values.toArray(Array.empty[String])))
+    override def planPartitions(from: Long, until: Long,
+        readers: Int): Array[InputPartition] = {
+      val ns = names.subMap(from, until).values.toArray(Array.empty[String])
+      if (readers <= 1 || ns.length <= 1) Array(FileRangePartition(dir, ns))
+      else ns.groupBy(n => graft.streaming.FileTopic.keyHashOf(n) % readers)
+        .toSeq.sortBy(_._1)
+        .map { case (_, group) => FileRangePartition(dir, group): InputPartition }
+        .toArray
+    }
   }
 
   /** Real-broker consumer cursor: a KeyShared subscription on a Pulsar
@@ -286,13 +304,15 @@ class BrokerSourceProvider extends TableProvider {
       properties.getOrDefault("dir", null),
       p("maxRecordsPerTrigger", "0").toLong,
       p("subscription", BrokerSource.DefaultSubscription),
-      pulsar)
+      pulsar,
+      p("readers", "1").toInt)
   }
 }
 
 class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
-    pulsar: Option[graft.streaming.PulsarSink.Config] = None)
+    pulsar: Option[graft.streaming.PulsarSink.Config] = None,
+    readers: Int = 1)
   extends Table with SupportsRead {
   override def name(): String =
     s"broker:${pulsar.map(c => s"pulsar:${c.url}/${c.topic}")
@@ -305,7 +325,7 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic, dir, maxRecords, subscription, pulsar)
+          new BrokerStream(topic, dir, maxRecords, subscription, pulsar, readers)
       }
     }
 }
@@ -316,10 +336,14 @@ final case class BrokerOffset(seq: Long) extends Offset {
 
 /** @param maxRecords rate limit per micro-batch (0 = unbounded) — the
   * `maxOffsetsPerTrigger` analog; backpressure knob promised in SURVEY §4.
+  * @param readers split each batch into up to this many partitions by key
+  * hash — decode parallelizes across tasks, every key stays in one
+  * partition in arrival order (1 = single partition, the default).
   */
 class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
-    pulsar: Option[graft.streaming.PulsarSink.Config] = None)
+    pulsar: Option[graft.streaming.PulsarSink.Config] = None,
+    readers: Int = 1)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
   // Trigger.AvailableNow pins the end offset at the first planned batch;
@@ -362,7 +386,7 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     val s = start.asInstanceOf[BrokerOffset].seq
     val e = end.asInstanceOf[BrokerOffset].seq
     cursor.ensureBase(s)
-    if (e <= s) Array.empty else cursor.planPartitions(s, e)
+    if (e <= s) Array.empty else cursor.planPartitions(s, e, readers)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

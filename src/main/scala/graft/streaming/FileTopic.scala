@@ -8,9 +8,28 @@ import java.util.concurrent.atomic.AtomicLong
   * SURVEY §2 op#1). One message per file: 4-byte big-endian key length, key
   * bytes, payload bytes. Filenames are (epochMs, nanos, producer-uuid)
   * ordered, so lexicographic listing equals arrival order per producer —
-  * the same per-key FIFO the keyed broker gives.
+  * the same per-key FIFO the keyed broker gives. Names additionally carry
+  * a key-hash suffix (`-kh<8 hex>`) so a consumer can split a batch across
+  * reader tasks BY KEY without opening any file (per-key order preserved);
+  * names without the suffix (older producers) fall back to a name hash.
   */
 object FileTopic {
+
+  private val KeyHashPattern = ".*-kh([0-9a-f]{8})\\.msg$".r
+
+  /** Stable key hash carried in the filename (String.hashCode is specified
+    * and identical across JVMs).
+    */
+  def keyHash(key: String): Int =
+    (if (key == null) 0 else key.hashCode) & 0x7fffffff
+
+  /** Key-hash of a stored message, from the name alone; falls back to the
+    * name's own hash for legacy names without the suffix.
+    */
+  def keyHashOf(name: String): Int = name match {
+    case KeyHashPattern(h) => java.lang.Long.parseLong(h, 16).toInt & 0x7fffffff
+    case _ => name.hashCode & 0x7fffffff
+  }
 
   final case class Stored(name: String, key: String, payload: Array[Byte])
 
@@ -39,7 +58,7 @@ object FileTopic {
       private val n = new AtomicLong(0L)
 
       override def sendAsync(key: String, payload: Array[Byte]): Unit = {
-        val name = f"${System.currentTimeMillis()}%013d-${System.nanoTime()}%019d-$producerId-${n.getAndIncrement()}%06d.msg"
+        val name = f"${System.currentTimeMillis()}%013d-${System.nanoTime()}%019d-$producerId-${n.getAndIncrement()}%06d-kh${keyHash(key)}%08x.msg"
         val tmp = base.resolve(s".$name.tmp")
         Files.write(tmp, encode(key, payload), StandardOpenOption.CREATE_NEW)
         Files.move(tmp, base.resolve(name),

@@ -64,6 +64,36 @@ class BrokerCursorSpec extends AnyFunSuite {
     assert(restRows.map(_._2) == Seq("payload-3", "payload-4"))
   }
 
+  test("readers knob splits a batch by key hash, preserving per-key order") {
+    val dir = tmpDir()
+    // 20 messages over 5 keys, several per key, in one arrival order
+    val p = new FileTopic.Factory(dir).create(0L)
+    (0 until 20).foreach(i => p.sendAsync(s"k${i % 5}", s"m-$i".getBytes("UTF-8")))
+    p.flush(); p.close()
+    val stream = new BrokerStream(topic = "t", dir = dir,
+      subscription = "cursor-spec-readers", readers = 3)
+    val end = stream.latestOffset().asInstanceOf[BrokerOffset].seq
+    val parts = stream.planInputPartitions(BrokerOffset(0), BrokerOffset(end))
+    assert(parts.length > 1 && parts.length <= 3, s"${parts.length} partitions")
+    val factory = stream.createReaderFactory()
+    val byPart = parts.map(pt => readAll(factory.createReader(pt)))
+    // union covers everything exactly once
+    assert(byPart.flatten.map(_._2).sorted.toSeq ==
+      (0 until 20).map(i => s"m-$i").sorted)
+    // a key never spans partitions...
+    val keyToParts = byPart.zipWithIndex
+      .flatMap { case (rows, pi) => rows.map(r => r._1 -> pi) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(keyToParts.values.forall(_ == 1), keyToParts.toMap.toString)
+    // ...and its messages stay in arrival order inside its partition
+    byPart.foreach { rows =>
+      rows.groupBy(_._1).foreach { case (k, ms) =>
+        val idx = ms.map(_._2.stripPrefix("m-").toInt)
+        assert(idx == idx.sorted, s"key $k out of order: $idx")
+      }
+    }
+  }
+
   // --- fake pulsar-client consumer (duck-typed for the reflection seam) ----
 
   class FakeMessageId(val n: Int)
