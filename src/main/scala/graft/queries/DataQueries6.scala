@@ -57,6 +57,29 @@ object DataQueries6 {
           maxDocsPerSeq = 4)
         .orderBy("doc_id")),
 
+    // per-doc contamination fraction — the thresholding variant of d23's
+    // benchmark decontamination: score EVERY dump doc by the share of its
+    // distinct 5-gram shingles that appear in the benchmark (src0), and
+    // keep docs under 50% overlap (partial-contamination policy, vs d23's
+    // any-hit report). Grams cross the join as the codegen'd 60-bit hashes;
+    // the benchmark gram set is fixed-size and broadcast, the rest is one
+    // partial-aggregatable groupBy per doc.
+    "d50_contamination_frac" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("g"), lit(true).as("hit")).distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("contam_frac",
+          col("n_shared").cast("double") / col("n_grams").cast("double"))
+        .withColumn("keep", col("contam_frac") < 0.5)
+        .orderBy("doc_id")
+    }),
+
     // tokenizer-prep: build a 256-word vocabulary (top corpus frequencies,
     // ties by word) and account each document's out-of-vocabulary tokens —
     // the coverage audit run before committing to a tokenizer. The vocab is
@@ -111,6 +134,19 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d50_contamination_frac" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, source, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, g FROM g WHERE source <> 'src0'),
+        |sc AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_shared
+        |FROM corp c LEFT JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) < 0.5 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "d49_token_ids" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM w GROUP BY w ORDER BY n DESC, w LIMIT 256)),
