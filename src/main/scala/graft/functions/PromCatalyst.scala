@@ -112,6 +112,23 @@ object PromCatalyst {
 
   def simhash64(s: UTF8String): UTF8String = UTF8String.fromString(K.simhash64(s.toString))
 
+  /** Hamming distance between two equal-length bitstrings (e.g. simhash64
+    * signatures): one compiled byte-compare pass — the codegen'd
+    * replacement for a 64-element interpreted higher-order filter.
+    */
+  def hamming64(a: UTF8String, b: UTF8String): Long = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var d = math.abs(ab.length - bb.length).toLong
+    var i = 0
+    while (i < n) {
+      if (ab(i) != bb(i)) d += 1L
+      i += 1
+    }
+    d
+  }
+
   def shingleG(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(K.shingleG(s.toString, n))
 

@@ -113,6 +113,12 @@ object prom {
   def simhash64(text: Column): Column =
     invoke(StringType, "simhash64", Seq(expr(text)))
 
+  /** Hamming distance between two bitstring signatures (codegen'd single
+    * pass; positions beyond the shorter string count as differing).
+    */
+  def hamming64(a: Column, b: Column): Column =
+    invoke(LongType, "hamming64", Seq(expr(a), expr(b)))
+
   /** Wrapping g*a+b mod 2^64 (minhash family; ANSI-safe). */
   def mix64(g: Column, a: Long, b: Long): Column =
     invoke(LongType, "mix64", Seq(expr(g), Literal(a), Literal(b)))

@@ -70,8 +70,8 @@ object DataQueries5 {
       simhashCandidates(s, dir)
         .join(sig.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(sig.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("hamming", expr(
-          "cast(size(filter(sequence(1, 64), i -> substr(sha, i, 1) <> substr(shb, i, 1))) as bigint)"))
+        .withColumn("hamming",
+          graft.functions.prom.hamming64(col("sha"), col("shb")))
         .select(col("a"), col("b"), col("hamming"),
           (col("hamming") <= 8).as("dup"))
         .orderBy("a", "b")

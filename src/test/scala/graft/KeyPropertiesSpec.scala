@@ -69,4 +69,14 @@ class KeyPropertiesSpec extends AnyFunSuite {
       a == b || PromKernel.fingerprint64(s + a) != PromKernel.fingerprint64(s + b)
     })
   }
+
+  test("hamming64 kernel equals the naive per-position count") {
+    val bits: Gen[String] = Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)
+    check(Prop.forAll(bits, bits) { (a, b) =>
+      val naive = a.zip(b).count { case (x, y) => x != y }.toLong
+      graft.functions.PromCatalyst.hamming64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) == naive
+    })
+  }
 }
