@@ -94,6 +94,33 @@ class BrokerCursorSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming query with readers>1 executes multi-partition micro-batches") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = tmpDir()
+    produce(dir, 12) // 12 distinct keys
+    val df = spark.readStream.format("graft.sources.BrokerSourceProvider")
+      .option("dir", dir).option("subscription", "cursor-spec-stream")
+      .option("readers", "3").load()
+      .select(org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+    val q = df.writeStream.format("memory").queryName("readers_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("readers_out").collect()
+        .map(r => r.getString(0) -> r.getInt(1))
+      assert(rows.length == 12, s"${rows.length} rows")
+      // the batch actually spread across more than one source partition
+      assert(rows.map(_._2).distinct.length > 1, rows.mkString(","))
+    } finally q.stop()
+  }
+
   // --- fake pulsar-client consumer (duck-typed for the reflection seam) ----
 
   class FakeMessageId(val n: Int)
