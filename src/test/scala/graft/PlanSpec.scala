@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("d46: domain cap is a two-phase bounded aggregate, no per-group window sort") {
+    val p = plan("d46_domain_cap")
+    // TopKStruct partial + final (O(k) state per domain with map-side combine)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final TopKStruct aggregation expected\n" + p)
+    // never a rank window over the corpus
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "domain capping must not window-sort the corpus\n" + p)
+  }
+
   test("d35: simhash banding is a bucket shuffle, no join; signature is one kernel call") {
     val p = plan("d35_simhash_band")
     assert(!p.contains("Join"), "candidate generation must not join\n" + p)
