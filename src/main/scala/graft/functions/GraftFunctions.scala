@@ -74,6 +74,10 @@ object GraftFunctions {
       invoke(ArrayType(LongType, containsNull = false), "shingleG", Seq(s, n)) }
     f("ngram_g") { case Seq(s, n) =>
       invoke(ArrayType(LongType, containsNull = false), "ngramG", Seq(s, n)) }
+    f("hamming64") { case Seq(a, b) => invoke(LongType, "hamming64", Seq(a, b)) }
+    f("next_fit_bins") { case Seq(toks, seqLen, maxDocs) =>
+      invoke(ArrayType(LongType, containsNull = false), "nextFitBins",
+        Seq(toks, seqLen, maxDocs)) }
     out.result()
   }
 }

@@ -58,4 +58,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d == 32.0)
   }
+
+  test("hamming64 and next_fit_bins reachable from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT hamming64('0011', '0101') AS h,
+        |       next_fit_bins(array(60L, 60L, 50L, 30L), 100L, 0L) AS bins,
+        |       next_fit_bins(array(10L, 10L, 10L), 100L, 2L) AS capped""".stripMargin)
+      .collect().head
+    assert(row.getLong(row.fieldIndex("h")) == 2L)
+    assert(row.getSeq[Long](row.fieldIndex("bins")).toList == List(0L, 1L, 2L, 2L))
+    assert(row.getSeq[Long](row.fieldIndex("capped")).toList == List(0L, 0L, 1L))
+  }
 }
