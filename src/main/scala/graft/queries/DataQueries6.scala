@@ -57,6 +57,26 @@ object DataQueries6 {
           maxDocsPerSeq = 4)
         .orderBy("doc_id")),
 
+    // embedding truncation + renormalization (the "matryoshka" storage
+    // tier): keep the first 16 of 64 dims and rescale to unit norm — the
+    // cheap-retrieval representation pipelines store alongside the full
+    // vector. A pure narrow map; the norm is the codegen'd fold-ordered
+    // vec_dot (bit-identical across engines), and components are quantized
+    // to integers before stringifying so no float rendering crosses the
+    // oracle.
+    "d51_truncate_embed" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), slice(v, 1, 16).as("t"))
+        .withColumn("nrm",
+          sqrt(graft.functions.prom.vec_dot(col("t"), col("t"))))
+        .select(col("vec_id"), col("nrm"),
+          array_join(transform(col("t"),
+            x => floor(x * lit(1000000.0) / greatest(col("nrm"), lit(1e-30)))
+              .cast("string")), ",").as("q"))
+        .orderBy("vec_id")
+    }),
+
     // per-doc contamination fraction — the thresholding variant of d23's
     // benchmark decontamination: score EVERY dump doc by the share of its
     // distinct 5-gram shingles that appear in the benchmark (src0), and
@@ -134,6 +154,13 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d51_truncate_embed" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS t FROM embeddings),
+        |n AS (SELECT vec_id, t, sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN t]), (a, b) -> a + b)) AS nrm FROM e)
+        |SELECT vec_id, nrm,
+        |  array_to_string([CAST(floor(x * 1000000.0 / greatest(nrm, 1e-30)) AS BIGINT) FOR x IN t], ',') AS q
+        |FROM n ORDER BY vec_id""".stripMargin,
+
     "d50_contamination_frac" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
         |g AS (SELECT doc_id, source, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w),
