@@ -82,8 +82,18 @@ object BrokerSource {
       buf.subMap(from, until).values.toArray(Array.empty[InMemoryBroker.Message])
     override def commit(until: Long): Unit = buf.headMap(until).clear()
     override def planPartitions(from: Long, until: Long,
-        readers: Int): Array[InputPartition] = {
+        readers: Int): Array[InputPartition] = synchronized {
+      // A restored in-flight batch is planned BEFORE this incarnation's
+      // first scheduled poll: pull whatever the broker has already
+      // redelivered so the replay serves it...
+      poll()
       val msgs = range(from, until)
+      // ...then fence the seqno clock past the window. A planned window is
+      // immutable — anything arriving later must number AFTER it. Without
+      // the fence, a redelivery landing after planning would be numbered
+      // inside [from, until), never served to any batch, yet acked by
+      // commit(until): silent data loss under at-least-once.
+      seq.getAndUpdate(s => math.max(s, until))
       if (readers <= 1 || msgs.length <= 1) Array(BrokerInputPartition(msgs))
       else msgs.groupBy(m => graft.streaming.FileTopic.keyHash(m.key) % readers)
         .toSeq.sortBy(_._1)
@@ -121,6 +131,12 @@ object BrokerSource {
     override def commit(until: Long): Unit = names.headMap(until).clear()
     override def planPartitions(from: Long, until: Long,
         readers: Int): Array[InputPartition] = {
+      // A restored in-flight batch is planned before any poll() of this
+      // incarnation; seqnos are deterministic (lexicographic file order),
+      // so listing here re-fills the replayed window with the same names
+      // the previous incarnation planned. (No seqno fence needed: numbering
+      // derives from the durable listing, not arrival time.)
+      poll()
       val ns = names.subMap(from, until).values.toArray(Array.empty[String])
       if (readers <= 1 || ns.length <= 1) Array(FileRangePartition(dir, ns))
       else ns.groupBy(n => graft.streaming.FileTopic.keyHashOf(n) % readers)
@@ -147,7 +163,12 @@ object BrokerSource {
     * [[ensureBase]] rebases a fresh cursor so redelivered unacked messages
     * number from the checkpointed start — without it, `commit` would
     * acknowledge seqnos below the start that were never served to any
-    * batch in this run (silent data loss under at-least-once).
+    * batch in this run (silent data loss under at-least-once). The second
+    * half of that guarantee lives in [[MaterializedCursor.planPartitions]]:
+    * a replayed in-flight batch polls at planning time (serving anything
+    * already redelivered) and then fences the seqno clock past its window,
+    * so a redelivery arriving later is numbered AFTER the window, served by
+    * a subsequent batch, and acked only then.
     */
   class PulsarCursor(cfg: graft.streaming.PulsarSink.Config,
       subscription: String) extends MaterializedCursor {

@@ -179,6 +179,61 @@ class BrokerCursorSpec extends AnyFunSuite {
     assert(c.poll() == 8 && c.range(7, 8).head.key == "k7")
   }
 
+  test("replayed batch planned before redelivery: late redeliveries renumber past the window, never blind-acked") {
+    // previous incarnation committed through 5, crashed with batch [5, 7)
+    // in the WAL; on restart Spark REPLAYS that batch — planInputPartitions
+    // runs before any scheduled poll, and the broker's ack-timeout
+    // redelivery hasn't fired yet
+    val fake = new FakeConsumer
+    val c = cursorOver(fake)
+    c.ensureBase(5)
+    val parts = c.planPartitions(5, 7, 1)
+    assert(parts.map { case graft.sources.BrokerInputPartition(ms) => ms.length }.sum == 0)
+    // redeliveries arrive AFTER the window was planned; progress reporting
+    // polls before the batch commits
+    fake.pending += new FakeMsg("k5", Array[Byte](5), new FakeMessageId(5))
+    fake.pending += new FakeMsg("k6", Array[Byte](6), new FakeMessageId(6))
+    c.poll()
+    c.commit(7)
+    // the never-served redeliveries must NOT be acked by the replay commit
+    assert(fake.acked.isEmpty, fake.acked.map(_.n).toSeq.toString)
+    // they were fenced past the window and are served by the next batch
+    assert(c.poll() == 9)
+    assert(c.range(7, 9).map(_.key).toSeq == Seq("k5", "k6"))
+    c.commit(9)
+    assert(fake.acked.map(_.n).toSeq == Seq(5, 6))
+  }
+
+  test("replayed batch serves redeliveries that arrived before planning") {
+    // same replay, but the broker already redelivered by the time the
+    // batch is planned: planning polls, so the replayed window serves them
+    // and the commit acks exactly them
+    val fake = new FakeConsumer
+    fake.pending += new FakeMsg("k5", Array[Byte](5), new FakeMessageId(5))
+    fake.pending += new FakeMsg("k6", Array[Byte](6), new FakeMessageId(6))
+    val c = cursorOver(fake)
+    c.ensureBase(5)
+    val parts = c.planPartitions(5, 7, 1)
+    val served = parts.flatMap { case graft.sources.BrokerInputPartition(ms) => ms }
+    assert(served.map(_.key).toSeq == Seq("k5", "k6"))
+    c.commit(7)
+    assert(fake.acked.map(_.n).toSeq == Seq(5, 6))
+  }
+
+  test("file topic: replayed in-flight batch planned before any poll serves the right files") {
+    val dir = tmpDir()
+    produce(dir, 5)
+    // incarnation 1 committed [0,3) and crashed with [3,5) in the WAL;
+    // incarnation 2's first call is the replay's planInputPartitions —
+    // before any latestOffset/poll
+    val stream = new BrokerStream(topic = "t", dir = dir,
+      subscription = "cursor-spec-replay")
+    val parts = stream.planInputPartitions(BrokerOffset(3), BrokerOffset(5))
+    assert(parts.length == 1)
+    val rows = readAll(stream.createReaderFactory().createReader(parts.head))
+    assert(rows.map(_._2) == Seq("payload-3", "payload-4"), rows.toString)
+  }
+
   test("rebase shifts entries polled before the restored start was known") {
     // Trigger.AvailableNow polls during query initialization, BEFORE the
     // restored start offset reaches the cursor: the redelivery lands at
