@@ -138,10 +138,17 @@ object BrokerSource {
       // derives from the durable listing, not arrival time.)
       poll()
       val ns = names.subMap(from, until).values.toArray(Array.empty[String])
-      if (readers <= 1 || ns.length <= 1) Array(FileRangePartition(dir, ns))
-      else ns.groupBy(n => graft.streaming.FileTopic.keyHashOf(n) % readers)
+      // split by key hash only when EVERY name carries the -kh suffix: a
+      // legacy name's key is known only inside the file, and guessing a
+      // partition for it (e.g. from the name) could separate it from other
+      // messages of the same key — the batch stays one partition instead,
+      // trading parallelism for the per-key ordering contract
+      val hashes = ns.map(graft.streaming.FileTopic.keyHashOf)
+      if (readers <= 1 || ns.length <= 1 || hashes.exists(_.isEmpty))
+        Array(FileRangePartition(dir, ns))
+      else ns.zip(hashes).groupBy { case (_, h) => h.get % readers }
         .toSeq.sortBy(_._1)
-        .map { case (_, group) => FileRangePartition(dir, group): InputPartition }
+        .map { case (_, group) => FileRangePartition(dir, group.map(_._1)): InputPartition }
         .toArray
     }
   }

@@ -11,7 +11,8 @@ import java.util.concurrent.atomic.AtomicLong
   * the same per-key FIFO the keyed broker gives. Names additionally carry
   * a key-hash suffix (`-kh<8 hex>`) so a consumer can split a batch across
   * reader tasks BY KEY without opening any file (per-key order preserved);
-  * names without the suffix (older producers) fall back to a name hash.
+  * a batch containing any legacy name (no suffix) stays one partition —
+  * see [[keyHashOf]].
   */
 object FileTopic {
 
@@ -23,12 +24,15 @@ object FileTopic {
   def keyHash(key: String): Int =
     (if (key == null) 0 else key.hashCode) & 0x7fffffff
 
-  /** Key-hash of a stored message, from the name alone; falls back to the
-    * name's own hash for legacy names without the suffix.
+  /** Key-hash of a stored message, from the name alone — None for legacy
+    * names (pre-suffix producers), where the key is only inside the file.
+    * Consumers must NOT substitute a name-derived hash: two messages with
+    * the same key would land in different reader partitions, silently
+    * breaking the per-key ordering contract.
     */
-  def keyHashOf(name: String): Int = name match {
-    case KeyHashPattern(h) => java.lang.Long.parseLong(h, 16).toInt & 0x7fffffff
-    case _ => name.hashCode & 0x7fffffff
+  def keyHashOf(name: String): Option[Int] = name match {
+    case KeyHashPattern(h) => Some(java.lang.Long.parseLong(h, 16).toInt & 0x7fffffff)
+    case _ => None
   }
 
   final case class Stored(name: String, key: String, payload: Array[Byte])

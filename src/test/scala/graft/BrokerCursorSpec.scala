@@ -94,6 +94,28 @@ class BrokerCursorSpec extends AnyFunSuite {
     }
   }
 
+  test("a legacy name without the key-hash suffix forces a single partition") {
+    val dir = tmpDir()
+    produce(dir, 6) // 6 distinct keys -> would split across 3 readers
+    // simulate a message from a pre-suffix producer: same payload layout,
+    // name without -kh — its key is only knowable by opening the file
+    val legacy = FileTopic.listNamesAfter(dir, "").head
+    val legacyName = legacy.replaceAll("-kh[0-9a-f]{8}\\.msg$", ".msg")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir).resolve(legacy),
+      java.nio.file.Paths.get(dir).resolve(legacyName))
+    val stream = new BrokerStream(topic = "t", dir = dir,
+      subscription = "cursor-spec-legacy", readers = 3)
+    val end = stream.latestOffset().asInstanceOf[BrokerOffset].seq
+    val parts = stream.planInputPartitions(BrokerOffset(0), BrokerOffset(end))
+    // splitting would have to guess the legacy message's key and could
+    // separate it from its siblings: the whole batch stays one partition
+    assert(parts.length == 1)
+    val rows = readAll(stream.createReaderFactory().createReader(parts.head))
+    assert(rows.length == 6 && rows.map(_._2).sorted ==
+      (0 until 6).map(i => s"payload-$i"))
+  }
+
   test("streaming query with readers>1 executes multi-partition micro-batches") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
