@@ -67,6 +67,8 @@ object HttpRemoteWriteSource {
   final class Receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
       host: String = "", telemetryPath: String = "/metrics") {
+    private[HttpRemoteWriteSource] val config =
+      (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath)
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
@@ -221,12 +223,24 @@ object HttpRemoteWriteSource {
 
   private val receivers = new ConcurrentHashMap[Int, Receiver]()
 
+  /** One receiver per port (one server can bind it). A second request for
+    * the same port must ask for the SAME configuration — silently handing
+    * back a server with a different path/host/validation than requested
+    * would misroute a restarted query; fail fast instead (stop the old
+    * receiver via [[shutdown]] to rebind with new settings).
+    */
   def receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
       host: String = "", telemetryPath: String = "/metrics"): Receiver = {
     val r = receivers.computeIfAbsent(port,
       _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof,
         host, telemetryPath))
+    val requested = (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath)
+    if (r.config != requested)
+      throw new IllegalStateException(
+        s"port $port already serves a receiver with different settings " +
+        s"(running: ${r.config}, requested: $requested); " +
+        s"shutdown($port) first to rebind")
     r.start()
     r
   }

@@ -185,6 +185,26 @@ class E2ESpec extends AnyFunSuite {
     }
   }
 
+  test("receiver cache: same port with different settings fails fast, never a silent mismatch") {
+    val port = 19217
+    val r = graft.sources.HttpRemoteWriteSource.receiver(port, "/write", validate = true)
+    try {
+      // identical settings: same receiver handed back
+      assert(graft.sources.HttpRemoteWriteSource
+        .receiver(port, "/write", validate = true) eq r)
+      // changed path (or host/telemetry/validation): must not silently
+      // reuse the old binding
+      val e = intercept[IllegalStateException] {
+        graft.sources.HttpRemoteWriteSource.receiver(port, "/other-path", validate = true)
+      }
+      assert(e.getMessage.contains("different settings"), e.getMessage)
+    } finally graft.sources.HttpRemoteWriteSource.shutdown(port)
+    // after shutdown the port rebinds with the new settings
+    val r2 = graft.sources.HttpRemoteWriteSource.receiver(port, "/other-path", validate = false)
+    try assert(r2 ne r)
+    finally graft.sources.HttpRemoteWriteSource.shutdown(port)
+  }
+
   test("multi-writer fan-out: failing writer -> 500 naming it, healthy writer still written") {
     // produce.go:155-181: concurrent fan-out, per-writer error aggregation,
     // 500 listing failed writer names; partial success still writes the
