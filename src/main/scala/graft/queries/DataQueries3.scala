@@ -34,19 +34,52 @@ object DataQueries3 {
     * consumers need it (d15 clusters, d17 apply, d40 savings report) — a
     * pipeline runs it ONCE and every report composes from the shared
     * cluster table (the persist seam VERDICT r7 asked for).
+    *
+    * The memo assumes a dir's data is immutable within a session (the
+    * corpus-snapshot contract); call [[invalidateClusters]] after rewriting
+    * a dir in place to force a recompute. It cannot grow with JVM lifetime:
+    * entries of stopped sessions are purged on every access (their cached
+    * blocks died with the context), and the cache is LRU-bounded — an
+    * insert past the cap unpersists and evicts the oldest entry.
     */
-  private val clustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val MaxClusterMemos = 8
+  private val clustersMemo = // access-order = LRU iteration order
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
 
-  private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersMemo.computeIfAbsent((s, dir), _ =>
-      // public API binding (operators/TextDedup.clusters): min-label
-      // propagation with sum-convergence detection — the LSH candidate graph
-      // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
-      // the O(log n) general-graph path.
-      graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
-        .select(col("id").as("doc_id"), col("cluster"))
-        .persist())
+  private[graft] def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersMemo.synchronized {
+      clustersMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(clustersMemo.get((s, dir))).getOrElse {
+        // public API binding (operators/TextDedup.clusters): min-label
+        // propagation with sum-convergence detection — the LSH candidate graph
+        // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
+        // the O(log n) general-graph path.
+        val df = graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
+          .select(col("id").as("doc_id"), col("cluster"))
+          .persist()
+        clustersMemo.put((s, dir), df)
+        if (clustersMemo.size > MaxClusterMemos) {
+          val it = clustersMemo.entrySet().iterator()
+          val oldest = it.next()
+          it.remove()
+          try oldest.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
+        df
+      }
+    }
+
+  /** Drop (and unpersist) the memoized cluster table for (session, dir) —
+    * required after changing the dir's data within a session, since the
+    * memo otherwise serves the snapshot it first computed.
+    */
+  def invalidateClusters(s: SparkSession, dir: String): Unit =
+    clustersMemo.synchronized {
+      val df = clustersMemo.remove((s, dir))
+      if (df != null) {
+        try df.unpersist(blocking = false) catch { case _: Exception => () }
+      }
+    }
 
   val queries: Map[String, Q] = Map(
     // deterministic hash-based stratified sampling: ~10% per document,

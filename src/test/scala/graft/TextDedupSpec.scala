@@ -134,4 +134,17 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
   }
+
+  test("dedupClusters memo: same frame per (session, dir); invalidate forces recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.queries.DataQueries3.dedupClusters(spark, dir)
+    // memo hit: the SAME persisted frame object is shared by d15/d17/d40
+    assert(graft.queries.DataQueries3.dedupClusters(spark, dir) eq first)
+    graft.queries.DataQueries3.invalidateClusters(spark, dir)
+    val second = graft.queries.DataQueries3.dedupClusters(spark, dir)
+    // post-invalidation: a fresh computation (the old snapshot is dropped)
+    assert(second ne first)
+    assert(second.count() == first.count())
+    graft.queries.DataQueries3.invalidateClusters(spark, dir)
+  }
 }
