@@ -34,11 +34,15 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try run(fn) catch { case _: Throwable => () }
       }
-    // min of three timed runs per query: one-shot timings on a busy host
-    // swing 2-3x (observed full-suite totals vary ±15% run-to-run); the
-    // minimum is the steady-state cost that projects to a cluster
+    // min of N timed runs per query (default 3): one-shot timings on a busy
+    // host swing 2-3x (observed full-suite totals vary ±15% run-to-run); the
+    // minimum is the steady-state cost that projects to a cluster. Host
+    // stalls occasionally span all 3 reps (r6 q14-q18, r9 q13/q16/q20 moved
+    // ±0.9s on byte-identical code) — SPARK_GRAFT_REPS=7 isolates those
+    // before reacting to a "regression".
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(fn)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
