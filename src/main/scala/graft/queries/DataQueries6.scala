@@ -136,6 +136,43 @@ object DataQueries6 {
         .orderBy("source", "rank")
     }),
 
+    // BM25 ranking over the corpus for a fixed 3-term query (the retrieval
+    // scorer the d25 inverted index exists to serve). Shape: one narrow map
+    // computes per-doc tf/dl; a ONE-ROW aggregate (N, Σdl, per-term df) is
+    // broadcast back; scoring is another narrow map; the final top-20 is a
+    // TakeOrderedAndProject — O(k) per partition, no corpus sort. At 100 TB
+    // the same plan stands: stats row stays one row, scoring stays narrow.
+    // Cross-engine determinism: tf/df/dl/N are integer-valued doubles (exact
+    // sums in any order), the 3 contributions add in fixed left-to-right
+    // order, and the score is published floored to 1e-6 quanta so a
+    // last-ulp ln() difference between runtimes cannot surface.
+    "d52_bm25" -> ((s, dir) => {
+      val terms = Seq("join", "scan", "vector")
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("dl", size(col("w")).cast("double"))
+      val tf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("w"), x => x === lit(t))).cast("double"))
+      }
+      val aggCols = count(lit(1)).cast("double").as("n") +:
+        sum(col("dl")).as("sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+      val stats = tf.agg(aggCols.head, aggCols.tail: _*)
+      val scored = tf.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sumdl") / col("n"))
+      // Okapi BM25, k1=1.2 b=0.75: idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+      def contrib(i: Int) =
+        log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+          (col(s"tf$i") * lit(2.2)) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      scored
+        .withColumn("score", contrib(0) + contrib(1) + contrib(2))
+        .select(col("doc_id"), floor(col("score") * lit(1000000.0)).as("score_q6"))
+        .orderBy(col("score_q6").desc, col("doc_id")).limit(20)
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -154,6 +191,24 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d52_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |  CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf0,
+        |  CAST(len(list_filter(w, x -> x = 'scan')) AS DOUBLE) AS tf1,
+        |  CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf2 FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2 FROM t),
+        |sc AS (SELECT doc_id,
+        |  ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))) AS score
+        |FROM t, st)
+        |SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_q6
+        |FROM sc ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin,
+
     "d51_truncate_embed" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS t FROM embeddings),
         |n AS (SELECT vec_id, t, sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN t]), (a, b) -> a + b)) AS nrm FROM e)
