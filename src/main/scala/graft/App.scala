@@ -175,6 +175,7 @@ object App {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(100.millis))
       .start()
+    stopOnShutdown(q)
     println(s"[graft] produce: listening on :$port$path -> topic '$topic' ($serializer)")
     q.awaitTermination()
   }
@@ -254,7 +255,27 @@ object App {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(100.millis)) // checkInterval (write.go:69)
       .start()
+    stopOnShutdown(q)
     println(s"[graft] consume: topic '$topic' -> $url (batch=$batchSize, delay=${maxDelay}ms)")
     q.awaitTermination()
+  }
+
+  /** SIGTERM/SIGINT: stop the streaming query before the JVM's Spark
+    * shutdown hook stops the context — the reference's signal-then-drain
+    * exit (run.Group interrupt handling, main.go). Without this, an
+    * in-flight micro-batch races context teardown and the process exits
+    * through an internal-error stack instead of a clean query stop;
+    * offsets are checkpoint-safe either way (uncommitted batches replay).
+    */
+  private def stopOnShutdown(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t = sys.addShutdownHook {
+      try q.stop() catch { case _: Exception => () }
+    }
+    // drop the hook once the query ends normally, so a later natural exit
+    // doesn't touch a stopped context
+    new Thread(() => {
+      try { q.awaitTermination(); t.remove(); () }
+      catch { case _: Throwable => () }
+    }, "graft-stop-hook-reaper").start()
   }
 }
