@@ -224,6 +224,10 @@ object App {
         .option("readers", readers)
       if (pulsarCfg.url.nonEmpty)
         r.option("pulsar.url", pulsarCfg.url)
+          // scale-out consume (beyond reference parity): per-executor
+          // KeyShared consumers over --readers sticky hash ranges
+          .option("pulsar.executor-consumers",
+            flag(args, "pulsar.executor-consumers", "false"))
           .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)
           // no operation-timeout option: the consumer client leaves it unset,
           // like the reference (send-timeout only bounds the HTTP POST below)
@@ -260,22 +264,22 @@ object App {
     q.awaitTermination()
   }
 
-  /** SIGTERM/SIGINT: stop the streaming query before the JVM's Spark
-    * shutdown hook stops the context — the reference's signal-then-drain
-    * exit (run.Group interrupt handling, main.go). Without this, an
-    * in-flight micro-batch races context teardown and the process exits
-    * through an internal-error stack instead of a clean query stop;
-    * offsets are checkpoint-safe either way (uncommitted batches replay).
+  /** SIGTERM/SIGINT: stop the streaming query FIRST, then begin normal JVM
+    * shutdown — the reference's signal-then-drain exit (run.Group interrupt
+    * handling, main.go). A plain shutdown hook is not enough: JVM hooks run
+    * in parallel with Spark's own hook, so context teardown can race the
+    * in-flight micro-batch and the process exits through an internal-error
+    * planning stack. A signal handler owns the ordering: query stop, then
+    * System.exit (which runs Spark's hooks on the now-idle context).
+    * Offsets are checkpoint-safe either way — uncommitted batches replay.
     */
-  private def stopOnShutdown(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val t = sys.addShutdownHook {
-      try q.stop() catch { case _: Exception => () }
+  private def stopOnShutdown(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    Seq("TERM", "INT").foreach { sig =>
+      try sun.misc.Signal.handle(new sun.misc.Signal(sig),
+        (_: sun.misc.Signal) => {
+          try q.stop() catch { case _: Throwable => () }
+          System.exit(0)
+        })
+      catch { case _: Throwable => () } // -Xrs or a managed signal: keep default
     }
-    // drop the hook once the query ends normally, so a later natural exit
-    // doesn't touch a stopped context
-    new Thread(() => {
-      try { q.awaitTermination(); t.remove(); () }
-      catch { case _: Throwable => () }
-    }, "graft-stop-hook-reaper").start()
-  }
 }

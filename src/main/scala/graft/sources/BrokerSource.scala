@@ -41,9 +41,11 @@ import graft.streaming.InMemoryBroker
   * is same-JVM by construction (local test stand-in), and the real-broker
   * cursor receives on the driver because the pulsar-client consumer lives
   * there (parity with the reference's single-process consume loop,
-  * consume.go:80-94) — its documented ceiling is the driver NIC; scale out
-  * by running more queries with distinct subscription names over key-hash
-  * ranges.
+  * consume.go:80-94) — its documented ceiling is the driver NIC. Past that
+  * ceiling, `pulsar.executor-consumers=true` switches the real-broker path
+  * to [[ExecutorPull]]: per-executor KeyShared consumers over sticky
+  * key-hash ranges, payloads never touching the driver (see that object's
+  * design notes for the at-least-once/replay trade).
   */
 object BrokerSource {
   val schema: StructType = StructType(Seq(
@@ -255,15 +257,8 @@ object BrokerSource {
       // by THIS incarnation (post-rebase numbering), never bare offsets
       val acked = mids.headMap(until)
       if (!acked.isEmpty) {
-        // acknowledge(Message) and acknowledge(MessageId) share an arity —
-        // resolve the MessageId overload by parameter type name
-        val ack = consumer.getClass.getMethods
-          .find(m => m.getName == "acknowledge" && m.getParameterCount == 1 &&
-            m.getParameterTypes()(0).getSimpleName.endsWith("MessageId"))
-          .getOrElse(throw new NoSuchMethodException(
-            s"${consumer.getClass.getName}.acknowledge(MessageId)"))
-        ack.setAccessible(true)
-        acked.values.forEach(id => { ack.invoke(consumer, id); () })
+        graft.streaming.PulsarSink.ackMessageIds(consumer,
+          scala.jdk.CollectionConverters.CollectionHasAsScala(acked.values).asScala.toSeq)
         acked.clear()
       }
       super.commit(until)
@@ -333,15 +328,19 @@ class BrokerSourceProvider extends TableProvider {
       p("maxRecordsPerTrigger", "0").toLong,
       p("subscription", BrokerSource.DefaultSubscription),
       pulsar,
-      p("readers", "1").toInt)
+      p("readers", "1").toInt,
+      p("pulsar.executor-consumers", "false").toBoolean,
+      p("pollTimeoutMs", "100").toLong)
   }
 }
 
 class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
-    readers: Int = 1)
+    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L)
   extends Table with SupportsRead {
+  require(!executorPull || pulsar.nonEmpty,
+    "pulsar.executor-consumers requires pulsar.url (a real broker to subscribe to)")
   override def name(): String =
     s"broker:${pulsar.map(c => s"pulsar:${c.url}/${c.topic}")
       .getOrElse(if (dir == null) topic else dir)}@$subscription"
@@ -353,7 +352,8 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerStream(topic, dir, maxRecords, subscription, pulsar, readers)
+          new BrokerStream(topic, dir, maxRecords, subscription, pulsar, readers,
+            executorPull, pollTimeoutMs)
       }
     }
 }
@@ -364,16 +364,26 @@ final case class BrokerOffset(seq: Long) extends Offset {
 
 /** @param maxRecords rate limit per micro-batch (0 = unbounded) — the
   * `maxOffsetsPerTrigger` analog; backpressure knob promised in SURVEY §4.
+  * In executor-pull mode the cap applies per reader (the driver cannot
+  * count what it never sees).
   * @param readers split each batch into up to this many partitions by key
   * hash — decode parallelizes across tasks, every key stays in one
-  * partition in arrival order (1 = single partition, the default).
+  * partition in arrival order (1 = single partition, the default). In
+  * executor-pull mode this is the number of sticky hash ranges / cached
+  * executor consumers.
+  * @param executorPull real-broker scale-out mode: offsets become epoch
+  * counters, partitions become [[ExecutorPullPartition]] pull tokens, and
+  * payloads are received and acked on executors ([[ExecutorPull]]).
   */
 class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
-    readers: Int = 1)
+    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  private val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
+  private lazy val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
+  // executor-pull epoch bookkeeping: the last end offset this stream
+  // planned or reported (offset values are epochs, not message counts)
+  @volatile private var lastEnd = 0L
   // Trigger.AvailableNow pins the end offset at the first planned batch;
   // batches then step toward it under the read limit and the query stops
   // there. The pin happens INSIDE latestOffset(start, _) — after
@@ -383,7 +393,8 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   @volatile private var availableNowTarget: java.lang.Long = null
 
   override def initialOffset(): Offset = BrokerOffset(0L)
-  override def latestOffset(): Offset = BrokerOffset(cursor.poll())
+  override def latestOffset(): Offset =
+    if (executorPull) BrokerOffset(lastEnd) else BrokerOffset(cursor.poll())
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowRequested = true
@@ -392,12 +403,23 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     if (maxRecords > 0) ReadLimit.maxRows(maxRecords) else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    cursor.ensureBase(start.asInstanceOf[BrokerOffset].seq)
+    val s = start.asInstanceOf[BrokerOffset].seq
+    if (executorPull) {
+      // epochs, not counts: every trigger advances one epoch so the next
+      // batch's tasks pull fresh data AND ack the previous epoch's —
+      // the trigger interval is therefore also the ack-latency bound
+      if (availableNowRequested && availableNowTarget == null)
+        availableNowTarget = s + 1
+      val next =
+        if (availableNowTarget != null) math.min(availableNowTarget, s + 1) else s + 1
+      lastEnd = math.max(lastEnd, next)
+      return BrokerOffset(next)
+    }
+    cursor.ensureBase(s)
     val polled = cursor.poll()
     if (availableNowRequested && availableNowTarget == null)
       availableNowTarget = polled
     val avail = if (availableNowTarget != null) math.min(availableNowTarget, polled) else polled
-    val s = start.asInstanceOf[BrokerOffset].seq
     limit match {
       // seqnos are dense, so an offset cap IS a row cap
       case r: ReadMaxRows => BrokerOffset(math.min(avail, s + r.maxRows()))
@@ -405,14 +427,24 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     }
   }
 
-  override def reportLatestOffset(): Offset = BrokerOffset(cursor.poll())
+  override def reportLatestOffset(): Offset =
+    if (executorPull) BrokerOffset(lastEnd) else BrokerOffset(cursor.poll())
   override def deserializeOffset(json: String): Offset = BrokerOffset(json.toLong)
-  override def commit(end: Offset): Unit = cursor.commit(end.asInstanceOf[BrokerOffset].seq)
+  override def commit(end: Offset): Unit =
+    // executor-pull: the commit signal reaches executors as the next
+    // epoch's tasks (batch e+1 plans only after e commits); nothing to do
+    // on the driver
+    if (!executorPull) cursor.commit(end.asInstanceOf[BrokerOffset].seq)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BrokerOffset].seq
     val e = end.asInstanceOf[BrokerOffset].seq
+    if (executorPull) {
+      lastEnd = math.max(lastEnd, e)
+      return Array.tabulate(readers)(i => ExecutorPullPartition(
+        pulsar.get, subscription, i, readers, maxRecords, pollTimeoutMs, e))
+    }
     cursor.ensureBase(s)
     if (e <= s) Array.empty else cursor.planPartitions(s, e, readers)
   }
@@ -447,6 +479,20 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
+      // executor-pull: the task pulls from its range's cached consumer
+      case p: ExecutorPullPartition => new PartitionReader[InternalRow] {
+        private lazy val msgs = ExecutorPull.pull(p.cfg, p.subscription,
+          p.rangeIdx, p.readers, p.epoch, p.maxRecords, p.pollTimeoutMs)
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < msgs.length }
+        override def get(): InternalRow = {
+          val m = msgs(i)
+          InternalRow(
+            if (m.key == null) null else UTF8String.fromString(m.key),
+            m.payload)
+        }
+        override def close(): Unit = ()
+      }
       case other => throw new IllegalArgumentException(
         s"unexpected partition type ${other.getClass.getName}")
     }
@@ -458,3 +504,10 @@ final case class BrokerInputPartition(msgs: Array[InMemoryBroker.Message])
 /** File-topic partition: the driver ships names; executors read payloads. */
 final case class FileRangePartition(dir: String, names: Array[String])
     extends InputPartition
+
+/** Executor-pull token: no payloads, no names — just which sticky hash
+  * range to pull, under which epoch ([[ExecutorPull]] holds the consumers).
+  */
+final case class ExecutorPullPartition(cfg: graft.streaming.PulsarSink.Config,
+    subscription: String, rangeIdx: Int, readers: Int, maxRecords: Long,
+    pollTimeoutMs: Long, epoch: Long) extends InputPartition

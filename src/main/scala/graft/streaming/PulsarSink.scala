@@ -130,6 +130,25 @@ object PulsarSink {
     m.invoke(obj, actual: _*)
   }
 
+  /** Individually acknowledge MessageIds on a consumer (KeyShared forbids
+    * cumulative acks). acknowledge(Message) and acknowledge(MessageId)
+    * share an arity, so the MessageId overload is resolved by parameter
+    * type name. Shared by the driver-side cursor and the executor-pull
+    * readers.
+    */
+  private[graft] def ackMessageIds(consumer: AnyRef,
+      ids: Iterable[AnyRef]): Unit = {
+    if (ids.nonEmpty) {
+      val ack = consumer.getClass.getMethods
+        .find(m => m.getName == "acknowledge" && m.getParameterCount == 1 &&
+          m.getParameterTypes()(0).getSimpleName.endsWith("MessageId"))
+        .getOrElse(throw new NoSuchMethodException(
+          s"${consumer.getClass.getName}.acknowledge(MessageId)"))
+      ack.setAccessible(true)
+      ids.foreach(id => ack.invoke(consumer, id))
+    }
+  }
+
   /** Build a PulsarClient from [[Config]] through the public builder API by
     * reflection. Mapping (clientOptions, pkg/app/pulsar.go:96-115):
     *   url -> serviceUrl, connectionTimeoutMs -> connectionTimeout,
