@@ -173,6 +173,48 @@ object DataQueries6 {
         .orderBy(col("score_q6").desc, col("doc_id")).limit(20)
     }),
 
+    // temperature-scaled language mixing weights (the mT5/XLM-R alpha=0.3
+    // upsampling rule): per-language corpus share p, weight p^alpha,
+    // published relative to the dominant language (w / max(w)) — max is
+    // order-independent, so no cross-engine float-sum enters the result,
+    // and the 1e-6 quantization absorbs any last-ulp pow() skew. Two
+    // one-row broadcast aggregates around a per-language count: bounded at
+    // any corpus size.
+    "d53_temp_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val w = counts.crossJoin(broadcast(tot))
+        .withColumn("w",
+          pow(col("n_docs").cast("double") / col("n_total").cast("double"), lit(0.3)))
+      val wmax = w.agg(max(col("w")).as("wmax"))
+      w.crossJoin(broadcast(wmax))
+        .select(col("lang"), col("n_docs"),
+          floor(col("w") / col("wmax") * lit(1000000.0)).as("w_q6"))
+        .orderBy("lang")
+    }),
+
+    // cross-document repeated n-gram audit (the exact-substring dedup
+    // signal of Lee et al.'s "Deduplicating Training Data Makes Language
+    // Models Better"): per doc, how many of its distinct 8-gram shingles
+    // appear in at least one OTHER document. Per-doc dedup is a narrow
+    // array_distinct (no global distinct shuffle); grams cross the one
+    // shuffle as codegen'd 60-bit hashes; the gram-frequency side is a
+    // partial-aggregatable self-rollup co-partitioned with the join — no
+    // broadcast of anything corpus-sized.
+    "d54_repeated_grams" -> ((s, dir) => {
+      val dg = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 8))).as("g"))
+      val gdf = dg.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      dg.join(gdf.filter(col("ndocs") >= 2).select(col("g"), lit(true).as("rep")),
+          Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("rep"), 1L).otherwise(0L)).as("n_repeated"))
+        .withColumn("rep_frac",
+          col("n_repeated").cast("double") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -191,6 +233,23 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d53_temp_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS n_total FROM c),
+        |w AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 0.3) AS w FROM c, t),
+        |m AS (SELECT max(w) AS wmax FROM w)
+        |SELECT lang, n_docs, CAST(floor(w / wmax * 1000000.0) AS BIGINT) AS w_q6
+        |FROM w, m ORDER BY lang""".stripMargin,
+
+    "d54_repeated_grams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] FOR i IN generate_series(1, len(w) - 7)])) AS g FROM w),
+        |d AS (SELECT g, count(*) AS ndocs FROM g GROUP BY g)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_frac
+        |FROM g JOIN d USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
     "d52_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,

@@ -123,6 +123,26 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("restart: a fresh incarnation serves broker redeliveries under resumed epochs") {
+    withFakes(1) { fakes =>
+      // incarnation 1 pulled two messages under epoch 5 and crashed before
+      // epoch 6 ran: its consumer closed with the JVM, nothing was acked,
+      // and the broker redelivers both to the new incarnation's consumer.
+      // Spark resumes from the checkpoint: batch 5 replays first.
+      fakes(0).pending += msg(0)
+      fakes(0).pending += msg(1)
+      val factory = stream(readers = 1).createReaderFactory()
+      val p5 = ExecutorPullPartition(cfg, "ep-spec", 0, 1, 0L, 5L, epoch = 5L)
+      // the replayed batch serves the redeliveries (at-least-once: content
+      // equivalence, not byte-identical batch replay — see ExecutorPull doc)
+      assert(readAll(factory.createReader(p5)) == Seq("k0", "k1"))
+      assert(fakes(0).acked.isEmpty)
+      // the next epoch acks them — exactly the once-served messages
+      assert(readAll(factory.createReader(p5.copy(epoch = 6L))).isEmpty)
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(0, 1))
+    }
+  }
+
   test("streaming query end-to-end: all payloads delivered, acked after the following epoch") {
     withFakes(2) { fakes =>
       val spark = org.apache.spark.sql.SparkSession.builder()
