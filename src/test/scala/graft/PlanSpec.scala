@@ -228,6 +228,30 @@ class PlanSpec extends AnyFunSuite {
       "only the shards-row base table may broadcast-join\n" + p42)
   }
 
+  test("d52: BM25 is narrow scoring around one-row broadcasts, top-k never sorts the corpus") {
+    val p = plan("d52_bm25")
+    // the final top-20 is a bounded TakeOrderedAndProject (O(k) per
+    // partition), never a global Sort of scored documents
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), "BM25 must not global-sort the corpus\n" + p)
+    // corpus stats (N, avgdl, df) reach the scorer as ONE broadcast row
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("d54: repeated-gram audit joins co-partitioned hashes, no forced broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("d54_repeated_grams")
+      // the gram-frequency side is corpus-sized: it must shuffle-join on
+      // the gram hash, never carry a broadcast hint (AQE may still choose
+      // to broadcast at small SF — that is a runtime decision, not a hint)
+      assert(!p.contains("BroadcastHashJoin"),
+        "repeated-gram df side must not be hint-broadcast\n" + p)
+      // grams cross the shuffle as the codegen'd 60-bit hash kernel
+      assert(p.contains("static_invoke"), "grams must be kernel hashes\n" + p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
