@@ -37,6 +37,14 @@ import graft.streaming.{InMemoryBroker, PulsarSink}
   * sink is an at-least-once HTTP POST with retry, like the reference's).
   * Consumers cache per (url, topic, subscription, range) in the executor
   * JVM and close with it; unacked messages then redeliver elsewhere.
+  * Same-JVM query restarts resume correctly through the cache: a restart
+  * from a committed checkpoint acks the previous incarnation's buffer on
+  * its first task (that epoch committed, or the restart would replay it);
+  * an uncommitted epoch replays and re-serves the buffer. One RUNNING
+  * query per (url, topic, subscription): concurrent queries sharing a
+  * subscription would interleave epochs on shared entries — use distinct
+  * subscription names, the same one-consumer-group-per-pipeline rule the
+  * reference's flag help states (consume.go:42-43).
   */
 object ExecutorPull {
 

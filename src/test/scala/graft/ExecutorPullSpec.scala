@@ -143,6 +143,42 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed restart: committed epoch's buffer acked by the resumed query, nothing lost") {
+    withFakes(1) { fakes =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val ckpt = java.nio.file.Files.createTempDirectory("ep-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("ep-out").toString
+      (0 until 6).foreach(i => fakes(0).pending += msg(i))
+      def runOnce(): Long = {
+        val df = spark.readStream.format("graft.sources.BrokerSourceProvider")
+          .option("topic", "t").option("subscription", "ep-spec-restart")
+          .option("pulsar.url", cfg.url)
+          .option("pulsar.executor-consumers", "true")
+          .option("readers", "1").option("pollTimeoutMs", "5").load()
+        // the memory sink cannot recover from a checkpoint; the file sink can
+        val q = df.selectExpr("key").writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        spark.read.parquet(out).count()
+      }
+      // incarnation 1: one AvailableNow epoch pulls all six, commits, stops
+      // — its buffer stays unacked (acks ride the NEXT epoch)
+      assert(runOnce() == 6)
+      assert(fakes(0).acked.isEmpty)
+      // incarnation 2 resumes from the checkpoint: its first task sees the
+      // committed epoch's buffer and acks it; no message is re-served
+      assert(runOnce() == 6)
+      assert(fakes(0).acked.map(_.n).sorted.toSeq == (0 until 6))
+    }
+  }
+
   test("streaming query end-to-end: all payloads delivered, acked after the following epoch") {
     withFakes(2) { fakes =>
       val spark = org.apache.spark.sql.SparkSession.builder()
