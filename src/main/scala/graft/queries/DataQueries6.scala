@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -177,17 +178,18 @@ object DataQueries6 {
     // upsampling rule): per-language corpus share p, weight p^alpha,
     // published relative to the dominant language (w / max(w)) — max is
     // order-independent, so no cross-engine float-sum enters the result,
-    // and the 1e-6 quantization absorbs any last-ulp pow() skew. Two
-    // one-row broadcast aggregates around a per-language count: bounded at
-    // any corpus size.
+    // and the 1e-6 quantization absorbs any last-ulp pow() skew. ONE
+    // corpus scan + groupBy(lang); everything after runs in a
+    // single-partition window over the aggregated rows, which is bounded
+    // by the language cardinality (dozens) at any corpus size — the same
+    // tiny-side window shape as d26's histogram thresholds.
     "d53_temp_mix" -> ((s, dir) => {
-      val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
-      val w = counts.crossJoin(broadcast(tot))
+      val all = Window.partitionBy(lit(0))
+      docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_total", sum(col("n_docs")).over(all))
         .withColumn("w",
           pow(col("n_docs").cast("double") / col("n_total").cast("double"), lit(0.3)))
-      val wmax = w.agg(max(col("w")).as("wmax"))
-      w.crossJoin(broadcast(wmax))
+        .withColumn("wmax", max(col("w")).over(all))
         .select(col("lang"), col("n_docs"),
           floor(col("w") / col("wmax") * lit(1000000.0)).as("w_q6"))
         .orderBy("lang")
