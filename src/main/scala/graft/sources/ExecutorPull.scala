@@ -127,16 +127,19 @@ object ExecutorPull {
         e.pending.clear()
       }
       e.pendingEpoch = epoch
-      var wait = pollTimeoutMs
-      var m = receive(e.consumer, wait)
-      while (m != null && (maxRecords <= 0 || e.pending.length < maxRecords)) {
-        e.pending += ((InMemoryBroker.Message(
-          call(m, "getKey").asInstanceOf[String],
-          call(m, "getData").asInstanceOf[Array[Byte]]),
-          call(m, "getMessageId")))
-        wait = 0L
-        m = if (maxRecords > 0 && e.pending.length >= maxRecords) null
-            else receive(e.consumer, wait)
+      // receive ONLY while budget remains: a message dequeued past the cap
+      // would be neither served nor acked, and a live consumer gets no
+      // redelivery — it would simply vanish
+      if (maxRecords <= 0 || e.pending.length < maxRecords) {
+        var m = receive(e.consumer, pollTimeoutMs)
+        while (m != null) {
+          e.pending += ((InMemoryBroker.Message(
+            call(m, "getKey").asInstanceOf[String],
+            call(m, "getData").asInstanceOf[Array[Byte]]),
+            call(m, "getMessageId")))
+          m = if (maxRecords > 0 && e.pending.length >= maxRecords) null
+              else receive(e.consumer, 0L)
+        }
       }
       e.pending.map(_._1).toArray
     }

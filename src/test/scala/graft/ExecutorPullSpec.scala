@@ -123,6 +123,23 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("a rerun with a full maxRecords buffer must not dequeue (and drop) a message") {
+    withFakes(1) { fakes =>
+      (0 until 3).foreach(i => fakes(0).pending += msg(i))
+      val factory = stream(readers = 1, maxRecords = 2L).createReaderFactory()
+      val p1 = ExecutorPullPartition(cfg, "ep-spec", 0, 1, 2L, 5L, epoch = 1L)
+      assert(readAll(factory.createReader(p1)) == Seq("k0", "k1"))
+      // same-epoch rerun with the buffer already at the cap: receiving
+      // would dequeue k2 past the budget — never served, never acked, and
+      // a live consumer gets no redelivery. It must stay at the broker.
+      assert(readAll(factory.createReader(p1)) == Seq("k0", "k1"))
+      assert(fakes(0).pending.map(_.id.n).toSeq == Seq(2), "k2 must remain queued")
+      // the next epoch serves it
+      assert(readAll(factory.createReader(p1.copy(epoch = 2L))) == Seq("k2"))
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(0, 1))
+    }
+  }
+
   test("restart: a fresh incarnation serves broker redeliveries under resumed epochs") {
     withFakes(1) { fakes =>
       // incarnation 1 pulled two messages under epoch 5 and crashed before
