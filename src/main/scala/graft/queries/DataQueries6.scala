@@ -17,6 +17,7 @@ object DataQueries6 {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   private def withTok(df: DataFrame): DataFrame =
     df.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -217,6 +218,48 @@ object DataQueries6 {
         .orderBy("doc_id")
     }),
 
+    // ANN recall audit — the index-quality gate a similarity pipeline runs
+    // before trusting its approximate path: per query vector, recall@3 of
+    // the IVF cell-restricted top-3 (d10's shape) against the exact
+    // brute-force top-3. The IVF side joins on cell (partitioned, never
+    // broadcast); the exact side broadcasts only the FIXED 8-query probe
+    // set against the corpus — ground truth over a bounded probe sample is
+    // exactly how production recall audits price this at any corpus size.
+    // Cosines are the bit-identical left-fold kernel; ranks tie-break on
+    // vec_id; recall is a ratio of small exact integers.
+    "d55_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = graft.operators.VectorSearch
+        .ivfAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .persist()
+      val q = assigned.filter(col("id") >= 8 && col("id") < 16)
+        .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.prom.vec_dot(a, b)
+      def top3(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3).select(col("qid"), col("vec_id"))
+      }
+      val ivf = top3(q.join(assigned, Seq("cell"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos")))
+      val exact = top3(assigned.join(broadcast(q.drop("cell")),
+          col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos")))
+      val hits = exact.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("k").cast("double")).as("recall"))
+        .orderBy("qid")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -235,6 +278,32 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d55_ann_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cell FROM assigned WHERE vec_id >= 8 AND vec_id < 16),
+        |ivfs AS (SELECT qid, a.vec_id, list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * v[i] FOR i IN generate_series(1, len(v))]), (a, b) -> a + b) / (qn * a.nrm) AS cos
+        |  FROM q JOIN assigned a USING (cell) WHERE a.vec_id <> qid),
+        |ivfr AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ivfs) WHERE rn <= 3),
+        |exs AS (SELECT qid, a.vec_id, list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * v[i] FOR i IN generate_series(1, len(v))]), (a, b) -> a + b) / (qn * a.nrm) AS cos
+        |  FROM q, assigned a WHERE a.vec_id <> qid),
+        |exr AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM exs) WHERE rn <= 3),
+        |hits AS (SELECT x.qid, count(*) AS n FROM exr x JOIN ivfr i ON x.qid = i.qid AND x.vec_id = i.vec_id GROUP BY x.qid),
+        |kk AS (SELECT qid, count(*) AS k FROM exr GROUP BY qid)
+        |SELECT kk.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE) AS recall
+        |FROM kk LEFT JOIN hits h ON kk.qid = h.qid ORDER BY kk.qid""".stripMargin,
+
     "d53_temp_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT sum(n_docs) AS n_total FROM c),
