@@ -224,10 +224,15 @@ object App {
         .option("readers", readers)
       if (pulsarCfg.url.nonEmpty)
         r.option("pulsar.url", pulsarCfg.url)
-          // scale-out consume (beyond reference parity): per-executor
-          // KeyShared consumers over --readers sticky hash ranges
+          // scale-out consume (beyond reference parity): --readers cached
+          // per-executor KeyShared consumers (auto-split; sticky ranges and
+          // ack timeout tunable)
           .option("pulsar.executor-consumers",
             flag(args, "pulsar.executor-consumers", "false"))
+          .option("pulsar.sticky-ranges",
+            flag(args, "pulsar.sticky-ranges", "false"))
+          .option("pulsar.ack-timeout-ms",
+            flag(args, "pulsar.ack-timeout-ms", "60000"))
           .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)
           // no operation-timeout option: the consumer client leaves it unset,
           // like the reference (send-timeout only bounds the HTTP POST below)
@@ -277,7 +282,15 @@ object App {
     Seq("TERM", "INT").foreach { sig =>
       try sun.misc.Signal.handle(new sun.misc.Signal(sig),
         (_: sun.misc.Signal) => {
-          try q.stop() catch { case _: Throwable => () }
+          // bounded drain: if the in-flight batch is stuck (e.g. a
+          // non-interruptible socket read), exit anyway after 10 s — the
+          // signal must never render the process unkillable by TERM/INT
+          val stopper = new Thread(() => {
+            try q.stop() catch { case _: Throwable => () }
+          }, "graft-signal-stop")
+          stopper.setDaemon(true)
+          stopper.start()
+          stopper.join(10000L)
           System.exit(0)
         })
       catch { case _: Throwable => () } // -Xrs or a managed signal: keep default

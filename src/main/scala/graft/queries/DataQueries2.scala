@@ -16,6 +16,38 @@ object DataQueries2 {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** ONE memoized+persisted IVF cell assignment per (session, dir), shared
+    * by every consumer of the index (d10 search, d11 near-dup, d55 recall
+    * audit) — the same bounded-cache discipline as DataQueries3's
+    * clustersMemo: per-call persist() would leak one cached copy per run
+    * for the session lifetime. LRU-bounded; stopped sessions purged on
+    * access; inputs assumed immutable within a session.
+    */
+  private val ivfMemoMax = 8
+  private val ivfMemo = // access-order = LRU iteration order
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
+
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    ivfMemo.synchronized {
+      ivfMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(ivfMemo.get((s, dir))).getOrElse {
+        val e = embs(s, dir)
+        val df = graft.operators.VectorSearch
+          .ivfAssign(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 4), "vec_id", "embedding")
+          .persist()
+        ivfMemo.put((s, dir), df)
+        if (ivfMemo.size > ivfMemoMax) {
+          val it = ivfMemo.entrySet().iterator()
+          val oldest = it.next()
+          it.remove()
+          try oldest.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
+        df
+      }
+    }
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
   // codegen'd kernel expression; same left-fold order as
@@ -39,14 +71,9 @@ object DataQueries2 {
     // This is the 100TB shape: candidate set per query is corpus/cells, and
     // the cell assignment is a narrow pass + small broadcast of centroids.
     "d10_ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
-      // the cell assignment IS the IVF index (public VectorSearch API):
-      // materialize it once instead of recomputing the scan+assignment on
-      // both sides of the candidate join
-      val assigned = graft.operators.VectorSearch
-        .ivfAssign(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 4), "vec_id", "embedding")
-        .persist()
+      // the cell assignment IS the IVF index (public VectorSearch API) —
+      // one persisted copy per (session, dir), shared with d11/d55
+      val assigned = ivfAssigned(s, dir)
       val q = assigned.filter(col("id") >= 8 && col("id") < 16)
         .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
       val scored = q.join(assigned, Seq("cell"))
@@ -65,14 +92,10 @@ object DataQueries2 {
     // Threshold 0.4 suits this synthetic corpus (max pairwise cos ~0.51);
     // production near-dup dedup would use ~0.95.
     "d11_embed_neardup" -> ((s, dir) => {
-      val e = embs(s, dir)
-      // materialized IVF index (public VectorSearch API, see d10); the
-      // candidate join is a cell equijoin of the assignment against itself
-      // — partitioned by cell, never a broadcast (cells are corpus-sized)
-      val assigned = graft.operators.VectorSearch
-        .ivfAssign(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 4), "vec_id", "embedding")
-        .persist()
+      // shared persisted IVF index (see ivfAssigned); the candidate join is
+      // a cell equijoin of the assignment against itself — partitioned by
+      // cell, never a broadcast (cells are corpus-sized)
+      val assigned = ivfAssigned(s, dir)
       assigned.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"),

@@ -17,7 +17,6 @@ object DataQueries6 {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   private def withTok(df: DataFrame): DataFrame =
     df.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -228,11 +227,9 @@ object DataQueries6 {
     // Cosines are the bit-identical left-fold kernel; ranks tie-break on
     // vec_id; recall is a ratio of small exact integers.
     "d55_ann_recall" -> ((s, dir) => {
-      val e = embs(s, dir)
-      val assigned = graft.operators.VectorSearch
-        .ivfAssign(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 4), "vec_id", "embedding")
-        .persist()
+      // shared persisted IVF index — one copy per (session, dir) with
+      // d10/d11, LRU-bounded (see DataQueries2.ivfAssigned)
+      val assigned = DataQueries2.ivfAssigned(s, dir)
       val q = assigned.filter(col("id") >= 8 && col("id") < 16)
         .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -43,9 +43,10 @@ import graft.streaming.InMemoryBroker
   * there (parity with the reference's single-process consume loop,
   * consume.go:80-94) — its documented ceiling is the driver NIC. Past that
   * ceiling, `pulsar.executor-consumers=true` switches the real-broker path
-  * to [[ExecutorPull]]: per-executor KeyShared consumers over sticky
-  * key-hash ranges, payloads never touching the driver (see that object's
-  * design notes for the at-least-once/replay trade).
+  * to [[ExecutorPull]]: per-executor cached KeyShared consumers (broker
+  * auto-split by default, sticky key-hash ranges opt-in), payloads never
+  * touching the driver (see that object's design notes for the
+  * at-least-once/replay trade).
   */
 object BrokerSource {
   val schema: StructType = StructType(Seq(
@@ -187,25 +188,15 @@ object BrokerSource {
     private var rebased = false
 
     /** Overridable seam: tests inject a fake consumer (same method shape);
-      * production builds the KeyShared subscription by reflection. The
+      * production builds the KeyShared subscription by reflection (shared
+      * builder — consume.go:42-43's subscription name; KeyShared preserves
+      * per-key order across parallel consumers, pulsar.go:109-111). The
       * client deliberately does NOT set operationTimeout: the reference
       * leaves OperationTimeout unset on the consume path (`--send-timeout`
       * there bounds only the remote_write POST, consume.go:40-41).
       */
-    protected def newConsumer(): AnyRef = {
-      val client = graft.streaming.PulsarSink
-        .buildClient(cfg, "consume from", setOperationTimeout = false)
-      val cb = call(client, "newConsumer")
-      call(cb, "topic", classOf[String] -> cfg.topic)
-      // consume.go:42-43: the shared subscription name; KeyShared preserves
-      // per-key order across parallel consumers (pulsar.go:109-111)
-      call(cb, "subscriptionName", classOf[String] -> subscription)
-      val subType = Class.forName("org.apache.pulsar.client.api.SubscriptionType")
-      call(cb, "subscriptionType",
-        subType -> subType.getMethod("valueOf", classOf[String])
-          .invoke(null, "Key_Shared"))
-      call(cb, "subscribe")
-    }
+    protected def newConsumer(): AnyRef =
+      graft.streaming.PulsarSink.buildKeySharedConsumer(cfg, subscription)
 
     private lazy val consumer: AnyRef = newConsumer()
 
@@ -330,14 +321,17 @@ class BrokerSourceProvider extends TableProvider {
       pulsar,
       p("readers", "1").toInt,
       p("pulsar.executor-consumers", "false").toBoolean,
-      p("pollTimeoutMs", "100").toLong)
+      p("pollTimeoutMs", "100").toLong,
+      p("pulsar.sticky-ranges", "false").toBoolean,
+      p("pulsar.ack-timeout-ms", "60000").toLong)
   }
 }
 
 class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
-    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L)
+    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L,
+    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L)
   extends Table with SupportsRead {
   require(!executorPull || pulsar.nonEmpty,
     "pulsar.executor-consumers requires pulsar.url (a real broker to subscribe to)")
@@ -353,7 +347,7 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new BrokerStream(topic, dir, maxRecords, subscription, pulsar, readers,
-            executorPull, pollTimeoutMs)
+            executorPull, pollTimeoutMs, stickyRanges, ackTimeoutMs)
       }
     }
 }
@@ -369,8 +363,8 @@ final case class BrokerOffset(seq: Long) extends Offset {
   * @param readers split each batch into up to this many partitions by key
   * hash — decode parallelizes across tasks, every key stays in one
   * partition in arrival order (1 = single partition, the default). In
-  * executor-pull mode this is the number of sticky hash ranges / cached
-  * executor consumers.
+  * executor-pull mode this is the number of cached executor consumers
+  * (and, with sticky ranges, hash-range slices).
   * @param executorPull real-broker scale-out mode: offsets become epoch
   * counters, partitions become [[ExecutorPullPartition]] pull tokens, and
   * payloads are received and acked on executors ([[ExecutorPull]]).
@@ -378,7 +372,8 @@ final case class BrokerOffset(seq: Long) extends Offset {
 class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
-    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L)
+    readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L,
+    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private lazy val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
   // executor-pull epoch bookkeeping: the last end offset this stream
@@ -407,9 +402,12 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     if (executorPull) {
       // epochs, not counts: every trigger advances one epoch so the next
       // batch's tasks pull fresh data AND ack the previous epoch's —
-      // the trigger interval is therefore also the ack-latency bound
+      // the trigger interval is therefore also the ack-latency bound.
+      // Trigger.AvailableNow runs TWO epochs (the drain plus its ack
+      // epoch): Spark only delivers commit(e) at batch e+1's start, so a
+      // single-epoch run would terminate with its batch served-but-unacked
       if (availableNowRequested && availableNowTarget == null)
-        availableNowTarget = s + 1
+        availableNowTarget = s + 2
       val next =
         if (availableNowTarget != null) math.min(availableNowTarget, s + 1) else s + 1
       lastEnd = math.max(lastEnd, next)
@@ -429,21 +427,46 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
 
   override def reportLatestOffset(): Offset =
     if (executorPull) BrokerOffset(lastEnd) else BrokerOffset(cursor.poll())
-  override def deserializeOffset(json: String): Offset = BrokerOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val seq = json.toLong
+    // restored checkpoint offsets seed the epoch watermark, so progress
+    // reporting never shows an apparent offset regression after a restart
+    if (executorPull) lastEnd = math.max(lastEnd, seq)
+    BrokerOffset(seq)
+  }
   override def commit(end: Offset): Unit =
-    // executor-pull: the commit signal reaches executors as the next
-    // epoch's tasks (batch e+1 plans only after e commits); nothing to do
-    // on the driver
-    if (!executorPull) cursor.commit(end.asInstanceOf[BrokerOffset].seq)
-  override def stop(): Unit = ()
+    if (executorPull)
+      // entries in THIS JVM (local mode) ack the committed epoch promptly;
+      // cluster executors hear about the commit as the next epoch's tasks
+      // (batch e+1 plans only after e commits) and ack then
+      pulsar.foreach(ExecutorPull.ackThrough(_, subscription,
+        end.asInstanceOf[BrokerOffset].seq))
+    else cursor.commit(end.asInstanceOf[BrokerOffset].seq)
+  override def stop(): Unit =
+    // close the pull entries living in THIS JVM (local mode, tests); on a
+    // cluster the executor-side entries close with their JVMs and the ack
+    // timeout bounds how long their unacked messages stay undeliverable
+    if (executorPull) pulsar.foreach(ExecutorPull.close(_, subscription))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BrokerOffset].seq
     val e = end.asInstanceOf[BrokerOffset].seq
     if (executorPull) {
       lastEnd = math.max(lastEnd, e)
-      return Array.tabulate(readers)(i => ExecutorPullPartition(
-        pulsar.get, subscription, i, readers, maxRecords, pollTimeoutMs, e))
+      // consumer-cache affinity: slot i prefers a stable host so its task
+      // keeps landing where its consumer lives (best effort — a miss is
+      // safe: auto-split rebalances, sticky mode fails fast, and the ack
+      // timeout redelivers anything stranded)
+      val hosts =
+        try org.apache.spark.sql.SparkSession.active.sparkContext
+          .statusTracker.getExecutorInfos.map(_.host()).distinct.sorted
+        catch { case _: Exception => Array.empty[String] }
+      return Array.tabulate(readers) { i =>
+        val loc = if (hosts.isEmpty) Array.empty[String]
+                  else Array(hosts(i % hosts.length))
+        ExecutorPullPartition(pulsar.get, subscription, i, readers,
+          maxRecords, pollTimeoutMs, e, stickyRanges, ackTimeoutMs, loc)
+      }
     }
     cursor.ensureBase(s)
     if (e <= s) Array.empty else cursor.planPartitions(s, e, readers)
@@ -479,10 +502,11 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
-      // executor-pull: the task pulls from its range's cached consumer
+      // executor-pull: the task pulls from its slot's cached consumer
       case p: ExecutorPullPartition => new PartitionReader[InternalRow] {
         private lazy val msgs = ExecutorPull.pull(p.cfg, p.subscription,
-          p.rangeIdx, p.readers, p.epoch, p.maxRecords, p.pollTimeoutMs)
+          p.slot, p.readers, p.epoch, p.maxRecords, p.pollTimeoutMs,
+          p.stickyRanges, p.ackTimeoutMs)
         private var i = -1
         override def next(): Boolean = { i += 1; i < msgs.length }
         override def get(): InternalRow = {
@@ -505,9 +529,15 @@ final case class BrokerInputPartition(msgs: Array[InMemoryBroker.Message])
 final case class FileRangePartition(dir: String, names: Array[String])
     extends InputPartition
 
-/** Executor-pull token: no payloads, no names — just which sticky hash
-  * range to pull, under which epoch ([[ExecutorPull]] holds the consumers).
+/** Executor-pull token: no payloads, no names — just which consumer slot
+  * to pull, under which epoch ([[ExecutorPull]] holds the consumers).
+  * `locations` is the consumer-cache affinity hint (host-level, best
+  * effort).
   */
 final case class ExecutorPullPartition(cfg: graft.streaming.PulsarSink.Config,
-    subscription: String, rangeIdx: Int, readers: Int, maxRecords: Long,
-    pollTimeoutMs: Long, epoch: Long) extends InputPartition
+    subscription: String, slot: Int, readers: Int, maxRecords: Long,
+    pollTimeoutMs: Long, epoch: Long, stickyRanges: Boolean = false,
+    ackTimeoutMs: Long = 0L, locations: Array[String] = Array.empty)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}

@@ -16,53 +16,150 @@ import graft.streaming.{InMemoryBroker, PulsarSink}
   * AT-LEAST-ONCE with per-key order (pulsar.go:109-111). This module
   * keeps that contract while payload bytes never touch the driver:
   *
-  *   - The key-hash space is split into `readers` contiguous STICKY hash
-  *     ranges (KeySharedPolicy.stickyHashRange, public client API); reader
-  *     task i owns range i via a long-lived executor-local consumer, so
-  *     per-key order holds end-to-end (one consumer per key at any time).
-  *   - The driver plans only (range, epoch) pull tokens — an epoch is the
-  *     micro-batch counter carried in the offset log. Each task pulls what
-  *     its consumer has NOW (bounded by maxRecords/pollTimeout) and
-  *     buffers (message, id) under that epoch.
-  *   - Acks ride the NEXT epoch: Spark runs batch e+1 only after batch e
-  *     committed, so a task seeing its buffered epoch < current epoch acks
-  *     the buffer first. A failed batch means no next epoch: nothing is
-  *     acked, a same-epoch rerun re-serves the buffer (the broker does not
-  *     redeliver to a live consumer), and an executor loss closes the
-  *     consumer so the broker redelivers the unacked messages to the
-  *     range's replacement consumer. Nothing is ever acked unserved.
+  *   - `readers` long-lived consumers, cached per executor JVM, join the
+  *     KeyShared subscription. By default the broker auto-splits the
+  *     key-hash space among whatever consumers are connected — a task
+  *     rescheduled onto a different executor simply joins and the broker
+  *     rebalances (no subscribe conflict). `pulsar.sticky-ranges=true`
+  *     instead pins reader i to hash range i of [0, 65535]
+  *     (KeySharedPolicy.stickyHashRange) for deployments that pin
+  *     executors; a migrated task then FAILS to subscribe (overlapping
+  *     sticky range) rather than silently double-owning keys. Either way
+  *     per-key order holds: the broker serves each key to one consumer at
+  *     a time.
+  *   - The driver plans only (slot, epoch) pull tokens — an epoch is the
+  *     micro-batch counter carried in the offset log. The FIRST task of an
+  *     epoch pulls what its consumer has NOW (bounded by
+  *     maxRecords/pollTimeout) and FREEZES that buffer for the epoch: a
+  *     task retry, batch replay, or speculative attempt at the same epoch
+  *     re-serves exactly the frozen buffer and receives nothing new, so
+  *     every attempt's output is identical and the commit's served set is
+  *     unambiguous.
+  *   - Acks follow the COMMIT: entries in the driver's JVM (local mode)
+  *     ack the committed epoch the moment [[BrokerStream.commit]] fires
+  *     ([[ackThrough]]); cluster executors — unreachable from the driver —
+  *     ack when the next epoch's task arrives (Spark runs batch e+1 only
+  *     after batch e committed, so a task seeing its buffered epoch <
+  *     current epoch knows that epoch committed). A failed batch means no
+  *     commit and no next epoch: nothing is acked and the same-epoch rerun
+  *     re-serves the buffer. Nothing is ever acked unserved.
+  *   - `pulsar.ack-timeout-ms` (default 60 s; 0 disables) is the
+  *     self-heal: a buffer stranded on an executor that never gets another
+  *     task (migration under locality miss, executor decommission without
+  *     JVM exit) redelivers from the broker after the timeout — duplicate
+  *     delivery, never loss. Set it well above trigger interval + batch
+  *     duration so in-flight batches do not redeliver.
   *
-  * A replayed batch may thus serve different messages than its first run —
-  * exactly-once sinks cannot be built on this source (the remote_write
-  * sink is an at-least-once HTTP POST with retry, like the reference's).
-  * Consumers cache per (url, topic, subscription, range) in the executor
-  * JVM and close with it; unacked messages then redeliver elsewhere.
-  * Same-JVM query restarts resume correctly through the cache: a restart
-  * from a committed checkpoint acks the previous incarnation's buffer on
-  * its first task (that epoch committed, or the restart would replay it);
-  * an uncommitted epoch replays and re-serves the buffer. One RUNNING
-  * query per (url, topic, subscription): concurrent queries sharing a
-  * subscription would interleave epochs on shared entries — use distinct
-  * subscription names, the same one-consumer-group-per-pipeline rule the
-  * reference's flag help states (consume.go:42-43).
+  * A replayed batch may serve different messages after a RESTART (fresh
+  * registry) than its first run — exactly-once sinks cannot be built on
+  * this source (the remote_write sink is an at-least-once HTTP POST with
+  * retry, like the reference's). Within one incarnation the frozen buffer
+  * makes same-epoch attempts identical.
+  *
+  * Lifecycle: consumers cache per (url, topic, subscription, slot) in the
+  * executor JVM. [[BrokerStream.stop]] closes the entries living in the
+  * SAME JVM (local mode, tests — by then the commit-side ack already
+  * settled them); on a cluster, executor-side entries idle-expire after
+  * 10 minutes without a task (closing makes the broker redeliver their
+  * unacked buffer — duplicates, never loss), and the ack timeout bounds
+  * how long a buffered message stays undeliverable before that. One
+  * RUNNING query per (url, topic,
+  * subscription): concurrent queries sharing a subscription would
+  * interleave epochs on shared entries — use distinct subscription names,
+  * the same one-consumer-group-per-pipeline rule the reference's flag help
+  * states (consume.go:42-43).
   */
 object ExecutorPull {
 
-  /** One cached consumer + the current epoch's received-but-unacked batch. */
+  /** One cached consumer + the current epoch's frozen batch. */
   final class Entry(val consumer: AnyRef) {
     var pendingEpoch: Long = -1L
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[(InMemoryBroker.Message, AnyRef)]
+    @volatile var lastUsedMs: Long = System.currentTimeMillis()
   }
 
-  /** Test seam: build the range's consumer — reflection against the public
-    * pulsar-client API in production, a fake in specs (local mode keeps
-    * driver and executors in one JVM, so specs can inject and observe).
+  /** Entries untouched for this long are closed by the reaper — the
+    * executor-side cleanup for queries that stopped without this JVM ever
+    * hearing about it (the driver cannot reach executor caches). Closing
+    * makes the broker redeliver whatever was buffered unacked: duplicates,
+    * never loss.
+    */
+  private val IdleExpiryMs = 10L * 60 * 1000
+
+  private val reaper = {
+    val t = new java.util.Timer("graft-executor-pull-reaper", true)
+    t.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit =
+        try expireIdle() catch { case _: Exception => () }
+    }, 60000L, 60000L)
+    t
+  }
+
+  private[graft] def expireIdle(now: Long = System.currentTimeMillis()): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val e = en.getValue
+      if (now - e.lastUsedMs > IdleExpiryMs) e.synchronized {
+        if (now - e.lastUsedMs > IdleExpiryMs) {
+          try PulsarSink.call(e.consumer, "close")
+          catch { case _: Exception => () }
+          it.remove()
+        }
+      }
+    }
+  }
+
+  /** Test seam: build the slot's consumer — the shared reflection builder
+    * against the public pulsar-client API in production, a fake in specs
+    * (local mode keeps driver and executors in one JVM, so specs can
+    * inject and observe). Args: (cfg, subscription, slot, readers,
+    * stickyRanges, ackTimeoutMs).
     */
   @volatile private[graft] var consumerFactory:
-      (PulsarSink.Config, String, Int, Int) => AnyRef = buildConsumer
+      (PulsarSink.Config, String, Int, Int, Boolean, Long) => AnyRef = buildConsumer
 
   private val entries = new ConcurrentHashMap[(String, Int), Entry]()
+
+  private def keyPrefix(cfg: PulsarSink.Config, subscription: String): String =
+    s"${cfg.url}:${cfg.topic}:$subscription"
+
+  /** Driver-side prompt ack: the stream's commit(e) calls this so entries
+    * living in the SAME JVM (local mode, tests) ack epoch e's buffer the
+    * moment it commits, instead of waiting for the next epoch's task.
+    * Cluster executors are unreachable from here and keep the
+    * ack-rides-next-epoch path; this also makes one-shot
+    * Trigger.AvailableNow runs ack their only batch before stopping.
+    */
+  private[graft] def ackThrough(cfg: PulsarSink.Config, subscription: String,
+      epoch: Long): Unit = {
+    val prefix = keyPrefix(cfg, subscription)
+    entries.forEach { (k, e) =>
+      if (k._1 == prefix) e.synchronized {
+        if (e.pendingEpoch >= 0 && e.pendingEpoch <= epoch && e.pending.nonEmpty) {
+          try PulsarSink.ackMessageIds(e.consumer, e.pending.map(_._2))
+          catch { case _: Exception => () }
+          e.pending.clear()
+        }
+      }
+    }
+  }
+
+  /** Close and drop every cached entry for this (url, topic, subscription)
+    * living in THIS JVM — the local half of query stop. */
+  private[graft] def close(cfg: PulsarSink.Config, subscription: String): Unit = {
+    val prefix = keyPrefix(cfg, subscription)
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == prefix) {
+        try PulsarSink.call(e.getValue.consumer, "close")
+        catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+  }
 
   private[graft] def reset(): Unit = {
     entries.values.forEach { e =>
@@ -73,35 +170,24 @@ object ExecutorPull {
   }
 
   private def entryFor(cfg: PulsarSink.Config, subscription: String,
-      rangeIdx: Int, readers: Int): Entry =
+      slot: Int, readers: Int, stickyRanges: Boolean, ackTimeoutMs: Long): Entry =
     entries.computeIfAbsent(
-      (s"${cfg.url}:${cfg.topic}:$subscription:$readers", rangeIdx),
-      _ => new Entry(consumerFactory(cfg, subscription, rangeIdx, readers)))
+      (keyPrefix(cfg, subscription), slot),
+      _ => new Entry(consumerFactory(cfg, subscription, slot, readers,
+        stickyRanges, ackTimeoutMs)))
 
-  /** KeyShared sticky-range consumer for range `rangeIdx` of `readers`
-    * equal slices of the [0, 65535] key-hash space.
+  /** KeyShared consumer for slot `slot` of `readers`: auto-split by
+    * default, or pinned to slice `slot` of the [0, 65535] key-hash space
+    * when sticky ranges are requested.
     */
   private def buildConsumer(cfg: PulsarSink.Config, subscription: String,
-      rangeIdx: Int, readers: Int): AnyRef = {
-    import PulsarSink.call
-    val client = PulsarSink.buildClient(cfg, "consume from", setOperationTimeout = false)
-    val cb = call(client, "newConsumer")
-    call(cb, "topic", classOf[String] -> cfg.topic)
-    call(cb, "subscriptionName", classOf[String] -> subscription)
-    val subType = Class.forName("org.apache.pulsar.client.api.SubscriptionType")
-    call(cb, "subscriptionType",
-      subType -> subType.getMethod("valueOf", classOf[String])
-        .invoke(null, "Key_Shared"))
-    val rangeCls = Class.forName("org.apache.pulsar.client.api.Range")
-    val lo = (65536L * rangeIdx / readers).toInt
-    val hi = (65536L * (rangeIdx + 1) / readers - 1).toInt
-    val range = rangeCls.getMethod("of", classOf[Int], classOf[Int])
-      .invoke(null, Int.box(lo), Int.box(hi))
-    val kspCls = Class.forName("org.apache.pulsar.client.api.KeySharedPolicy")
-    val sticky = kspCls.getMethod("stickyHashRange").invoke(null)
-    call(sticky, "ranges", rangeCls -> range)
-    call(cb, "keySharedPolicy", kspCls -> sticky)
-    call(cb, "subscribe")
+      slot: Int, readers: Int, stickyRanges: Boolean, ackTimeoutMs: Long): AnyRef = {
+    val range =
+      if (!stickyRanges) None
+      else Some((
+        (65536L * slot / readers).toInt,
+        (65536L * (slot + 1) / readers - 1).toInt))
+    PulsarSink.buildKeySharedConsumer(cfg, subscription, range, ackTimeoutMs)
   }
 
   private def receive(consumer: AnyRef, timeoutMs: Long): AnyRef =
@@ -111,26 +197,33 @@ object ExecutorPull {
         java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** The per-task pull: ack the previous epoch's batch (its micro-batch
-    * committed, or this epoch would not be running), then serve this
-    * epoch's buffer — refilling it up to `maxRecords` from whatever the
-    * consumer has within `pollTimeoutMs` (first receive waits, the rest
-    * drain non-blocking). A same-epoch rerun serves the same buffer again.
+    * committed, or this epoch would not be running), then — only on the
+    * FIRST attempt of this epoch — fill the buffer up to `maxRecords` from
+    * whatever the consumer has within `pollTimeoutMs` (first receive
+    * waits, the rest drain non-blocking) and freeze it. Reruns serve the
+    * frozen buffer unchanged, so every attempt of an epoch emits identical
+    * rows and the eventual ack covers exactly what the committed batch
+    * served.
     */
   private[graft] def pull(cfg: PulsarSink.Config, subscription: String,
-      rangeIdx: Int, readers: Int, epoch: Long, maxRecords: Long,
-      pollTimeoutMs: Long): Array[InMemoryBroker.Message] = {
+      slot: Int, readers: Int, epoch: Long, maxRecords: Long,
+      pollTimeoutMs: Long, stickyRanges: Boolean,
+      ackTimeoutMs: Long): Array[InMemoryBroker.Message] = {
     import PulsarSink.call
-    val e = entryFor(cfg, subscription, rangeIdx, readers)
+    val e = entryFor(cfg, subscription, slot, readers, stickyRanges, ackTimeoutMs)
     e.synchronized {
+      e.lastUsedMs = System.currentTimeMillis()
       if (e.pendingEpoch >= 0 && e.pendingEpoch < epoch && e.pending.nonEmpty) {
         PulsarSink.ackMessageIds(e.consumer, e.pending.map(_._2))
         e.pending.clear()
       }
+      val firstAttempt = e.pendingEpoch != epoch
       e.pendingEpoch = epoch
-      // receive ONLY while budget remains: a message dequeued past the cap
-      // would be neither served nor acked, and a live consumer gets no
-      // redelivery — it would simply vanish
-      if (maxRecords <= 0 || e.pending.length < maxRecords) {
+      // refill ONLY on the epoch's first attempt (freeze), and receive ONLY
+      // while budget remains: a message dequeued past the cap — or into a
+      // rerun whose sibling attempt already committed without it — would be
+      // acked without ever being served
+      if (firstAttempt && (maxRecords <= 0 || e.pending.length < maxRecords)) {
         var m = receive(e.consumer, pollTimeoutMs)
         while (m != null) {
           e.pending += ((InMemoryBroker.Message(

@@ -130,6 +130,47 @@ object PulsarSink {
     m.invoke(obj, actual: _*)
   }
 
+  /** KeyShared consumer through the public pulsar-client builder API —
+    * shared by the driver-side cursor ([[graft.sources.BrokerSource.PulsarCursor]],
+    * auto-split, no ack timeout: reference parity) and the executor-pull
+    * readers ([[graft.sources.ExecutorPull]], optionally sticky-ranged and
+    * ack-timed). One construction sequence so a consume-path config fix
+    * cannot silently miss one of the two.
+    *
+    * @param stickyRange Some((lo, hi)) pins the consumer to that slice of
+    *   the [0, 65535] key-hash space (KeySharedPolicy.stickyHashRange);
+    *   None = the broker's auto-split assignment.
+    * @param ackTimeoutMs > 0 sets the redelivery timeout for
+    *   received-but-unacked messages — the self-heal for buffers stranded
+    *   by an executor that never gets another task. 0 = never (reference
+    *   behavior).
+    */
+  private[graft] def buildKeySharedConsumer(cfg: Config, subscription: String,
+      stickyRange: Option[(Int, Int)] = None, ackTimeoutMs: Long = 0L): AnyRef = {
+    val client = buildClient(cfg, "consume from", setOperationTimeout = false)
+    val cb = call(client, "newConsumer")
+    call(cb, "topic", classOf[String] -> cfg.topic)
+    call(cb, "subscriptionName", classOf[String] -> subscription)
+    val subType = Class.forName("org.apache.pulsar.client.api.SubscriptionType")
+    call(cb, "subscriptionType",
+      subType -> subType.getMethod("valueOf", classOf[String])
+        .invoke(null, "Key_Shared"))
+    stickyRange.foreach { case (lo, hi) =>
+      val rangeCls = Class.forName("org.apache.pulsar.client.api.Range")
+      val range = rangeCls.getMethod("of", classOf[Int], classOf[Int])
+        .invoke(null, Int.box(lo), Int.box(hi))
+      val kspCls = Class.forName("org.apache.pulsar.client.api.KeySharedPolicy")
+      val sticky = kspCls.getMethod("stickyHashRange").invoke(null)
+      call(sticky, "ranges", rangeCls -> range)
+      call(cb, "keySharedPolicy", kspCls -> sticky)
+    }
+    if (ackTimeoutMs > 0L)
+      call(cb, "ackTimeout",
+        classOf[Long] -> Long.box(ackTimeoutMs),
+        classOf[TimeUnit] -> TimeUnit.MILLISECONDS)
+    call(cb, "subscribe")
+  }
+
   /** Individually acknowledge MessageIds on a consumer (KeyShared forbids
     * cumulative acks). acknowledge(Message) and acknowledge(MessageId)
     * share an arity, so the MessageId overload is resolved by parameter

@@ -36,12 +36,12 @@ class ExecutorPullSpec extends AnyFunSuite {
 
   private val cfg = PulsarSink.Config(url = "pulsar://fake:6650", topic = "t")
 
-  /** Install fakes (one per range) and reset the registry. */
+  /** Install fakes (one per slot) and reset the registry. */
   private def withFakes[A](n: Int)(body: IndexedSeq[FakeConsumer] => A): A = {
     val fakes = IndexedSeq.fill(n)(new FakeConsumer)
     ExecutorPull.reset()
     val old = ExecutorPull.consumerFactory
-    ExecutorPull.consumerFactory = (_, _, rangeIdx, _) => fakes(rangeIdx)
+    ExecutorPull.consumerFactory = (_, _, slot, _, _, _) => fakes(slot)
     try body(fakes)
     finally { ExecutorPull.consumerFactory = old; ExecutorPull.reset() }
   }
@@ -76,10 +76,14 @@ class ExecutorPullSpec extends AnyFunSuite {
       val factory = st.createReaderFactory()
       val byRange = parts.map(p => readAll(factory.createReader(p)))
       assert(byRange(0) == Seq("k0", "k1") && byRange(1) == Seq("k2"))
-      // batch 1 committed on the driver is a no-op; no acks yet
-      st.commit(e1)
+      // nothing is acked while the batch is in flight...
       assert(fakes(0).acked.isEmpty && fakes(1).acked.isEmpty)
-      // epoch 2 tasks ack epoch 1's messages before pulling
+      // ...and the commit acks exactly the served batch (same-JVM entries
+      // hear the commit promptly via ackThrough)
+      st.commit(e1)
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(0, 1))
+      assert(fakes(1).acked.map(_.n).toSeq == Seq(2))
+      // epoch 2 serves new data; the earlier acks are not repeated
       fakes(1).pending += msg(3)
       val e2 = st.latestOffset(e1,
         org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
@@ -91,7 +95,7 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
-  test("a same-epoch rerun re-serves the buffer and acks nothing") {
+  test("a same-epoch rerun re-serves the FROZEN buffer: no new drains, no acks") {
     withFakes(1) { fakes =>
       fakes(0).pending += msg(0)
       fakes(0).pending += msg(1)
@@ -104,9 +108,16 @@ class ExecutorPullSpec extends AnyFunSuite {
       // only copy — they must serve again, unacked
       assert(readAll(factory.createReader(p)) == Seq("k0", "k1"))
       assert(fakes(0).acked.isEmpty)
-      // the rerun also drains anything newly arrived under the same epoch
+      // the epoch's buffer is FROZEN on the first attempt: a rerun (e.g. a
+      // speculative attempt whose output Spark discards) must not drain a
+      // newly-arrived message into it — the commit's served set would not
+      // contain it, yet the next epoch's ack would cover it
       fakes(0).pending += msg(2)
-      assert(readAll(factory.createReader(p)) == Seq("k0", "k1", "k2"))
+      assert(readAll(factory.createReader(p)) == Seq("k0", "k1"))
+      assert(fakes(0).pending.map(_.id.n).toSeq == Seq(2), "k2 must remain queued")
+      // the next epoch serves it
+      assert(readAll(factory.createReader(p.copy(epoch = 2L))) == Seq("k2"))
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(0, 1))
     }
   }
 
@@ -160,6 +171,41 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("stop() closes this JVM's consumers; partitions carry a host affinity hint") {
+    withFakes(1) { fakes =>
+      fakes(0).pending += msg(0)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+      val st = stream(readers = 1)
+      val parts = st.planInputPartitions(BrokerOffset(0), BrokerOffset(1))
+      // consumer-cache affinity: each slot prefers a stable host (in local
+      // mode, the driver host)
+      assert(parts.forall(_.preferredLocations().nonEmpty), "affinity hint expected")
+      assert(readAll(st.createReaderFactory().createReader(parts.head)) == Seq("k0"))
+      st.stop()
+      assert(fakes(0).closed, "stop() must close the cached consumer in this JVM")
+    }
+  }
+
+  test("sticky-range and ack-timeout options reach the consumer factory") {
+    ExecutorPull.reset()
+    val old = ExecutorPull.consumerFactory
+    val seen = mutable.Buffer.empty[(Int, Int, Boolean, Long)]
+    ExecutorPull.consumerFactory = (_, _, slot, readers, sticky, ackMs) => {
+      seen += ((slot, readers, sticky, ackMs)); new FakeConsumer
+    }
+    try {
+      val st = new BrokerStream(topic = "t", subscription = "ep-spec-opts",
+        pulsar = Some(cfg), readers = 2, executorPull = true,
+        pollTimeoutMs = 5L, stickyRanges = true, ackTimeoutMs = 30000L)
+      val factory = st.createReaderFactory()
+      st.planInputPartitions(BrokerOffset(0), BrokerOffset(1))
+        .foreach(p => readAll(factory.createReader(p)))
+      assert(seen.sortBy(_._1) ==
+        Seq((0, 2, true, 30000L), (1, 2, true, 30000L)), seen.toString)
+    } finally { ExecutorPull.consumerFactory = old; ExecutorPull.reset() }
+  }
+
   test("checkpointed restart: committed epoch's buffer acked by the resumed query, nothing lost") {
     withFakes(1) { fakes =>
       val spark = org.apache.spark.sql.SparkSession.builder()
@@ -185,12 +231,13 @@ class ExecutorPullSpec extends AnyFunSuite {
         q.processAllAvailable(); q.stop()
         spark.read.parquet(out).count()
       }
-      // incarnation 1: one AvailableNow epoch pulls all six, commits, stops
-      // — its buffer stays unacked (acks ride the NEXT epoch)
+      // incarnation 1: one AvailableNow epoch pulls all six; the commit
+      // acks them promptly (same-JVM ackThrough), so even a one-shot drain
+      // run leaves nothing pending at the broker
       assert(runOnce() == 6)
-      assert(fakes(0).acked.isEmpty)
-      // incarnation 2 resumes from the checkpoint: its first task sees the
-      // committed epoch's buffer and acks it; no message is re-served
+      assert(fakes(0).acked.map(_.n).sorted.toSeq == (0 until 6))
+      // incarnation 2 resumes from the checkpoint: nothing is re-served,
+      // nothing is re-acked — no loss, no duplicates
       assert(runOnce() == 6)
       assert(fakes(0).acked.map(_.n).sorted.toSeq == (0 until 6))
     }
