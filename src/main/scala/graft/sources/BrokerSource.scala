@@ -375,6 +375,9 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L,
     stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  // fail fast at query start if another RUNNING pull-mode query already owns
+  // this (url, topic, subscription) — shared entries would interleave epochs
+  if (executorPull) pulsar.foreach(ExecutorPull.register(_, subscription, this))
   private lazy val cursor = BrokerSource.cursor(topic, dir, subscription, pulsar)
   // executor-pull epoch bookkeeping: the last end offset this stream
   // planned or reported (offset values are epochs, not message counts)
@@ -445,8 +448,12 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   override def stop(): Unit =
     // close the pull entries living in THIS JVM (local mode, tests); on a
     // cluster the executor-side entries close with their JVMs and the ack
-    // timeout bounds how long their unacked messages stay undeliverable
-    if (executorPull) pulsar.foreach(ExecutorPull.close(_, subscription))
+    // timeout bounds how long their unacked messages stay undeliverable.
+    // Releasing the subscription ownership lets a successor query start.
+    if (executorPull) pulsar.foreach { c =>
+      ExecutorPull.close(c, subscription)
+      ExecutorPull.unregister(c, subscription, this)
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BrokerOffset].seq

@@ -63,11 +63,12 @@ import graft.streaming.{InMemoryBroker, PulsarSink}
   * 10 minutes without a task (closing makes the broker redeliver their
   * unacked buffer — duplicates, never loss), and the ack timeout bounds
   * how long a buffered message stays undeliverable before that. One
-  * RUNNING query per (url, topic,
-  * subscription): concurrent queries sharing a subscription would
-  * interleave epochs on shared entries — use distinct subscription names,
-  * the same one-consumer-group-per-pipeline rule the reference's flag help
-  * states (consume.go:42-43).
+  * RUNNING query per (url, topic, subscription) — ENFORCED by [[register]]:
+  * a second concurrent pull-mode query on the same triple fails fast at
+  * start (concurrent queries sharing a subscription would interleave epochs
+  * on shared entries). Use distinct subscription names, the same
+  * one-consumer-group-per-pipeline rule the reference's flag help states
+  * (consume.go:42-43).
   */
 object ExecutorPull {
 
@@ -122,6 +123,31 @@ object ExecutorPull {
 
   private val entries = new ConcurrentHashMap[(String, Int), Entry]()
 
+  /** The one-RUNNING-query-per-(url, topic, subscription) rule, enforced:
+    * concurrent queries sharing a subscription would interleave epochs on
+    * shared entries (each stream's epoch counter would ack the other's
+    * in-flight buffer). Keyed by the entry prefix, owned by the driver-side
+    * [[BrokerStream]] instance; stop() releases.
+    */
+  private val owners = new ConcurrentHashMap[String, AnyRef]()
+
+  private[graft] def register(cfg: PulsarSink.Config, subscription: String,
+      owner: AnyRef): Unit = {
+    val k = keyPrefix(cfg, subscription)
+    val prev = owners.putIfAbsent(k, owner)
+    if (prev != null && (prev ne owner))
+      throw new IllegalStateException(
+        s"executor-pull query already running on ${cfg.url}/${cfg.topic} " +
+        s"subscription '$subscription'; concurrent queries sharing a " +
+        "subscription would interleave epochs on shared consumers — use a " +
+        "distinct subscription name per pipeline (the reference's " +
+        "one-consumer-group-per-pipeline rule, consume.go:42-43)")
+  }
+
+  private[graft] def unregister(cfg: PulsarSink.Config, subscription: String,
+      owner: AnyRef): Unit =
+    owners.remove(keyPrefix(cfg, subscription), owner)
+
   private def keyPrefix(cfg: PulsarSink.Config, subscription: String): String =
     s"${cfg.url}:${cfg.topic}:$subscription"
 
@@ -167,6 +193,7 @@ object ExecutorPull {
       catch { case _: Exception => () }
     }
     entries.clear()
+    owners.clear()
   }
 
   private def entryFor(cfg: PulsarSink.Config, subscription: String,

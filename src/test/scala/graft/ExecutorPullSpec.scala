@@ -243,6 +243,24 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("one RUNNING query per subscription: a concurrent second stream fails fast") {
+    withFakes(1) { _ =>
+      val first = stream(readers = 1)
+      // a second pull-mode stream on the same (url, topic, subscription)
+      // while the first is running would interleave epochs on the shared
+      // consumer entries — it must fail at construction, not corrupt acks
+      val ex = intercept[IllegalStateException](stream(readers = 1))
+      assert(ex.getMessage.contains("subscription 'ep-spec'"))
+      // a DIFFERENT subscription is an independent pipeline — allowed
+      val other = new BrokerStream(topic = "t", subscription = "ep-spec-2",
+        pulsar = Some(cfg), readers = 1, executorPull = true, pollTimeoutMs = 5L)
+      other.stop()
+      // once the first stops, a successor query may take the subscription
+      first.stop()
+      stream(readers = 1).stop()
+    }
+  }
+
   test("streaming query end-to-end: all payloads delivered, acked after the following epoch") {
     withFakes(2) { fakes =>
       val spark = org.apache.spark.sql.SparkSession.builder()
