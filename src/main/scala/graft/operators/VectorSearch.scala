@@ -113,6 +113,26 @@ object VectorSearch {
       .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
   }
 
+  /** SemDeDup-style semantic pruning over an [[ivfAssign]] result: within
+    * each coarse cell a vector is dropped when some SMALLER-id vector of
+    * the same cell has cosine >= `tau` — the distributed min-id
+    * simplification of the per-cluster greedy sweep in Abbas et al. 2023
+    * ("SemDeDup"); every near-dup pair keeps exactly its min-id
+    * representative, no sequential scan. The candidate join is the cell
+    * equijoin — partitioned by cell, never a broadcast — so pruning prices
+    * at Σ cell² per cell, never corpus². Returns `(id, cell, kept)` for
+    * every input vector.
+    */
+  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= tau)
+      .select(col("y.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
   /** Brute-force cosine top-k for the rows matching `queryPred` — the
     * CORRECTNESS BASELINE (broadcasts the full vector set; fine for
     * side-sized corpora and oracle checks, NOT the 100 TB path — use

@@ -257,6 +257,74 @@ object DataQueries6 {
         .orderBy("qid")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pruning inside IVF
+    // coarse cells — drop a vector when a smaller-id same-cell neighbor has
+    // cosine >= 0.4 (this corpus's near-dup band, see d11), keep the min-id
+    // representative. Binds the public VectorSearch.semanticDedup to the
+    // SAME persisted IVF assignment d10/d11/d55 share, so the only new work
+    // is the cell equijoin (partitioned, never broadcast) + an id anti-side
+    // left join. At 100 TB pruning prices at Σ cell², never corpus².
+    "d56_semdedup" -> ((s, dir) =>
+      graft.operators.VectorSearch
+        .semanticDedup(DataQueries2.ivfAssigned(s, dir), 0.4)
+        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("kept"))
+        .orderBy("vec_id")),
+
+    // DSIR-style importance weights (Xie et al. 2023): per-doc sum of
+    // smoothed unigram log-ratios ln p_target/p_raw, target = the 'src0'
+    // slice. Tokens cross the shuffle as codegen'd 60-bit hashes (never
+    // strings); the vocab stats table is ONE partial-aggregatable groupBy;
+    // corpus totals are a one-row broadcast; the per-word log-ratio is
+    // quantized to 1e-6 BEFORE the per-doc sum, so the published weight is
+    // an integer sum — exact in any accumulation order, and a last-ulp
+    // ln() skew between engines never crosses the oracle. Same two-shuffle
+    // shape as d28 — vocab-sized state, never corpus-sized broadcasts.
+    "d57_dsir_weights" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(graft.functions.prom.ngram_g(col("text"), 1)).as("g"))
+      val st = tk.groupBy(col("g")).agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      val tot = st.agg(count(lit(1)).as("v"), sum(col("cr")).as("tr"),
+        sum(col("ct")).as("tt"))
+      val qlr = st.crossJoin(broadcast(tot))
+        .select(col("g"),
+          floor((log(col("ct") + 1) - log(col("tt") + col("v"))
+            - log(col("cr") + 1) + log(col("tr") + col("v")))
+            * lit(1000000.0)).cast("long").as("qlr"))
+      tk.join(qlr, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("qlr")).as("w_q6"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    // rank docs by the d28 bigram-LM fluency score and cut head/middle/tail
+    // terciles with ntile(3) — the standard quality-tier split a filtering
+    // pipeline trains on. The score is a ratio of exact integers (engine-
+    // deterministic), ties break on doc_id, so the terciles are total-order
+    // stable. ntile needs a per-lang sort (range-partitioned, bounded by
+    // the largest language); the 100 TB shortcut — approx tercile
+    // thresholds from approx_percentile, no sort — trades the oracle's
+    // exactness and is documented here, not taken.
+    "d58_ppl_buckets" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
+      val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      val scored = bg.join(counts, Seq("bg"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nbg"), sum(col("n")).as("ssum"))
+        .select(col("doc_id"), col("lang"),
+          (col("ssum").cast("double") / col("nbg").cast("double")).as("score"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val nt = ntile(3).over(w)
+      scored.withColumn("bucket",
+          when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -275,6 +343,47 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d56_semdedup" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |dr AS (SELECT DISTINCT y.vec_id AS id
+        |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_reduce(list_prepend(0.0::DOUBLE, [x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))]), (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, dr.id IS NULL AS kept
+        |FROM assigned a LEFT JOIN dr ON a.vec_id = dr.id ORDER BY vec_id""".stripMargin,
+
+    "d57_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |st AS (SELECT w, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tk GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS v, sum(cr) AS tr, sum(ct) AS tt FROM st),
+        |q AS (SELECT w,
+        |    CAST(floor((ln(ct + 1) - ln(tt + v) - ln(cr + 1) + ln(tr + v)) * 1000000.0) AS BIGINT) AS qlr
+        |  FROM st, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(qlr) AS BIGINT) AS w_q6
+        |FROM tk JOIN q USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d58_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM w),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bg),
+        |sc AS (SELECT doc_id, lang, CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+        |  FROM bg JOIN c USING (bg) GROUP BY doc_id, lang),
+        |b AS (SELECT doc_id, lang, score,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS nt FROM sc)
+        |SELECT doc_id, lang, score,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "d55_ann_recall" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm

@@ -252,6 +252,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("d56: semantic dedup candidates come from the cell equijoin, never a broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("d56_semdedup")
+      // cells are corpus-sized: the x/y candidate join and the dropped-id
+      // anti side must shuffle-join, never carry a broadcast hint (the only
+      // allowed broadcast is ivfAssign's bounded centroid table)
+      assert("BroadcastHashJoin".r.findAllIn(p).isEmpty,
+        "semantic-dedup joins must not be hint-broadcast\n" + p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("d57: DSIR weights join co-partitioned hashes around a one-row broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("d57_dsir_weights")
+      // tokens cross the shuffle as the codegen'd 60-bit hash kernel
+      assert(p.contains("static_invoke"), "tokens must be kernel hashes\n" + p)
+      // the vocab-stats side is corpus-vocab-sized: no broadcast hint on it;
+      // the ONLY hinted broadcast is the one-row totals crossJoin
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+      assert("BroadcastHashJoin".r.findAllIn(p).isEmpty,
+        "vocab-stats join must not be hint-broadcast\n" + p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly

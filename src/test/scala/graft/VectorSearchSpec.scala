@@ -45,6 +45,19 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(cos((0L, 1L)) > 0.999)
   }
 
+  test("semanticDedup keeps the min-id representative of a near-dup pair") {
+    // two one-centroid cells: 0/1 near-identical land together, 3 (= -v0)
+    // lands in its own cell; 2 rides whichever is closer
+    val assigned = VectorSearch.ivfAssign(vectors, "vid", "vec",
+      vectors.filter(col("vid") === 0L || col("vid") === 3L), "vid", "vec")
+    val kept = VectorSearch.semanticDedup(assigned, 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept(0L), "min-id of the near-dup pair must survive")
+    assert(!kept(1L), "its cosine-0.999 twin must be dropped")
+    assert(kept(2L) && kept(3L), "non-duplicates survive: " + kept)
+    assert(kept.size == 4, "every input vector gets a verdict row")
+  }
+
   test("bands must divide the plane count") {
     intercept[IllegalArgumentException](
       VectorSearch.srpCandidates(vectors, "vid", "vec", bands = 3))
