@@ -325,6 +325,71 @@ object DataQueries6 {
         .orderBy("doc_id")
     }),
 
+    // T5-style span-corruption mask statistics (Raffel et al. 2020): a
+    // span of 3 tokens starts wherever the 20-bit id:pos hash falls under
+    // 0.15 — the same content-independent md5 recipe as Sampling (chars
+    // 19-23, a window disjoint from sample/split/mix), so masks are
+    // reproducible across engines, re-runs and shards. The only non-narrow
+    // step is a per-doc 3-row sliding max (bounded by doc length, never a
+    // corpus sort); counts are exact integers.
+    "d59_span_mask" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))), 19, 5), 16, 10).cast("long") % 1048576L
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-2, 0)
+      tok.withColumn("st", when(h < 157286L, 1L).otherwise(0L))
+        .withColumn("msk", max(col("st")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("msk")).as("n_masked"))
+        .withColumn("mask_rate",
+          col("n_masked").cast("double") / col("n_tok").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // per-doc unigram Shannon entropy — the repetitiveness/diversity
+    // quality signal (low entropy = looping text). Two partial-aggregatable
+    // groupBys (doc×word counts, then per-doc rollup); each word's
+    // c·ln(c) term is quantized to 1e-6 BEFORE the per-doc sum, so s_q is
+    // an exact integer in any accumulation order and the published tercile
+    // ent_q6 = floor(ln(n)·1e6) - s_q/n is engine-deterministic (ln ulp
+    // absorbed by the quanta, the division floor exact below 2^53).
+    "d60_entropy" -> ((s, dir) => {
+      val wc = docs(s, dir)
+        .select(col("doc_id"), explode(graft.functions.prom.ngram_g(col("text"), 1)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("tq",
+          floor(col("c").cast("double") * log(col("c").cast("double"))
+            * lit(1000000.0)).cast("long"))
+      wc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"), sum(col("tq")).as("s_q"))
+        .withColumn("ent_q6",
+          floor(log(col("n_tok").cast("double")) * lit(1000000.0)).cast("long")
+            - floor(col("s_q").cast("double") / col("n_tok").cast("double")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // distinct-shingle cardinality audit per source — q13's sketch
+    // bound-check pattern on the text corpus: the EXACT distinct 5-gram
+    // count crosses the oracle, and each engine's own HLL estimate must
+    // land within 5% of it (the check, not the sketch internals, is the
+    // published value). At 100 TB the exact distinct is the cost ceiling
+    // and the sketch is the production path — this query IS the audit
+    // that licenses swapping one for the other.
+    "d61_gram_sketch" -> ((s, dir) => {
+      val dg = docs(s, dir).select(col("source"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 5))).as("g"))
+        .distinct() // two-phase distinct (q13's shape) — no Expand duplication
+      dg.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_d"),
+          approx_count_distinct(col("g"), 0.02).as("approx_d"))
+        .select(col("source"), col("exact_d"),
+          (abs(col("approx_d") - col("exact_d")).cast("double")
+            <= col("exact_d").cast("double") * lit(0.05)).as("sketch_ok"))
+        .orderBy("source")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -343,6 +408,37 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d59_span_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, s.i - 1 AS pos FROM t, unnest(generate_series(1, len(w))) AS s(i)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 19, 5)) AS BIGINT) % 1048576 < 157286 THEN 1 ELSE 0 END AS st
+        |  FROM tok),
+        |k AS (SELECT doc_id, max(st) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msk FROM m)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(msk) AS BIGINT) AS n_masked,
+        |  CAST(sum(msk) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mask_rate
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d60_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY doc_id, w),
+        |q AS (SELECT doc_id, c,
+        |    CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS tq
+        |  FROM wc),
+        |d AS (SELECT doc_id, sum(c) AS n_tok, sum(tq) AS s_q FROM q GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(s_q AS BIGINT) AS s_q,
+        |  CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(floor(CAST(s_q AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT) AS ent_q6
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "d61_gram_sketch" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, source, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w)
+        |SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS exact_d,
+        |  abs(CAST(approx_count_distinct(g) AS DOUBLE) - CAST(count(DISTINCT g) AS DOUBLE))
+        |    <= CAST(count(DISTINCT g) AS DOUBLE) * 0.05 AS sketch_ok
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
     "d56_semdedup" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm

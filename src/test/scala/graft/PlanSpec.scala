@@ -278,6 +278,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("d59/d60/d61: mask stats, entropy and sketch audit join NOTHING") {
+    // all three are pure aggregation shapes over one scan — any Join node
+    // appearing here is a regression (the mask decision is a stateless
+    // hash, the entropy terms pre-quantize, the sketch rides the same agg)
+    for (q <- Seq("d59_span_mask", "d60_entropy", "d61_gram_sketch")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+    // entropy words cross the shuffle as codegen'd kernel hashes
+    assert(plan("d60_entropy").contains("static_invoke"), plan("d60_entropy"))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
