@@ -390,6 +390,24 @@ object DataQueries6 {
         .orderBy("source")
     }),
 
+    // multimodal sequence packing — the vision-language last mile: each
+    // item's sequence cost comes from the DECODED media features (bytes/4
+    // text-ish tokens + 16 patch tokens per frame, the interleaved
+    // image-text budget), then the same greedy next-fit kernel as d43
+    // packs them at seqLen=512. Composes the typed per-partition codec
+    // path (m01's mapPartitions plumbing) with the per-shard O(n) fold —
+    // the costing is a narrow map over features, packing adds no joins.
+    "m04_mm_pack" -> ((s, dir) => {
+      val feats = graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()
+        .select(col("doc_id"),
+          (col("byte_len") / lit(4L) + col("frames") * lit(16L))
+            .cast("long").as("n_tok"))
+      graft.operators.SequencePacking
+        .packGreedy(feats, "doc_id", "n_tok", 512, 8)
+        .orderBy("doc_id")
+    }),
+
     // packing-efficiency audit: per shard, how many sequences the greedy
     // packing produced and how many pad tokens they waste (a sequence over
     // seqLen is a single oversized doc — no padding). The input is the d43
@@ -408,6 +426,24 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "m04_mm_pack" ->
+      """WITH RECURSIVE b AS (SELECT doc_id,
+        |    CAST(strlen(text) // 4 + (strlen(text) // 100) * 16 AS BIGINT) AS n_tok,
+        |    doc_id % 8 AS shard FROM documents),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 512 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 512 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
+        |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
+        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
     "d59_span_mask" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, s.i - 1 AS pos FROM t, unnest(generate_series(1, len(w))) AS s(i)),
