@@ -90,15 +90,26 @@ object TextDedup {
   /** `(__id, bk)` — one 8-byte xxhash64 band-bucket key per (doc, band),
     * from the 16-minhash signature computed in one aggregation pass.
     */
-  private def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, bands: Int): DataFrame = {
-    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
-    val rows = 16 / bands
+  /** The 16-minhash signature table `(__id, m0..m15)` — ONE aggregation
+    * pass (16 mins over a single 64-bit mix per shingle; shuffle volume is
+    * |shingles|, never 16×). Public so estimate-fidelity audits (d62) can
+    * compare signature agreement against exact Jaccard on the same values
+    * the candidate generation banded.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
       explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
     val minhashes = (0 until 16)
       .map(i => min(graft.functions.prom.mix64(col("g"), A(i), B(i))).as(s"m$i"))
-    val sig = sh.groupBy("__id").agg(minhashes.head, minhashes.tail: _*)
+    sh.groupBy("__id").agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  private def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int): DataFrame = {
+    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
+    val rows = 16 / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN)
     sig.select(col("__id"), explode(array(
       (0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${rows * b + r}")): _*)

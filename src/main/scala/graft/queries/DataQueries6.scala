@@ -390,6 +390,41 @@ object DataQueries6 {
         .orderBy("source")
     }),
 
+    // MinHash fidelity audit — the third of the estimate-vs-exact audit
+    // trio (d55 recall for IVF, d61 HLL bound, this for the dedup index):
+    // on each d02 candidate pair, the number of agreeing signature slots
+    // (est16/16 estimates Jaccard) next to the EXACT shingle-set
+    // intersection/union. Signatures come from the public
+    // TextDedup.minhashSignatures (the same values candidate banding
+    // used); the exact side is priced on |pairs| via equi-joins — at
+    // 100 TB the audit costs candidates, never corpus².
+    "d62_minhash_fidelity" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val sig = graft.operators.TextDedup
+        .minhashSignatures(docs(s, dir), "doc_id", "text")
+      val est = (0 until 16)
+        .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val es = pairs
+        .join(sig.as("x"), col("a") === col("x.__id"))
+        .join(sig.as("y"), col("b") === col("y.__id"))
+        .select(col("a"), col("b"), est.as("est16"))
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 3))).as("g"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val iv = pairs
+        .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      es.join(iv, Seq("a", "b"), "left")
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("est16"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"))
+        .orderBy("a", "b")
+    }),
+
     // multimodal sequence packing — the vision-language last mile: each
     // item's sequence cost comes from the DECODED media features (bytes/4
     // text-ish tokens + 16 patch tokens per frame, the interleaved
@@ -426,6 +461,23 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d62_minhash_fidelity" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+          |iv AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter
+          |  FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh
+          |  GROUP BY p.a, p.b),
+          |es AS (SELECT p.a, p.b, CAST(""".stripMargin +
+        (0 until 16).map(i =>
+          s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        """ AS BIGINT) AS est16
+          |  FROM pairs p JOIN sig x ON x.doc_id = p.a JOIN sig y ON y.doc_id = p.b)
+          |SELECT es.a, es.b, es.est16, COALESCE(iv.inter, 0) AS inter,
+          |  sa.n + sb.n - COALESCE(iv.inter, 0) AS uni
+          |FROM es LEFT JOIN iv ON es.a = iv.a AND es.b = iv.b
+          |JOIN sz sa ON sa.doc_id = es.a JOIN sz sb ON sb.doc_id = es.b
+          |ORDER BY es.a, es.b""".stripMargin),
+
     "m04_mm_pack" ->
       """WITH RECURSIVE b AS (SELECT doc_id,
         |    CAST(strlen(text) // 4 + (strlen(text) // 100) * 16 AS BIGINT) AS n_tok,
