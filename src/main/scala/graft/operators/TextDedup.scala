@@ -158,6 +158,12 @@ object TextDedup {
     val refHashes = reference.select(md5(col(textCol)).as("__h")).distinct()
     val refBuckets = bandBuckets(reference, idCol, textCol, shingleN, bands)
       .select(col("bk")).distinct()
+    streamAntiJoins(docs, refHashes, refBuckets, textCol, shingleN, bands)
+  }
+
+  private def streamAntiJoins(docs: DataFrame, refHashes: DataFrame,
+      refBuckets: DataFrame, textCol: String, shingleN: Int,
+      bands: Int): DataFrame = {
     val withBk = docs.withColumn("__bks",
       rowBandBuckets(col(textCol), shingleN, bands))
     val noNear = (0 until bands).foldLeft(withBk) { (df, b) =>
@@ -172,6 +178,57 @@ object TextDedup {
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
   }
+
+  /** Persistable dedup index of a reference corpus: `(kind, key)` rows —
+    * kind "hash" carries the md5 content hash, kind "band" a band-bucket
+    * key rendered as a string. Build ONCE per reference corpus, write to
+    * parquet, and feed [[dedupAgainstIndex]] / [[dedupAgainstIndexStream]]
+    * for every subsequent dump: the reference corpus is scanned once EVER
+    * instead of once per dump — at 100 TB that re-scan dominates
+    * [[dedupAgainst]]'s cost, and the index is |distinct hashes| +
+    * |distinct buckets| rows regardless of corpus size. Build and query
+    * must agree on (shingleN, bands) — they are not recorded in the rows.
+    */
+  def buildIndex(reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 4): DataFrame =
+    reference.select(lit("hash").as("kind"), md5(col(textCol)).as("key"))
+      .distinct()
+      .unionAll(bandBuckets(reference, idCol, textCol, shingleN, bands)
+        .select(lit("band").as("kind"), col("bk").cast("string").as("key"))
+        .distinct())
+
+  /** [[dedupAgainst]] against a prebuilt (typically parquet-loaded)
+    * [[buildIndex]] result instead of the raw reference corpus: drop dump
+    * rows whose content hash or any band bucket hits the index. Batch
+    * shape — grouped signatures, shuffle volume |shingles|; decisions are
+    * identical to [[dedupAgainst]] with the corpus the index was built
+    * from.
+    */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    val refHashes = index.filter(col("kind") === "hash")
+      .select(col("key").as("__h"))
+    val refBuckets = index.filter(col("kind") === "band")
+      .select(col("key").cast("long").as("bk"))
+    val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
+      .join(refBuckets, Seq("bk"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(refHashes, Seq("__h"), "left_anti").drop("__h")
+      .join(nearDropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming twin of [[dedupAgainstIndex]]: the [[dedupAgainstStream]]
+    * stateless stream-static anti-joins, but fed from the saved index —
+    * an offline-built reference index dedupes a live dump stream with
+    * batch-identical decisions and no reference corpus in sight.
+    */
+  def dedupAgainstIndexStream(docs: DataFrame, index: DataFrame,
+      textCol: String, shingleN: Int = 3, bands: Int = 4): DataFrame =
+    streamAntiJoins(docs,
+      index.filter(col("kind") === "hash").select(col("key").as("__h")),
+      index.filter(col("kind") === "band").select(col("key").cast("long").as("bk")),
+      textCol, shingleN, bands)
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {

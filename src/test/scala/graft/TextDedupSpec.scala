@@ -130,6 +130,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(twin == Set(12L, 13L), twin)
   }
 
+  test("parquet-persisted index reproduces dedupAgainst decisions exactly") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "shared reference sentence about spark engines and shuffles here")
+    ).toDF("id", "text")
+    val dump = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (11L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (12L, "a genuinely new document mentioning parquet files and columns"),
+      (13L, "xy") // fewer than 3 words: no shingles, must be kept
+    ).toDF("id", "text")
+    val direct = TextDedup.dedupAgainst(dump, reference, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // the production incremental flow: index built once, saved, reloaded
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+      .resolve("idx").toString
+    TextDedup.buildIndex(reference, "id", "text").write.parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val viaIndex = TextDedup.dedupAgainstIndex(dump, idx, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct, s"$viaIndex vs $direct")
+    val viaStream = TextDedup.dedupAgainstIndexStream(dump, idx, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStream == direct, s"$viaStream vs $direct")
+    assert(direct == Set(12L, 13L), direct)
+  }
+
   test("bands must divide the 16 minhash seeds") {
     intercept[IllegalArgumentException](
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
