@@ -26,7 +26,7 @@ object DataQueries5 {
   /** Expand a sorted id array into its (a, b), a &lt; b combinations — the
     * reducer-side pair generator shared by every banded candidate query.
     */
-  private def pairExpand(ids: Column): Column =
+  private[queries] def pairExpand(ids: Column): Column =
     explode(flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("a"), y.as("b"))))))
 

@@ -390,6 +390,33 @@ object DataQueries6 {
         .orderBy("source")
     }),
 
+    // asymmetric containment (excerpt/quote detection): pairs where the
+    // smaller doc's distinct 5-gram set is >= 50% inside the other's —
+    // the overlap Jaccard-thresholded dedup (d03) misses when a short doc
+    // is quoted inside a long one. Candidate pairs come from the d03
+    // bucket-shuffle shape on the SHINGLE itself (docs sharing a 5-gram
+    // meet in one reducer), with a document-frequency cap of 16 as the
+    // boilerplate/skew valve — pair fan-out is bounded per gram, grams
+    // cross the shuffle as codegen'd 60-bit hashes, and the integer
+    // threshold inter*2 >= min(na, nb) needs no float comparison.
+    "d63_containment" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 5))).as("g"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= 16)
+        .select(DataQueries5.pairExpand(col("ids")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .filter(col("inter") * 2 >= least(col("na"), col("nb")))
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+        .orderBy("a", "b")
+    }),
+
     // MinHash fidelity audit — the third of the estimate-vs-exact audit
     // trio (d55 recall for IVF, d61 HLL bound, this for the dedup index):
     // on each d02 candidate pair, the number of agreeing signature slots
@@ -461,6 +488,20 @@ object DataQueries6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "d63_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |gd AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  JOIN gd ON gd.g = x.g AND gd.df BETWEEN 2 AND 16
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT pr.a, pr.b, pr.inter, sa.n AS na, sb.n AS nb
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.a JOIN sz sb ON sb.doc_id = pr.b
+        |WHERE pr.inter * 2 >= least(sa.n, sb.n)
+        |ORDER BY pr.a, pr.b""".stripMargin,
+
     "d62_minhash_fidelity" ->
       (s"WITH ${DataQueries.minhashPairsCte}," +
         """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
