@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Seventh wave: span-level dedup forensics and cluster curation — the
+  * ExactSubstr-style positional coverage metric (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better"), character-level edit
+  * verification of MinHash candidates, and quality-based representative
+  * selection for near-dup clusters.
+  */
+object DataQueries7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // duplicated-span coverage (the ExactSubstr dedup metric): per document,
+    // how many word positions sit inside a 5-gram that also occurs in at
+    // least one OTHER document. d54 counts a doc's repeated grams; this
+    // measures the POSITIONAL footprint — the fraction of the doc a span
+    // dedup pass would cut. The document-frequency side reuses the per-doc
+    // distinct kernel (shingle_g), so no global (doc, gram) distinct is
+    // shuffled; the positional side (ngram_g + posexplode) joins the
+    // df>=2 gram list on the gram hash, so the 5x position fan-out is
+    // priced on MATCHED spans only, never the corpus. Grams cross every
+    // shuffle as codegen'd 60-bit md5-prefix longs. The coverage fraction
+    // is floor-quantized integer math — engine-exact.
+    "d64_dup_spans" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.functions.prom.ngram_g(col("text"), 5).as("gs"))
+      val pos = base.select(col("doc_id"), posexplode(col("gs")).as(Seq("i", "g")))
+      val dup = docs(s, dir)
+        .select(explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val cov = pos.join(dup.select(col("g")), Seq("g"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(4))).as("p"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_pos"))
+      base.select(col("doc_id"), col("n_tok"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
+          floor(coalesce(col("dup_pos"), lit(0L)) * lit(1000000L) / col("n_tok"))
+            .cast("long").as("dup_frac_q6"))
+        .orderBy("doc_id")
+    }),
+
+    // edit-distance verification of MinHash candidates — the character-level
+    // sibling of the set-level Jaccard verify (d32): normalized Levenshtein
+    // similarity over each d02 candidate pair, dup at sim >= 0.8. Shingle
+    // Jaccard is blind to word ORDER; edit similarity is not, so this is
+    // the stricter accept gate a near-dup pipeline runs before dropping a
+    // doc. The O(len^2) distance is priced on |candidates| (LSH-bounded),
+    // never corpus^2; texts travel only to the candidate pairs via two
+    // equi-joins on doc id. The decision threshold is exact integer math
+    // ((mx - dist) * 10 >= mx * 8); the reported similarity floor-quantizes.
+    "d65_edit_neardup" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val txt = docs(s, dir).select(col("doc_id"), col("text"))
+      pairs
+        .join(txt.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+        .join(txt.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long").as("mx"))
+        .select(col("a"), col("b"), col("dist"), col("mx"),
+          floor((col("mx") - col("dist")) * lit(1000000L) / col("mx"))
+            .cast("long").as("edit_sim_q6"),
+          ((col("mx") - col("dist")) * lit(10L) >= col("mx") * lit(8L)).as("dup"))
+        .orderBy("a", "b")
+    }),
+
+    // cluster representative selection: instead of d17's keep-min-id rule,
+    // keep the HIGHEST-QUALITY member of each near-dup cluster (longest
+    // text, ties to the smaller id) — the curation rule production
+    // pipelines actually use, since the canonical copy should be the most
+    // complete one. Reuses the memoized d15 clusters (one CC computation
+    // per session/dir); ranking is one window sorted within cluster
+    // partitions — cluster sizes are bounded by the LSH bucket caps, so
+    // no partition-wide sort grows with the corpus.
+    "d66_cluster_rep" -> ((s, dir) => {
+      val cl = DataQueries3.dedupClusters(s, dir)
+      val j = cl.join(
+        docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+      j.withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("rep"), col("n_chars").as("rep_chars"),
+          col("n_docs"))
+        .orderBy("cluster")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d64_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM d WHERE len(w) >= 5),
+        |shg AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g FROM ix),
+        |df AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM shg) GROUP BY g HAVING count(*) >= 2),
+        |hit AS (SELECT shg.doc_id, unnest(generate_series(shg.i, shg.i + 4)) AS p FROM shg JOIN df USING (g)),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS dup_pos FROM hit GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tok,
+        |  COALESCE(cov.dup_pos, 0) AS dup_pos,
+        |  CAST(floor(COALESCE(cov.dup_pos, 0) * 1000000.0 / len(d.w)) AS BIGINT) AS dup_frac_q6
+        |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "d65_edit_neardup" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """t AS (SELECT p.a, p.b, x.text AS ta, y.text AS tb
+          |  FROM pairs p JOIN documents x ON x.doc_id = p.a JOIN documents y ON y.doc_id = p.b),
+          |e AS (SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+          |  CAST(greatest(length(ta), length(tb)) AS BIGINT) AS mx FROM t)
+          |SELECT a, b, dist, mx,
+          |  CAST(floor((mx - dist) * 1000000.0 / mx) AS BIGINT) AS edit_sim_q6,
+          |  (mx - dist) * 10 >= mx * 8 AS dup
+          |FROM e ORDER BY a, b""".stripMargin),
+
+    "d66_cluster_rep" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |clusters AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |j AS (SELECT c.cluster, c.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+        |  FROM clusters c JOIN documents d USING (doc_id)),
+        |r AS (SELECT cluster, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY cluster) AS n_docs FROM j)
+        |SELECT cluster, doc_id AS rep, n_chars AS rep_chars, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)
+  )
+}
