@@ -96,6 +96,40 @@ object DataQueries7 {
         .select(col("cluster"), col("doc_id").as("rep"), col("n_chars").as("rep_chars"),
           col("n_docs"))
         .orderBy("cluster")
+    }),
+
+    // boilerplate discovery: the top-20 most-duplicated 5-grams across the
+    // corpus (document frequency, min doc as the example) — the report a
+    // curation team reads before writing span-removal rules. One partial-
+    // aggregatable rollup over per-doc-distinct kernel hashes, then a
+    // global top-k that moves only 20 rows per partition. The gram is
+    // reported as its 60-bit hash — at 100 TB the strings stay in the
+    // scan; a rule author resolves the handful of winners by example_doc.
+    "d67_boilerplate" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("g"))
+        .limit(20)
+        .select(col("g"), col("df"), col("example_doc"))),
+
+    // IVF index balance audit: per-cell population and corpus share, with a
+    // hot-cell flag at 2x the uniform share — the skew gate an ANN serving
+    // path checks before trusting per-cell latency. Rides the SAME persisted
+    // assignment as d10/d11/d55 (one index per session/dir); the totals side
+    // is a one-row aggregate crossJoin (the d57 pattern), so nothing
+    // corpus-sized is broadcast and the audit is two partial-agg rollups.
+    "d68_ivf_balance" -> ((s, dir) => {
+      val percell = DataQueries2.ivfAssigned(s, dir)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val tot = percell.agg(sum(col("n")).as("total"), count(lit(1)).as("n_cells"))
+      percell.crossJoin(tot)
+        .select(col("cell"), col("n"),
+          floor(col("n") * lit(1000000L) / col("total")).cast("long").as("share_q6"),
+          (col("n") * col("n_cells") >= col("total") * lit(2L)).as("hot"))
+        .orderBy("cell")
     })
   )
 
@@ -138,6 +172,31 @@ object DataQueries7 {
         |  row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
         |  count(*) OVER (PARTITION BY cluster) AS n_docs FROM j)
         |SELECT cluster, doc_id AS rep, n_chars AS rep_chars, CAST(n_docs AS BIGINT) AS n_docs
-        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin),
+
+    "d67_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] FOR i IN generate_series(1, len(w) - 4)])) AS g FROM w),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS g FROM sh)
+        |SELECT g, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS example_doc
+        |FROM h GROUP BY g HAVING count(*) >= 2
+        |ORDER BY df DESC, g LIMIT 20""".stripMargin,
+
+    "d68_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |percell AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY cell),
+        |tot AS (SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS n_cells FROM percell)
+        |SELECT cell, n, CAST(floor(n * 1000000.0 / total) AS BIGINT) AS share_q6,
+        |  n * n_cells >= total * 2 AS hot
+        |FROM percell, tot ORDER BY cell""".stripMargin
   )
 }

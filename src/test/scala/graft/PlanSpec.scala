@@ -290,6 +290,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("d60_entropy").contains("static_invoke"), plan("d60_entropy"))
   }
 
+  test("d64/d67: span-coverage and boilerplate grams cross shuffles as kernel hashes") {
+    // the (doc, gram) traffic is the corpus-sized flow in both queries; it
+    // must ride the codegen'd 60-bit md5-prefix kernel (8-byte longs), not
+    // string gram columns
+    for (q <- Seq("d64_dup_spans", "d67_boilerplate")) {
+      val p = plan(q)
+      assert(p.contains("static_invoke"), s"$q grams must be kernel hashes:\n$p")
+    }
+    // d67's global top-20 must be a TakeOrdered (20 rows per partition move),
+    // never a corpus-wide Sort + Limit
+    val p67 = plan("d67_boilerplate")
+    assert(p67.contains("TakeOrderedAndProject"), p67)
+    assert("HashAggregate".r.findAllIn(p67).length >= 2, "partial+final agg expected\n" + p67)
+  }
+
+  test("d68: only the one-row totals aggregate crosses as a nested-loop broadcast") {
+    // the cached IVF assignment legitimately carries its own Inner BNLJ
+    // (bounded centroid broadcast); d68 itself may add exactly ONE Cross —
+    // the one-row totals aggregate
+    val p = plan("d68_ivf_balance")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length == 1, p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
