@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public, table-agnostic text-deduplication API — the same verified shapes
@@ -369,5 +370,70 @@ object TextDedup {
     val dropExact = hashed.join(keep, "__h")
       .filter(col(idCol) =!= col("__keep")).select(col(idCol))
     docs.join(dropNear.unionAll(dropExact).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** ExactSubstr-style duplicated-span coverage (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): per document, how many
+    * word positions sit inside a `gramN`-gram that also occurs in at least
+    * one OTHER document, plus the floor-quantized coverage fraction
+    * (`dup_frac_q6` in millionths). This is the POSITIONAL footprint a
+    * span-level dedup pass would cut — the decision input for cutting
+    * spans instead of whole documents.
+    *
+    * Scale shape: the document-frequency side rides the per-doc-distinct
+    * kernel (`shingle_g`, one rollup of 8-byte hashes); the positional side
+    * (`ngram_g` + posexplode) joins the df>=2 gram list on the hash, so the
+    * gramN-times position fan-out is priced on MATCHED spans only. No
+    * corpus-sized broadcast, no global (doc, gram) distinct.
+    *
+    * Output: `(idCol, n_tok, dup_pos, dup_frac_q6)`, one row per input doc
+    * (docs shorter than `gramN` words report zero coverage).
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 5): DataFrame = {
+    require(gramN >= 1, s"gramN must be positive, got $gramN")
+    val base = docs.select(col(idCol).as("__id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      graft.functions.prom.ngram_g(col(textCol), gramN).as("__gs"))
+    val pos = base.select(col("__id"), posexplode(col("__gs")).as(Seq("__i", "__g")))
+    val dup = docs
+      .select(explode(graft.functions.prom.shingle_g(col(textCol), gramN)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+    val cov = pos.join(dup.select(col("__g")), Seq("__g"))
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + lit(gramN - 1))).as("__p"))
+      .groupBy(col("__id")).agg(countDistinct(col("__p")).as("dup_pos"))
+    base.select(col("__id"), col("n_tok"))
+      .join(cov, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tok"),
+        coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
+        floor(coalesce(col("dup_pos"), lit(0L)) * lit(1000000L) / col("n_tok"))
+          .cast("long").as("dup_frac_q6"))
+  }
+
+  /** Pick each near-dup cluster's best member — the curation rule production
+    * pipelines use instead of keep-min-id: the canonical copy should be the
+    * highest-QUALITY one (longest text, best LM score, ...), ties to the
+    * smaller id. `clusters` is [[clusters]]' `(id, cluster)` output (or any
+    * equivalent assignment); `quality` maps each id to an orderable score.
+    *
+    * One window sorted within cluster partitions — cluster sizes are
+    * bounded by the LSH bucket caps upstream, so the per-partition sort
+    * never grows with the corpus.
+    *
+    * Output: `(cluster, rep, rep_quality, n_docs)`, one row per cluster.
+    */
+  def clusterRepresentatives(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster",
+      qualityCol: String = "quality"): DataFrame = {
+    val j = clusters.select(col(idCol).as("__id"), col(clusterCol).as("__c"))
+      .join(quality.select(col(idCol).as("__id"), col(qualityCol).as("__q")), Seq("__id"))
+    val w = Window.partitionBy(col("__c")).orderBy(col("__q").desc, col("__id"))
+    j.withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("__c"))))
+      .filter(col("__rn") === 1)
+      .select(col("__c").as(clusterCol), col("__id").as("rep"),
+        col("__q").as("rep_quality"), col("n_docs"))
   }
 }

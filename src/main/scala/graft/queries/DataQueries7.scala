@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -30,26 +29,10 @@ object DataQueries7 {
     // priced on MATCHED spans only, never the corpus. Grams cross every
     // shuffle as codegen'd 60-bit md5-prefix longs. The coverage fraction
     // is floor-quantized integer math — engine-exact.
-    "d64_dup_spans" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        graft.functions.prom.ngram_g(col("text"), 5).as("gs"))
-      val pos = base.select(col("doc_id"), posexplode(col("gs")).as(Seq("i", "g")))
-      val dup = docs(s, dir)
-        .select(explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-      val cov = pos.join(dup.select(col("g")), Seq("g"))
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(4))).as("p"))
-        .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_pos"))
-      base.select(col("doc_id"), col("n_tok"))
-        .join(cov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
-          floor(coalesce(col("dup_pos"), lit(0L)) * lit(1000000L) / col("n_tok"))
-            .cast("long").as("dup_frac_q6"))
-        .orderBy("doc_id")
-    }),
+    "d64_dup_spans" -> ((s, dir) =>
+      graft.operators.TextDedup
+        .dupSpanCoverage(docs(s, dir), "doc_id", "text", gramN = 5)
+        .orderBy("doc_id")),
 
     // edit-distance verification of MinHash candidates — the character-level
     // sibling of the set-level Jaccard verify (d32): normalized Levenshtein
@@ -84,19 +67,13 @@ object DataQueries7 {
     // per session/dir); ranking is one window sorted within cluster
     // partitions — cluster sizes are bounded by the LSH bucket caps, so
     // no partition-wide sort grows with the corpus.
-    "d66_cluster_rep" -> ((s, dir) => {
-      val cl = DataQueries3.dedupClusters(s, dir)
-      val j = cl.join(
-        docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
-        Seq("doc_id"))
-      val w = Window.partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
-      j.withColumn("rn", row_number().over(w))
-        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster"))))
-        .filter(col("rn") === 1)
-        .select(col("cluster"), col("doc_id").as("rep"), col("n_chars").as("rep_chars"),
-          col("n_docs"))
-        .orderBy("cluster")
-    }),
+    "d66_cluster_rep" -> ((s, dir) =>
+      graft.operators.TextDedup.clusterRepresentatives(
+          DataQueries3.dedupClusters(s, dir),
+          docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+          idCol = "doc_id", clusterCol = "cluster", qualityCol = "n_chars")
+        .withColumnRenamed("rep_quality", "rep_chars")
+        .orderBy("cluster")),
 
     // boilerplate discovery: the top-20 most-duplicated 5-grams across the
     // corpus (document frequency, min doc as the example) — the report a

@@ -164,6 +164,54 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
   }
 
+  test("dupSpanCoverage counts positions under cross-doc duplicated grams") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share "a b c d e" (positions 0-4 in both); doc 3 shares
+    // nothing; doc 4 is too short to hold a 5-gram
+    val df = Seq(
+      (1L, "a b c d e x y z w v"),
+      (2L, "q a b c d e r s t u"),
+      (3L, "k l m n o p j h g f"),
+      (4L, "a b")
+    ).toDF("id", "text")
+    val out = TextDedup.dupSpanCoverage(df, "id", "text", gramN = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((10L, 5L, 500000L)), out) // 5 of 10 positions covered
+    assert(out(2L) == ((10L, 5L, 500000L)), out) // positions 1-5
+    assert(out(3L) == ((10L, 0L, 0L)), out)
+    assert(out(4L) == ((2L, 0L, 0L)), out) // shorter than gramN: zero, not dropped
+  }
+
+  test("dupSpanCoverage merges overlapping spans (no double counting)") {
+    val s = spark
+    import s.implicits._
+    // both docs contain "a b c d e f": two overlapping duplicated 5-grams
+    // covering 6 distinct positions, not 10
+    val df = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "z a b c d e f w")
+    ).toDF("id", "text")
+    val out = TextDedup.dupSpanCoverage(df, "id", "text", gramN = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 6L, 2L -> 6L), out)
+  }
+
+  test("clusterRepresentatives keeps the highest-quality member, ties to min id") {
+    val s = spark
+    import s.implicits._
+    val cls = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("id", "cluster")
+    val q = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L), (21L, 3L))
+      .toDF("id", "quality")
+    val out = TextDedup.clusterRepresentatives(cls, q)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 10: 11 and 12 tie on quality 9 -> smaller id 11 wins, size 3
+    assert(out(10L) == ((11L, 9L, 3L)), out)
+    // cluster 20: 20 and 21 tie on quality 3 -> 20 wins, size 2
+    assert(out(20L) == ((20L, 3L, 2L)), out)
+  }
+
   test("dedupClusters memo: same frame per (session, dir); invalidate forces recompute") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.queries.DataQueries3.dedupClusters(spark, dir)
