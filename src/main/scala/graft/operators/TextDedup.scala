@@ -436,4 +436,83 @@ object TextDedup {
       .select(col("__c").as(clusterCol), col("__id").as("rep"),
         col("__q").as("rep_quality"), col("n_docs"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD '03 —
+    * the MOSS algorithm): hash every word `gramN`-gram in document order,
+    * slide a `window`-wide window over the hash sequence, and select each
+    * window's minimum hash, ties to the RIGHTMOST position (the paper's
+    * rule — a rightmost min is reselected by the most following windows, so
+    * it minimizes the fingerprint count). Guarantees any shared word run of
+    * `window + gramN - 1` or more words yields a shared fingerprint, at
+    * ~2/(window+1) expected density — the position-aware sketch between
+    * "hash everything" (d54/d64) and "16 minhashes" (d02).
+    *
+    * Scale shape: grams cross every shuffle as codegen'd 60-bit md5-prefix
+    * longs (`ngram_g`); the window fan-out is a fixed `window`× explode of
+    * 8-byte rows; the per-window rightmost-argmin is ONE partial-
+    * aggregatable `min(struct(hash, -pos))` rollup keyed on (doc, window
+    * start), and the final fingerprint distinct re-shuffles only selected
+    * rows (~2/(window+1) of grams). No corpus broadcast, no per-doc sort,
+    * nothing grows with corpus size except linearly.
+    *
+    * Docs with fewer than `window` grams (but at least `gramN` words)
+    * winnow over a single window spanning the whole doc — their global
+    * min — so every non-degenerate doc yields at least one fingerprint.
+    *
+    * Output: `(idCol, pos, g)` — the selected 0-based gram positions and
+    * their 60-bit gram hashes, one row per fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 3, window: Int = 4): DataFrame = {
+    require(gramN >= 1, s"gramN must be positive, got $gramN")
+    require(window >= 1, s"window must be positive, got $window")
+    val pos = docs.select(col(idCol).as("__id"),
+        graft.functions.prom.ngram_g(col(textCol), gramN).as("__gs"))
+      .select(col("__id"), size(col("__gs")).as("__n"),
+        posexplode(col("__gs")).as(Seq("__p", "__g")))
+    // window starts this gram participates in: [p-window+1, min(p, n-window)]
+    // clamped at 0; start <= end always holds (p <= n-1), so `sequence`
+    // never flips into its descending mode.
+    val wins = pos.select(col("__id"), col("__p"), col("__g"),
+      explode(sequence(
+        greatest(col("__p") - lit(window - 1), lit(0)),
+        least(col("__p"), greatest(col("__n") - lit(window), lit(0))))).as("__ws"))
+    wins.groupBy(col("__id"), col("__ws"))
+      .agg(min(struct(col("__g").as("g"), (-col("__p")).as("np"))).as("__m"))
+      .select(col("__id"), col("__m.g").as("g"), (-col("__m.np")).as("pos"))
+      .distinct()
+      .select(col("__id").as(idCol), col("pos"), col("g"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints — the MOSS
+    * matching step: docs whose winnowed sketches ([[winnowFingerprints]])
+    * share at least `minShared` distinct gram hashes. The guarantee runs
+    * through: two docs sharing `minShared` disjoint word runs of length
+    * `window + gramN - 1` always pair, at sketch cost ~2/(window+1) of the
+    * full gram inventory.
+    *
+    * Same bucket-shuffle shape as the d03 candidate generation: group by
+    * fingerprint hash, expand sorted id lists into (a &lt; b) pairs, count
+    * shared hashes per pair. `maxBucket` is the boilerplate valve — a hash
+    * selected by k docs emits k(k-1)/2 pairs, so ubiquitous spans are
+    * dropped rather than exploded (0 = no cap).
+    *
+    * Output: `(a, b, shared)` with `a < b`, shared >= `minShared`.
+    */
+  def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 16): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, gramN, window)
+      .select(col(idCol).as("__id"), col("g")).distinct()
+    val grouped = fp.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val valved =
+      if (maxBucket > 0) grouped.filter(size(col("ids")) <= maxBucket) else grouped
+    valved.select(pairExpand(col("ids")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Eighth wave: position-aware fingerprint sketching (winnowing / MOSS) and
+  * tokenizer-training statistics — the corpus-level counting passes a BPE
+  * trainer and a collocation extractor run before any model sees the data.
+  */
+object DataQueries8 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // winnowing fingerprint density (Schleimer et al., SIGMOD '03 — MOSS):
+    // per doc, how many (position, hash) fingerprints the window-min
+    // selection keeps out of the full 3-gram inventory. The guarantee: any
+    // shared run of window+gramN-1 = 6 words shares a fingerprint, at
+    // ~2/(window+1) = 40% expected density — the position-aware middle
+    // ground between hash-everything (d54/d64) and 16 minhashes (d02).
+    // Selection is one partial-aggregatable min(struct(hash, -pos)) rollup
+    // keyed on (doc, window start); grams cross shuffles as 60-bit longs.
+    "d69_winnowing" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = graft.operators.TextDedup
+        .winnowFingerprints(d, "doc_id", "text", gramN = 3, window = 4)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      d.select(col("doc_id"),
+          size(graft.functions.prom.ngram_g(col("text"), 3)).cast("long").as("n_grams"))
+        .filter(col("n_grams") >= 1)
+        .join(fp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          floor(coalesce(col("n_fp"), lit(0L)) * lit(1000000L) / col("n_grams"))
+            .cast("long").as("density_q6"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE first-merge statistics (Sennrich et al., "Neural Machine
+    // Translation of Rare Words with Subword Units"): corpus-wide adjacent
+    // character-pair frequencies — the argmax of this table IS the first
+    // merge a BPE trainer performs, and re-running it per merge round is
+    // the whole training loop. Two narrow explodes (word, then char-pair)
+    // feed ONE count over a key domain bounded by |alphabet|^2, so map-side
+    // combine collapses each partition to a few hundred rows and the top-k
+    // moves 20 rows per partition — no shuffle grows with the corpus.
+    "d70_bpe_pairs" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
+    // collocation extraction by Dice coefficient: adjacent word bigrams
+    // scored 2*c_ab/(c_a+c_b) against their own left/right bigram marginals
+    // (Smadja's Xtract family; Dice rather than PMI because it needs NO
+    // corpus total — every term is a per-key count, so the integer-exact
+    // q6 quantization never multiplies by N and cannot overflow at corpus
+    // scale). Marginals are two partial rollups OF the bigram count table
+    // itself (vocab-bounded), joined back on single-word keys.
+    "d71_colloc_dice" -> ((s, dir) => {
+      val bi = docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val left = bi.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+      val right = bi.groupBy("w2").agg(sum(col("c_ab")).as("c_b"))
+      bi.join(left, Seq("w1")).join(right, Seq("w2"))
+        .filter(col("c_ab") >= 5)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("c_ab"), col("c_a"), col("c_b"),
+          floor(col("c_ab") * lit(2000000L) / (col("c_a") + col("c_b")))
+            .cast("long").as("dice_q6"))
+        .orderBy(col("dice_q6").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // winnowed candidate pairs — the MOSS matching step: docs sharing >= 2
+    // distinct winnowing fingerprints, counted via the d03 bucket-shuffle
+    // shape (group by fingerprint hash, expand sorted id lists, df<=16
+    // boilerplate valve). The sketch guarantee carries to the pairs: two
+    // docs sharing two disjoint 6-word runs ALWAYS pair, while the join
+    // moves only ~40% of the gram inventory instead of all of it.
+    "d72_winnow_overlap" -> ((s, dir) =>
+      graft.operators.TextDedup
+        .winnowCandidates(docs(s, dir), "doc_id", "text",
+          gramN = 3, window = 4, minShared = 2, maxBucket = 16)
+        .orderBy("a", "b"))
+  )
+
+  /** Shared winnowing prelude (K=3, W=4): 1-based gram index `i`, 60-bit
+    * md5-prefix hash `h`, window starts `ws` in [max(i-3,1), min(i, max(n-3,
+    * 1))], per-window min hash with rightmost-position tie-break.
+    */
+  private val winnowCte: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, w, len(w) - 2 AS n FROM d WHERE len(w) >= 3),
+      |g AS (SELECT doc_id, n, i,
+      |        CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)) AS BIGINT) AS h
+      |      FROM (SELECT doc_id, w, n, unnest(generate_series(1, n)) AS i FROM n)),
+      |wins AS (SELECT doc_id, i, h,
+      |        unnest(generate_series(greatest(i - 3, 1), least(i, greatest(n - 3, 1)))) AS ws FROM g),
+      |wm AS (SELECT doc_id, ws, min(h) AS mh FROM wins GROUP BY doc_id, ws),
+      |sel AS (SELECT w.doc_id, w.ws, wm.mh AS h, max(w.i) AS i
+      |        FROM wins w JOIN wm ON w.doc_id = wm.doc_id AND w.ws = wm.ws AND w.h = wm.mh
+      |        GROUP BY w.doc_id, w.ws, wm.mh)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d69_winnowing" ->
+      (s"WITH $winnowCte," +
+        """fp AS (SELECT DISTINCT doc_id, i, h FROM sel),
+          |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id)
+          |SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_grams, COALESCE(c.n_fp, 0) AS n_fp,
+          |  CAST(floor(COALESCE(c.n_fp, 0) * 1000000.0 / n.n) AS BIGINT) AS density_q6
+          |FROM n LEFT JOIN c USING (doc_id) ORDER BY n.doc_id""".stripMargin),
+
+    "d70_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)]) AS pair
+        |      FROM t WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "d71_colloc_dice" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT unnest([ws[i] FOR i IN generate_series(1, len(ws) - 1)]) AS w1,
+        |             unnest([ws[i + 1] FOR i IN generate_series(1, len(ws) - 1)]) AS w2 FROM t),
+        |c AS (SELECT w1, w2, count(*) AS c_ab FROM b GROUP BY w1, w2),
+        |l AS (SELECT w1, sum(c_ab) AS c_a FROM c GROUP BY w1),
+        |r AS (SELECT w2, sum(c_ab) AS c_b FROM c GROUP BY w2)
+        |SELECT c.w1 || ' ' || c.w2 AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(floor(c_ab * 2000000.0 / (c_a + c_b)) AS BIGINT) AS dice_q6
+        |FROM c JOIN l USING (w1) JOIN r USING (w2)
+        |WHERE c_ab >= 5
+        |ORDER BY dice_q6 DESC, bigram LIMIT 20""".stripMargin,
+
+    "d72_winnow_overlap" ->
+      (s"WITH $winnowCte," +
+        """fp AS (SELECT DISTINCT doc_id, h FROM sel),
+          |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 16),
+          |fo AS (SELECT doc_id, h FROM fp JOIN ok USING (h))
+          |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+          |FROM fo x JOIN fo y ON x.h = y.h AND x.doc_id < y.doc_id
+          |GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2 ORDER BY a, b""".stripMargin)
+  )
+}

@@ -313,6 +313,25 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length == 1, p)
   }
 
+  test("d69/d72: winnowing grams are kernel hashes; no corpus-sized broadcast") {
+    for (q <- Seq("d69_winnowing", "d72_winnow_overlap")) {
+      val p = plan(q)
+      // the corpus-sized flow (gram positions x window fan-out) must ride
+      // the codegen'd 60-bit kernel, and nothing corpus-sized may broadcast
+      assert(p.contains("static_invoke"), s"$q grams must be kernel hashes:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("d70/d71: tokenizer-stat top-20s move 20 rows per partition, aggs are two-phase") {
+    for (q <- Seq("d70_bpe_pairs", "d71_colloc_dice")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q must TakeOrdered:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q partial+final agg expected:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly

@@ -212,6 +212,65 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(20L) == ((20L, 3L, 2L)), out)
   }
 
+  /** 60-bit md5-prefix gram hash — the same value `ngram_g` computes. */
+  private def md5Prefix60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Straight-line winnowing reference: slide the window, take the min hash,
+    * ties to the rightmost position; docs with fewer grams than the window
+    * use one window spanning everything.
+    */
+  private def bruteWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val grams = text.split(" ").sliding(k).filter(_.length == k)
+      .map(g => md5Prefix60(g.mkString(" "))).toArray
+    val n = grams.length
+    (0 to math.max(n - w, 0)).flatMap { ws =>
+      val window = ws to math.min(ws + w - 1, n - 1)
+      if (window.isEmpty) None
+      else {
+        val mn = window.map(grams).min
+        val p = window.filter(grams(_) == mn).max
+        Some((p, grams(p)))
+      }
+    }.toSet
+  }
+
+  test("winnowFingerprints matches brute force (ties, short docs, single-window docs)") {
+    val s = spark
+    import s.implicits._
+    val extra = Seq(
+      (20L, "x y x y x y x y x y"),  // repeated grams: exercises the rightmost-tie rule
+      (21L, "only two"),             // fewer words than gramN: no grams, no fingerprints
+      (22L, "four words right here") // 2 grams < window: one global window
+    ).toDF("id", "text")
+    val docs = corpus.union(extra)
+    val got = TextDedup.winnowFingerprints(docs, "id", "text", gramN = 3, window = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val want = bruteWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty[(Int, Long)]) == want, s"doc $id")
+    }
+    assert(!got.contains(21L))           // degenerate doc yields nothing
+    assert(got(22L).size == 1)           // single window -> exactly one fingerprint
+    assert(got(10L) == got(11L))         // identical docs -> identical sketches
+  }
+
+  test("winnowCandidates pairs dup and near-dup docs, never unrelated ones") {
+    val cand = TextDedup.winnowCandidates(corpus, "id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical docs share their whole sketch
+    assert(cand.contains((10L, 11L)) && cand((10L, 11L)) >= 2, cand)
+    // 10 and 12 share an 8-word run >= window + gramN - 1 = 6 -> guaranteed pair
+    assert(cand.contains((10L, 12L)), cand)
+    assert(!cand.keys.exists { case (a, b) => a >= 13L || b >= 13L }, cand)
+  }
+
   test("dedupClusters memo: same frame per (session, dir); invalidate forces recompute") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.queries.DataQueries3.dedupClusters(spark, dir)
