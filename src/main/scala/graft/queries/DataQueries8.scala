@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -95,7 +96,49 @@ object DataQueries8 {
       graft.operators.TextDedup
         .winnowCandidates(docs(s, dir), "doc_id", "text",
           gramN = 3, window = 4, minShared = 2, maxBucket = 16)
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // one power-iteration step over the embedding matrix — the inner loop
+    // of distributed PCA / spectral methods: v1 = A^T (A v0) with v0 = the
+    // all-ones direction, expressed as a matvec per row (exact left-fold
+    // dot), a 64-way dim explode, and ONE two-phase integer sum per dim.
+    // Per-row contributions are floor*1e6-quantized BEFORE the cross-row
+    // sum (the d57/d60 rule), so the reduction is accumulation-order-exact
+    // on any cluster layout — the only float ops left (fold + one product)
+    // are per-row and bit-identical across engines. Nothing is collected:
+    // at 100 TB this is a narrow map + a 64-key partial-agg rollup.
+    "d73_power_iter" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(expr("aggregate(v, cast(0.0 as double), (a, x) -> a + x)").as("t"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("t") * col("x") * lit(1000000.0)).cast("long").as("cq"))
+        .groupBy("dim").agg(sum(col("cq")).as("v1_q6"))
+        .orderBy("dim")),
+
+    // tokenizer vocabulary coverage curve: what fraction of all token
+    // occurrences the top-k most frequent words cover, for k in {10, 100,
+    // 1000} — the "how big must the vocab be" planning read a tokenizer
+    // team does before training. The rank window runs over the AGGREGATED
+    // vocabulary (|vocab| rows, corpus-independent after the two-phase
+    // count), the k table is 3 fixed rows (bounded broadcast), and the
+    // totals side is a one-row aggregate crossJoin.
+    "d74_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val c = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val r = c.select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rn"))
+      val tot = c.agg(sum(col("c")).as("total"))
+      r.join(Seq(10L, 100L, 1000L).toDF("k"), col("rn") <= col("k"))
+        .groupBy("k").agg(sum(col("c")).as("covered"))
+        .crossJoin(tot)
+        .select(col("k"), col("covered"), col("total"),
+          floor(col("covered") * lit(1000000L) / col("total")).cast("long").as("frac_q6"))
+        .orderBy("k")
+    })
   )
 
   /** Shared winnowing prelude (K=3, W=4): 1-based gram index `i`, 60-bit
@@ -152,6 +195,25 @@ object DataQueries8 {
           |fo AS (SELECT doc_id, h FROM fp JOIN ok USING (h))
           |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
           |FROM fo x JOIN fo y ON x.h = y.h AND x.doc_id < y.doc_id
-          |GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2 ORDER BY a, b""".stripMargin)
+          |GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2 ORDER BY a, b""".stripMargin),
+
+    "d73_power_iter" ->
+      """WITH e AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |t AS (SELECT v, list_reduce(list_prepend(0.0::DOUBLE, v), (a, b) -> a + b) AS t FROM e),
+        |x AS (SELECT t, v, unnest(generate_series(1, len(v))) AS i FROM t),
+        |c AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(floor(t * v[i] * 1000000.0) AS BIGINT) AS cq FROM x)
+        |SELECT dim, CAST(sum(cq) AS BIGINT) AS v1_q6 FROM c GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "d74_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM c),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |k AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k.k AS BIGINT) AS k, CAST(sum(r.c) AS BIGINT) AS covered,
+        |  CAST(tot.total AS BIGINT) AS total,
+        |  CAST(floor(sum(r.c) * 1000000.0 / tot.total) AS BIGINT) AS frac_q6
+        |FROM r JOIN k ON r.rn <= k.k CROSS JOIN tot
+        |GROUP BY k.k, tot.total ORDER BY k""".stripMargin
   )
 }

@@ -332,6 +332,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d73: power-iteration matvec joins nothing, sums in two phases") {
+    val p = plan("d73_power_iter")
+    assert(!p.contains("Join"), s"matvec must be a narrow map + rollup:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final agg expected\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
