@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,55 @@ object DataQueries8 {
         .select(col("k"), col("covered"), col("total"),
           floor(col("covered") * lit(1000000L) / col("total")).cast("long").as("frac_q6"))
         .orderBy("k")
+    }),
+
+    // multi-probe IVF recall — the recall/cost lever an ANN serving path
+    // tunes: for the d55 probe set, recall@3 when searching only the
+    // query's best cell (nprobe=1, d10's shape) vs its best TWO cells
+    // (nprobe=2, ~2x the scan for the recall the balance audit d68 says
+    // the hot cells are hiding). Probe selection is an 8x4 bounded
+    // cross-score; the corpus side joins on cell exactly like d55 (each
+    // vector lives in ONE cell, so nprobe=2 scans two cells' worth, never
+    // duplicated rows); ground truth broadcasts only the fixed probe set.
+    // All outputs are exact small integers.
+    "d75_ivf_multiprobe" -> ((s, dir) => {
+      val assigned = DataQueries2.ivfAssigned(s, dir)
+      def dot(a: Column, b: Column) = graft.functions.prom.vec_dot(a, b)
+      val cents = assigned.filter(col("id") < 4)
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val q = assigned.filter(col("id") >= 8 && col("id") < 16)
+        .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val wp = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qv"), col("qn"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("ccos"))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 2)
+        .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"), col("prank"))
+      val scored = probes.join(assigned, Seq("cell"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("prank"), col("id").as("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      def top3(df: DataFrame) = {
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("qid"), col("vec_id"))
+      }
+      val r1 = top3(scored.filter(col("prank") === 1))
+      val r2 = top3(scored)
+      val exact = top3(assigned.join(broadcast(q), col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos")))
+      def hits(r: DataFrame, name: String) =
+        exact.join(r, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      exact.groupBy("qid").agg(count(lit(1)).as("k"))
+        .join(hits(r1, "hits_p1"), Seq("qid"), "left")
+        .join(hits(r2, "hits_p2"), Seq("qid"), "left")
+        .select(col("qid"), col("k"),
+          coalesce(col("hits_p1"), lit(0L)).as("hits_p1"),
+          coalesce(col("hits_p2"), lit(0L)).as("hits_p2"))
+        .orderBy("qid")
     })
   )
 
