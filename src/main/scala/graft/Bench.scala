@@ -40,7 +40,8 @@ object Bench {
     // stalls occasionally span all 3 reps (r6 q14-q18, r9 q13/q16/q20 moved
     // ±0.9s on byte-identical code) — SPARK_GRAFT_REPS=7 isolates those
     // before reacting to a "regression".
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -231,6 +231,23 @@ object ExecutorPull {
     * frozen buffer unchanged, so every attempt of an epoch emits identical
     * rows and the eventual ack covers exactly what the committed batch
     * served.
+    *
+    * Two guards keep "nothing is ever acked unserved" true under Spark's
+    * task-retry machinery:
+    *   - epochs are MONOTONIC per entry: a straggler task from an EARLIER
+    *     epoch (a zombie retry whose sibling already succeeded, arriving
+    *     after a later epoch's task touched this entry) gets an empty
+    *     result and mutates nothing — rewinding pendingEpoch would let it
+    *     drain fresh broker messages into an attempt whose output Spark
+    *     discards, and the next epoch's ack would then cover them;
+    *   - the buffer is TIED TO ITS TASK ATTEMPT: if the attempt fails or
+    *     is killed (zombie/speculative copy), its retry may run on a
+    *     DIFFERENT executor, so this buffer may never reach a committed
+    *     batch — yet the next epoch's task landing here would ack it. A
+    *     task-failure listener drops the buffer UNACKED and negative-acks
+    *     it, so the broker redelivers: duplicates, never loss. Only
+    *     buffers whose serving attempt completed successfully ride the
+    *     next-epoch (or commit-time) ack.
     */
   private[graft] def pull(cfg: PulsarSink.Config, subscription: String,
       slot: Int, readers: Int, epoch: Long, maxRecords: Long,
@@ -240,28 +257,49 @@ object ExecutorPull {
     val e = entryFor(cfg, subscription, slot, readers, stickyRanges, ackTimeoutMs)
     e.synchronized {
       e.lastUsedMs = System.currentTimeMillis()
-      if (e.pendingEpoch >= 0 && e.pendingEpoch < epoch && e.pending.nonEmpty) {
-        PulsarSink.ackMessageIds(e.consumer, e.pending.map(_._2))
-        e.pending.clear()
-      }
-      val firstAttempt = e.pendingEpoch != epoch
-      e.pendingEpoch = epoch
-      // refill ONLY on the epoch's first attempt (freeze), and receive ONLY
-      // while budget remains: a message dequeued past the cap — or into a
-      // rerun whose sibling attempt already committed without it — would be
-      // acked without ever being served
-      if (firstAttempt && (maxRecords <= 0 || e.pending.length < maxRecords)) {
-        var m = receive(e.consumer, pollTimeoutMs)
-        while (m != null) {
-          e.pending += ((InMemoryBroker.Message(
-            call(m, "getKey").asInstanceOf[String],
-            call(m, "getData").asInstanceOf[Array[Byte]]),
-            call(m, "getMessageId")))
-          m = if (maxRecords > 0 && e.pending.length >= maxRecords) null
-              else receive(e.consumer, 0L)
+      if (epoch < e.pendingEpoch) {
+        // stale lower-epoch straggler: serve nothing, touch nothing
+        Array.empty[InMemoryBroker.Message]
+      } else {
+        if (e.pendingEpoch >= 0 && e.pendingEpoch < epoch && e.pending.nonEmpty) {
+          PulsarSink.ackMessageIds(e.consumer, e.pending.map(_._2))
+          e.pending.clear()
         }
+        val firstAttempt = epoch > e.pendingEpoch
+        e.pendingEpoch = epoch
+        // refill ONLY on the epoch's first attempt (freeze), and receive ONLY
+        // while budget remains: a message dequeued past the cap — or into a
+        // rerun whose sibling attempt already committed without it — would be
+        // acked without ever being served
+        if (firstAttempt && (maxRecords <= 0 || e.pending.length < maxRecords)) {
+          var m = receive(e.consumer, pollTimeoutMs)
+          while (m != null) {
+            e.pending += ((InMemoryBroker.Message(
+              call(m, "getKey").asInstanceOf[String],
+              call(m, "getData").asInstanceOf[Array[Byte]]),
+              call(m, "getMessageId")))
+            m = if (maxRecords > 0 && e.pending.length >= maxRecords) null
+                else receive(e.consumer, 0L)
+          }
+        }
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null && e.pending.nonEmpty) {
+          val servedEpoch = epoch
+          ctx.addTaskFailureListener((_, _) => e.synchronized {
+            // guard: a later epoch may have refilled since (then this
+            // attempt was a zombie and the entry has moved on — hands off)
+            if (e.pendingEpoch == servedEpoch && e.pending.nonEmpty) {
+              try PulsarSink.nackMessageIds(e.consumer, e.pending.map(_._2))
+              catch { case _: Exception => () }
+              e.pending.clear()
+              // reset so a same-epoch retry landing back here refills
+              // fresh instead of serving an empty frozen buffer
+              e.pendingEpoch = -1L
+            }
+          })
+        }
+        e.pending.map(_._1).toArray
       }
-      e.pending.map(_._1).toArray
     }
   }
 }

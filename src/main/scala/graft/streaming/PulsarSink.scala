@@ -190,6 +190,26 @@ object PulsarSink {
     }
   }
 
+  /** Negatively acknowledge MessageIds — ask the broker to redeliver soon
+    * (Consumer.negativeAcknowledge(MessageId)), used when a failed task
+    * attempt drops a buffer that was never served to a committed batch:
+    * redelivery makes that duplicates, never loss. Resolved like
+    * [[ackMessageIds]]; a consumer without the method (test fakes that
+    * don't track redelivery) is a no-op — the ack timeout still redelivers.
+    */
+  private[graft] def nackMessageIds(consumer: AnyRef,
+      ids: Iterable[AnyRef]): Unit = {
+    if (ids.nonEmpty) {
+      consumer.getClass.getMethods
+        .find(m => m.getName == "negativeAcknowledge" && m.getParameterCount == 1 &&
+          m.getParameterTypes()(0).getSimpleName.endsWith("MessageId"))
+        .foreach { nack =>
+          nack.setAccessible(true)
+          ids.foreach(id => nack.invoke(consumer, id))
+        }
+    }
+  }
+
   /** Build a PulsarClient from [[Config]] through the public builder API by
     * reflection. Mapping (clientOptions, pkg/app/pulsar.go:96-115):
     *   url -> serviceUrl, connectionTimeoutMs -> connectionTimeout,

@@ -27,10 +27,12 @@ class ExecutorPullSpec extends AnyFunSuite {
   class FakeConsumer {
     val pending = mutable.Queue.empty[FakeMsg]
     val acked = mutable.Buffer.empty[FakeMessageId]
+    val nacked = mutable.Buffer.empty[FakeMessageId]
     var closed = false
     def receive(t: Int, u: TimeUnit): AnyRef =
       if (pending.isEmpty) null else pending.dequeue()
     def acknowledge(id: FakeMessageId): Unit = acked += id
+    def negativeAcknowledge(id: FakeMessageId): Unit = nacked += id
     def close(): Unit = closed = true
   }
 
@@ -240,6 +242,61 @@ class ExecutorPullSpec extends AnyFunSuite {
       // nothing is re-acked — no loss, no duplicates
       assert(runOnce() == 6)
       assert(fakes(0).acked.map(_.n).sorted.toSeq == (0 until 6))
+    }
+  }
+
+  test("a stale lower-epoch straggler serves nothing and cannot rewind the entry") {
+    withFakes(1) { fakes =>
+      fakes(0).pending += msg(0)
+      val factory = stream(readers = 1).createReaderFactory()
+      val p2 = ExecutorPullPartition(cfg, "ep-spec", 0, 1, 0L, 5L, epoch = 2L)
+      assert(readAll(factory.createReader(p2)) == Seq("k0"))
+      // a zombie retry of epoch 1 (its sibling already succeeded) arrives
+      // AFTER epoch 2's task froze its buffer. Spark discards its output —
+      // it must neither drain new broker messages (the next epoch would ack
+      // them unserved) nor rewind pendingEpoch
+      fakes(0).pending += msg(1)
+      val p1 = p2.copy(epoch = 1L)
+      assert(readAll(factory.createReader(p1)).isEmpty)
+      assert(fakes(0).pending.map(_.id.n).toSeq == Seq(1), "k1 must remain queued")
+      assert(fakes(0).acked.isEmpty)
+      // epoch 3 acks exactly epoch 2's frozen buffer and serves k1
+      assert(readAll(factory.createReader(p2.copy(epoch = 3L))) == Seq("k1"))
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(0))
+    }
+  }
+
+  test("a failed task attempt's buffer is nacked and dropped, never acked by the next epoch") {
+    withFakes(1) { fakes =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+      fakes(0).pending += msg(0)
+      fakes(0).pending += msg(1)
+      val c = cfg
+      // the pulling attempt fails AFTER filling epoch 1's buffer; its retry
+      // may land on another executor (here: maxFailures=1, the job just
+      // fails), so the buffer may never reach a committed batch. The
+      // task-failure listener must drop it unacked + negative-ack.
+      intercept[org.apache.spark.SparkException] {
+        spark.sparkContext.parallelize(Seq(0), 1).foreach { _ =>
+          ExecutorPull.pull(c, "ep-spec", 0, 1, epoch = 1L, maxRecords = 0L,
+            pollTimeoutMs = 5L, stickyRanges = false, ackTimeoutMs = 0L)
+          throw new RuntimeException("downstream failure after pull")
+        }
+      }
+      assert(fakes(0).nacked.map(_.n).sorted.toSeq == Seq(0, 1))
+      assert(fakes(0).acked.isEmpty)
+      // the next epoch's task finds nothing to ack — the dropped messages
+      // are the broker's to redeliver (simulated), arriving as a fresh pull
+      val factory = stream(readers = 1).createReaderFactory()
+      val p2 = ExecutorPullPartition(cfg, "ep-spec", 0, 1, 0L, 5L, epoch = 2L)
+      assert(readAll(factory.createReader(p2)).isEmpty)
+      assert(fakes(0).acked.isEmpty)
+      fakes(0).pending += msg(0)
+      fakes(0).pending += msg(1)
+      assert(readAll(factory.createReader(p2.copy(epoch = 3L))) == Seq("k0", "k1"))
+      assert(readAll(factory.createReader(p2.copy(epoch = 4L))).isEmpty)
+      assert(fakes(0).acked.map(_.n).sorted.toSeq == Seq(0, 1))
     }
   }
 
