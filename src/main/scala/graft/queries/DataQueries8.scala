@@ -120,17 +120,22 @@ object DataQueries8 {
     // tokenizer vocabulary coverage curve: what fraction of all token
     // occurrences the top-k most frequent words cover, for k in {10, 100,
     // 1000} — the "how big must the vocab be" planning read a tokenizer
-    // team does before training. The rank window runs over the AGGREGATED
-    // vocabulary (|vocab| rows, corpus-independent after the two-phase
-    // count), the k table is 3 fixed rows (bounded broadcast), and the
-    // totals side is a one-row aggregate crossJoin.
+    // team does before training. Distinct whitespace tokens GROW with the
+    // corpus (Heaps' law), so ranking the whole vocabulary through one
+    // window task would not survive 100 TB of web text: since max k =
+    // 1000, prune to the top-1000 first with a bounded TakeOrdered (the
+    // total order (c desc, w) makes the cut exact — it IS the rn <= 1000
+    // set), then rank only those 1000 rows. The k table is 3 fixed rows
+    // (bounded broadcast); the totals side is a one-row aggregate
+    // crossJoin over the full count.
     "d74_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
       val c = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val r = c.select(col("c"),
-        row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rn"))
+      val r = c.orderBy(col("c").desc, col("w")).limit(1000)
+        .select(col("c"),
+          row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rn"))
       val tot = c.agg(sum(col("c")).as("total"))
       r.join(Seq(10L, 100L, 1000L).toDF("k"), col("rn") <= col("k"))
         .groupBy("k").agg(sum(col("c")).as("covered"))
@@ -252,6 +257,50 @@ object DataQueries8 {
         |x AS (SELECT t, v, unnest(generate_series(1, len(v))) AS i FROM t),
         |c AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(floor(t * v[i] * 1000000.0) AS BIGINT) AS cq FROM x)
         |SELECT dim, CAST(sum(cq) AS BIGINT) AS v1_q6 FROM c GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // the d55 oracle's IVF assignment extended with a prank<=2 probe CTE:
+    // r1 = nprobe=1 top-3 (d10's shape), r2 = nprobe=2 top-3, both scored
+    // against the exact top-3 of the full scan over the same probe set
+    "d75_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM assigned WHERE vec_id >= 8 AND vec_id < 16),
+        |probes AS (SELECT qid, qv, qn, cid AS cell, prank FROM (
+        |    SELECT q.qid, q.qv, q.qn, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_reduce(list_prepend(0.0::DOUBLE, [q.qv[i] * c.cv[i] FOR i IN generate_series(1, len(q.qv))]), (a, b) -> a + b) / (q.qn * c.cn) DESC, c.cid) AS prank
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE prank <= 2),
+        |scored AS (SELECT p.qid, p.prank, a.vec_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [p.qv[i] * a.v[i] FOR i IN generate_series(1, len(a.v))]), (x, y) -> x + y) / (p.qn * a.nrm) AS cos
+        |  FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.qid),
+        |r1 AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |    FROM scored WHERE prank = 1) WHERE rn <= 3),
+        |r2 AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 3),
+        |exs AS (SELECT q.qid, a.vec_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [q.qv[i] * a.v[i] FOR i IN generate_series(1, len(a.v))]), (x, y) -> x + y) / (q.qn * a.nrm) AS cos
+        |  FROM q CROSS JOIN assigned a WHERE a.vec_id <> q.qid),
+        |exr AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM exs) WHERE rn <= 3),
+        |kk AS (SELECT qid, count(*) AS k FROM exr GROUP BY qid),
+        |h1 AS (SELECT x.qid, count(*) AS n FROM exr x JOIN r1 ON x.qid = r1.qid AND x.vec_id = r1.vec_id GROUP BY x.qid),
+        |h2 AS (SELECT x.qid, count(*) AS n FROM exr x JOIN r2 ON x.qid = r2.qid AND x.vec_id = r2.vec_id GROUP BY x.qid)
+        |SELECT kk.qid, CAST(kk.k AS BIGINT) AS k,
+        |  CAST(COALESCE(h1.n, 0) AS BIGINT) AS hits_p1,
+        |  CAST(COALESCE(h2.n, 0) AS BIGINT) AS hits_p2
+        |FROM kk LEFT JOIN h1 ON kk.qid = h1.qid LEFT JOIN h2 ON kk.qid = h2.qid
+        |ORDER BY kk.qid""".stripMargin,
 
     "d74_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -339,6 +339,18 @@ class PlanSpec extends AnyFunSuite {
       "partial+final agg expected\n" + p)
   }
 
+  test("d74: vocabulary rank runs over a bounded TakeOrdered, not the full vocab") {
+    // distinct tokens grow with the corpus (Heaps' law): the global rank
+    // window must consume the top-1000 TakeOrdered (20 rows per partition
+    // move), never sort the whole vocabulary through one task
+    val p = plan("d74_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"top-1000 prune expected:\n$p")
+    val win = p.indexOf("Window")
+    val tak = p.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && win < tak,
+      s"the rank Window must sit ABOVE the TakeOrdered prune (parent prints first):\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
