@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Ninth wave: iterative tokenizer training. d70 computes the FIRST BPE
+  * merge's pair table; a real trainer loops merge -> recount. d76 runs that
+  * loop — the k-means/connected-components driver-loop pattern applied to
+  * tokenizer training: per round ONE vocab-bounded partial-agg rollup, ONE
+  * single-row argmax collect, and a narrow per-word fold that applies the
+  * merge. Nothing corpus-sized ever reaches the driver; the working set is
+  * the (symbols, word-count) vocabulary table, which is Heaps'-law bounded,
+  * not corpus-bounded, and each round's merge is a codegen'd array fold.
+  */
+object DataQueries9 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Rounds of the BPE training loop (Sennrich et al.: merge the most
+    * frequent adjacent symbol pair, recount, repeat). Fixed small so the
+    * unrolled DuckDB oracle stays tractable; the Spark loop itself is
+    * O(rounds) jobs of vocab-bounded work.
+    */
+  private[queries] val BpeRounds = 5
+
+  /** The word -> (symbols, weight) base table: distinct words with their
+    * corpus frequencies, symbols = characters. BPE statistics are weighted
+    * per distinct word, so the loop's working set is the vocabulary, never
+    * the corpus.
+    */
+  private def bpeBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("wc"))
+
+  /** Left-to-right greedy merge of adjacent pair (a, b) in a symbol array,
+    * as a codegen'd fold: seed with the first symbol, then either fuse the
+    * incoming symbol into the accumulator's tail (tail == a && x == b) or
+    * append. The seed-with-first shape keeps the fold total (no empty-array
+    * tail probe) and mirrors DuckDB's list_reduce init semantics exactly —
+    * cross-engine parity needs identical fold order, the d55/d73 rule.
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  val queries: Map[String, Q] = Map(
+    // the BPE training loop: k rounds of (count adjacent symbol pairs
+    // weighted by word frequency -> take the argmax -> apply the merge).
+    // Each round's rollup is partial-aggregatable over a key domain bounded
+    // by the live symbol vocabulary; only the single winning (pair, count)
+    // row is collected per round — the same driver-loop discipline as the
+    // k-means step (d18) and connected components (d15).
+    "d76_bpe_merges" -> ((s, dir) => {
+      var words = bpeBase(s, dir).persist()
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"),
+            col("wc"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r.toLong, a + " " + b, cnt))
+        val prev = words
+        words = prev.select(mergePair(col("syms"), a, b).as("syms"), col("wc")).persist()
+        // materialize the new round before releasing the old one so the
+        // lineage never recomputes from the corpus
+        words.count()
+        prev.unpersist(blocking = false)
+      }
+      words.unpersist(blocking = false)
+      import s.implicits._
+      merges.result().toDF("round", "pair", "cnt").orderBy("round")
+    })
+  )
+
+  /** The oracle unrolls the same loop: per round a pair-count CTE, a LIMIT 1
+    * argmax CTE, and a list_reduce merge CTE (init = first symbol, identical
+    * fold order to the Spark kernel).
+    */
+  private def bpeOracle: String = {
+    val base =
+      """w0 AS (SELECT [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS syms,
+        |         CAST(count(*) AS BIGINT) AS wc
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(wc) AS cnt
+         |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM w${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (SELECT list_reduce([[x] FOR x IN syms],
+         |    (acc, xs) -> CASE WHEN acc[-1] = t.a AND xs[1] = t.b
+         |      THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+         |      ELSE list_append(acc, xs[1]) END) AS syms, wc
+         |  FROM w${r - 1}, t$r t)""".stripMargin
+    }
+    val selects = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a || ' ' || b AS pair, CAST(cnt AS BIGINT) AS cnt FROM t$r"
+    }
+    s"WITH $base,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY round"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d76_bpe_merges" -> bpeOracle
+  )
+}
