@@ -323,7 +323,9 @@ class BrokerSourceProvider extends TableProvider {
       p("pulsar.executor-consumers", "false").toBoolean,
       p("pollTimeoutMs", "100").toLong,
       p("pulsar.sticky-ranges", "false").toBoolean,
-      p("pulsar.ack-timeout-ms", "60000").toLong)
+      p("pulsar.ack-timeout-ms", "60000").toLong,
+      p("pulsar.idle-suppress-after", "3").toInt,
+      p("pulsar.idle-probe-every", "10").toInt)
   }
 }
 
@@ -331,7 +333,8 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
     readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L,
-    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L)
+    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L,
+    idleSuppressAfter: Int = 3, idleProbeEvery: Int = 10)
   extends Table with SupportsRead {
   require(!executorPull || pulsar.nonEmpty,
     "pulsar.executor-consumers requires pulsar.url (a real broker to subscribe to)")
@@ -347,7 +350,8 @@ class BrokerTable(topic: String, dir: String = null, maxRecords: Long = 0L,
         override def readSchema(): StructType = BrokerSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new BrokerStream(topic, dir, maxRecords, subscription, pulsar, readers,
-            executorPull, pollTimeoutMs, stickyRanges, ackTimeoutMs)
+            executorPull, pollTimeoutMs, stickyRanges, ackTimeoutMs,
+            idleSuppressAfter, idleProbeEvery)
       }
     }
 }
@@ -368,12 +372,25 @@ final case class BrokerOffset(seq: Long) extends Offset {
   * @param executorPull real-broker scale-out mode: offsets become epoch
   * counters, partitions become [[ExecutorPullPartition]] pull tokens, and
   * payloads are received and acked on executors ([[ExecutorPull]]).
+  * @param idleSuppressAfter executor-pull idle suppression: after this many
+  * consecutive triggers with zero records served (and nothing waiting),
+  * stop advancing epochs so an idle subscription stops burning a planning
+  * cycle + empty micro-batch per trigger (<= 0 disables; serving epochs
+  * always get their following ack epoch because a nonzero served count
+  * resets the idle counter). Same-JVM consumers are peeked each suppressed
+  * trigger, so in local mode a new message wakes the query on the next
+  * trigger; cluster executors are unreachable from the driver, so
+  * `idleProbeEvery` bounds their wake latency.
+  * @param idleProbeEvery while suppressed, still plan a probe epoch every
+  * this many triggers — the cluster-side bound on wake latency (probe cost:
+  * one empty micro-batch).
   */
 class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     subscription: String = BrokerSource.DefaultSubscription,
     pulsar: Option[graft.streaming.PulsarSink.Config] = None,
     readers: Int = 1, executorPull: Boolean = false, pollTimeoutMs: Long = 100L,
-    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L)
+    stickyRanges: Boolean = false, ackTimeoutMs: Long = 60000L,
+    idleSuppressAfter: Int = 3, idleProbeEvery: Int = 10)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // fail fast at query start if another RUNNING pull-mode query already owns
   // this (url, topic, subscription) — shared entries would interleave epochs
@@ -389,6 +406,17 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   // target in pre-rebase numbering.
   @volatile private var availableNowRequested = false
   @volatile private var availableNowTarget: java.lang.Long = null
+  // idle-suppression state (driver-side, executor-pull mode only): records
+  // served are counted by the pull tasks through an accumulator (the only
+  // channel from executor-side consumers back to the planner); epochs stop
+  // advancing after idleSuppressAfter consecutive no-data triggers
+  private lazy val servedAcc: org.apache.spark.util.LongAccumulator =
+    try org.apache.spark.sql.SparkSession.active.sparkContext
+      .longAccumulator(s"graft.executor-pull.served.$subscription")
+    catch { case _: Exception => null }
+  private var lastServedSeen = 0L
+  private var idleTriggers = 0
+  private var suppressedTriggers = 0
 
   override def initialOffset(): Offset = BrokerOffset(0L)
   override def latestOffset(): Offset =
@@ -411,6 +439,26 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
       // single-epoch run would terminate with its batch served-but-unacked
       if (availableNowRequested && availableNowTarget == null)
         availableNowTarget = s + 2
+      // idle suppression: a long-idle subscription stops ticking epochs
+      // (empty planning cycles) until data shows up. A served record resets
+      // the counter — which also guarantees every serving epoch gets its
+      // following ack epoch before suppression can engage.
+      if (availableNowTarget == null && idleSuppressAfter > 0) {
+        val served = if (servedAcc == null) 0L else servedAcc.value.longValue
+        if (served != lastServedSeen) {
+          lastServedSeen = served; idleTriggers = 0; suppressedTriggers = 0
+        } else if (idleTriggers < idleSuppressAfter) {
+          idleTriggers += 1
+        } else if (pulsar.exists(c => ExecutorPull.hasAvailable(c, subscription))) {
+          // a same-JVM consumer has a message waiting (staged for the next
+          // epoch's fill): wake immediately
+          idleTriggers = 0; suppressedTriggers = 0
+        } else {
+          suppressedTriggers += 1
+          if (suppressedTriggers >= idleProbeEvery) suppressedTriggers = 0
+          else return BrokerOffset(s) // suppressed: no epoch this trigger
+        }
+      }
       val next =
         if (availableNowTarget != null) math.min(availableNowTarget, s + 1) else s + 1
       lastEnd = math.max(lastEnd, next)
@@ -472,7 +520,8 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
         val loc = if (hosts.isEmpty) Array.empty[String]
                   else Array(hosts(i % hosts.length))
         ExecutorPullPartition(pulsar.get, subscription, i, readers,
-          maxRecords, pollTimeoutMs, e, stickyRanges, ackTimeoutMs, loc)
+          maxRecords, pollTimeoutMs, e, stickyRanges, ackTimeoutMs, loc,
+          servedAcc)
       }
     }
     cursor.ensureBase(s)
@@ -511,9 +560,16 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
       }
       // executor-pull: the task pulls from its slot's cached consumer
       case p: ExecutorPullPartition => new PartitionReader[InternalRow] {
-        private lazy val msgs = ExecutorPull.pull(p.cfg, p.subscription,
-          p.slot, p.readers, p.epoch, p.maxRecords, p.pollTimeoutMs,
-          p.stickyRanges, p.ackTimeoutMs)
+        private lazy val msgs = {
+          val m = ExecutorPull.pull(p.cfg, p.subscription,
+            p.slot, p.readers, p.epoch, p.maxRecords, p.pollTimeoutMs,
+            p.stickyRanges, p.ackTimeoutMs)
+          // served-record count rides the accumulator back to the planner —
+          // the idle-suppression signal (exactness not required: any change
+          // means "not idle")
+          if (p.served != null) p.served.add(m.length)
+          m
+        }
         private var i = -1
         override def next(): Boolean = { i += 1; i < msgs.length }
         override def get(): InternalRow = {
@@ -544,7 +600,8 @@ final case class FileRangePartition(dir: String, names: Array[String])
 final case class ExecutorPullPartition(cfg: graft.streaming.PulsarSink.Config,
     subscription: String, slot: Int, readers: Int, maxRecords: Long,
     pollTimeoutMs: Long, epoch: Long, stickyRanges: Boolean = false,
-    ackTimeoutMs: Long = 0L, locations: Array[String] = Array.empty)
+    ackTimeoutMs: Long = 0L, locations: Array[String] = Array.empty,
+    served: org.apache.spark.util.LongAccumulator = null)
     extends InputPartition {
   override def preferredLocations(): Array[String] = locations
 }

@@ -72,10 +72,19 @@ import graft.streaming.{InMemoryBroker, PulsarSink}
   */
 object ExecutorPull {
 
-  /** One cached consumer + the current epoch's frozen batch. */
+  /** One cached consumer + the current epoch's frozen batch. `staged` holds
+    * messages peeked off the consumer by the driver's idle-wake probe
+    * ([[hasAvailable]]) — received but not yet assigned to any epoch; the
+    * next epoch's fill drains them before touching the consumer, so a peek
+    * never loses or reorders (per-key order holds: the broker hands a key's
+    * messages to one consumer serially, and staged preserves arrival order
+    * ahead of the receiver queue).
+    */
   final class Entry(val consumer: AnyRef) {
     var pendingEpoch: Long = -1L
     val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(InMemoryBroker.Message, AnyRef)]
+    val staged = scala.collection.mutable.ArrayBuffer
       .empty[(InMemoryBroker.Message, AnyRef)]
     @volatile var lastUsedMs: Long = System.currentTimeMillis()
   }
@@ -170,6 +179,38 @@ object ExecutorPull {
         }
       }
     }
+  }
+
+  /** Idle-wake probe for entries living in THIS JVM (local mode): true when
+    * any of the subscription's consumers has a message waiting. A waiting
+    * message is detected by a zero-timeout receive and STAGED on the entry
+    * (unacked, drained ahead of the consumer by the next epoch's fill), so
+    * probing never consumes past an epoch boundary. On a cluster the
+    * executor-side entries are unreachable from the driver — this returns
+    * false there and the caller's periodic probe epoch bounds wake latency.
+    */
+  private[graft] def hasAvailable(cfg: PulsarSink.Config,
+      subscription: String): Boolean = {
+    import PulsarSink.call
+    val prefix = keyPrefix(cfg, subscription)
+    var found = false
+    entries.forEach { (k, e) =>
+      if (!found && k._1 == prefix) e.synchronized {
+        e.lastUsedMs = System.currentTimeMillis()
+        if (e.staged.nonEmpty) found = true
+        else {
+          val m = receive(e.consumer, 0L)
+          if (m != null) {
+            e.staged += ((InMemoryBroker.Message(
+              call(m, "getKey").asInstanceOf[String],
+              call(m, "getData").asInstanceOf[Array[Byte]]),
+              call(m, "getMessageId")))
+            found = true
+          }
+        }
+      }
+    }
+    found
   }
 
   /** Close and drop every cached entry for this (url, topic, subscription)
@@ -272,7 +313,12 @@ object ExecutorPull {
         // rerun whose sibling attempt already committed without it — would be
         // acked without ever being served
         if (firstAttempt && (maxRecords <= 0 || e.pending.length < maxRecords)) {
-          var m = receive(e.consumer, pollTimeoutMs)
+          // messages staged by the driver's idle-wake probe go first — they
+          // were received before anything still in the consumer queue
+          while (e.staged.nonEmpty && (maxRecords <= 0 || e.pending.length < maxRecords))
+            e.pending += e.staged.remove(0)
+          var m = if (maxRecords > 0 && e.pending.length >= maxRecords) null
+                  else receive(e.consumer, pollTimeoutMs)
           while (m != null) {
             e.pending += ((InMemoryBroker.Message(
               call(m, "getKey").asInstanceOf[String],

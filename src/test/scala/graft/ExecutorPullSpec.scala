@@ -300,6 +300,47 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("idle subscriptions stop ticking epochs; a new message wakes the next trigger") {
+    withFakes(1) { fakes =>
+      // the served-count accumulator needs an active session
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+      val st = new BrokerStream(topic = "t", subscription = "ep-idle",
+        pulsar = Some(cfg), readers = 1, executorPull = true, pollTimeoutMs = 5L,
+        idleSuppressAfter = 2, idleProbeEvery = 1000)
+      val factory = st.createReaderFactory()
+      val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+      var cur = BrokerOffset(0L)
+      // one trigger: None = suppressed (no epoch planned), Some(rows) = the
+      // planned epoch's served keys
+      def trigger(): Option[Seq[String]] = {
+        val next = st.latestOffset(cur, limit).asInstanceOf[BrokerOffset]
+        if (next.seq == cur.seq) None
+        else {
+          val rows = st.planInputPartitions(cur, next)
+            .flatMap(p => readAll(factory.createReader(p))).toSeq
+          st.commit(next)
+          cur = next
+          Some(rows)
+        }
+      }
+      // the idle allowance ticks (2 empty epochs), then epochs STOP
+      assert(trigger().contains(Seq()) && trigger().contains(Seq()))
+      assert(trigger().isEmpty && trigger().isEmpty && trigger().isEmpty,
+        "an idle subscription must stop ticking epochs")
+      // a newly arrived message wakes the query on the VERY NEXT trigger —
+      // the suppressed-state peek stages it and the woken epoch serves it
+      fakes(0).pending += msg(7)
+      assert(trigger().contains(Seq("k7")),
+        "a waiting message must wake the query within one trigger")
+      assert(fakes(0).acked.map(_.n).toSeq == Seq(7),
+        "the commit must ack the staged-then-served message")
+      // the cycle repeats: served-count reset, allowance, suppression again
+      assert(trigger().nonEmpty && trigger().nonEmpty && trigger().nonEmpty)
+      assert(trigger().isEmpty, "suppression must re-engage after the wake")
+    }
+  }
+
   test("one RUNNING query per subscription: a concurrent second stream fails fast") {
     withFakes(1) { _ =>
       val first = stream(readers = 1)
