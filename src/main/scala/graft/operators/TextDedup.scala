@@ -231,6 +231,46 @@ object TextDedup {
       index.filter(col("kind") === "band").select(col("key").cast("long").as("bk")),
       textCol, shingleN, bands)
 
+  /** C4-style line-level dedup (Raffel et al. 2020, §2.2: "removed any line
+    * that appeared more than once" keeping one occurrence, "discarded any
+    * page with fewer than 3 sentences"): split `textCol` on the literal
+    * `delim`, keep each distinct line only at its globally smallest
+    * (id, position) occurrence — the deterministic stand-in for C4's
+    * keep-first-occurrence rule — and drop documents left with fewer than
+    * `minLines` surviving lines. Returns `(idCol, n_lines, n_kept,
+    * textCol)` with the survivors re-joined in original order.
+    *
+    * Scale shape: lines explode linearly; the keeper election is ONE
+    * two-phase `min(struct(id, pos))` rollup keyed by the line's 60-bit
+    * md5-prefix hash (8-byte shuffle keys — line strings cross the shuffle
+    * once, joined back by hash); reassembly sorts only each doc's
+    * survivors. Nothing is all-pairs, nothing broadcasts, no window spans
+    * the corpus.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", minLines: Int = 3): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("__p", "__line")))
+      .filter(length(trim(col("__line"))) > 0)
+      .withColumn("__h",
+        conv(substring(md5(col("__line")), 1, 15), 16, 10).cast("long"))
+    val keeper = lines.groupBy(col("__h"))
+      .agg(min(struct(col("__id").as("id"), col("__p").as("p"))).as("__k"))
+    val kept = lines.join(keeper, Seq("__h"))
+      .filter(col("__id") === col("__k.id") && col("__p") === col("__k.p"))
+    val tot = lines.groupBy(col("__id")).agg(count(lit(1)).as("n_lines"))
+    kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__line")))),
+          x => x.getField("__line")), delim).as("__text"))
+      .join(tot, Seq("__id"))
+      .filter(col("n_kept") >= minLines)
+      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
+        col("__text").as(textCol))
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     val buckets = bandBuckets(docs, idCol, textCol, shingleN, bands)

@@ -90,6 +90,26 @@ object DataQueries9 {
       words.unpersist(blocking = false)
       import s.implicits._
       merges.result().toDF("round", "pair", "cnt").orderBy("round")
+    }),
+
+    // C4 line-level dedup (Raffel et al. §2.2): the testdata has no
+    // sentence punctuation (word-soup by construction — TESTDATA.md forbids
+    // regenerating it), so the binding SEGMENTS deterministically into
+    // 8-word "sentences" joined by newline, then runs the real operator:
+    // TextDedup.lineDedup keeps each distinct line only at its globally
+    // first (doc, pos) occurrence and drops docs left with < 3 lines. The
+    // operator is the deliverable — delimiter-parameterized, the keeper
+    // election one min-struct rollup over 60-bit line hashes; the
+    // segmentation is just what makes it oracle-checkable on this corpus.
+    "d77_line_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val sents = docs(s, dir).select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), floor((size(ws) - lit(1)) / lit(8)).cast("int")),
+          i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " ")),
+          "\n").as("text"))
+      graft.operators.TextDedup.lineDedup(sents, "doc_id", "text", "\n", 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -122,6 +142,24 @@ object DataQueries9 {
   }
 
   val oracles: Map[String, String] = Map(
-    "d76_bpe_merges" -> bpeOracle
+    "d76_bpe_merges" -> bpeOracle,
+
+    "d77_line_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sent AS (SELECT doc_id, i AS p, array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, CAST(floor((len(w) - 1) / 8.0) AS BIGINT))) AS i
+        |        FROM ws)),
+        |l AS (SELECT doc_id, p, line FROM sent WHERE length(trim(line)) > 0),
+        |kept AS (SELECT doc_id, p, line FROM (
+        |    SELECT l.*, row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn FROM l)
+        |  WHERE rn = 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY p) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, t.n_lines, a.n_kept, a.text
+        |FROM agg a JOIN tot t USING (doc_id) WHERE a.n_kept >= 3
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

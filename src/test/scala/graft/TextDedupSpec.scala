@@ -164,6 +164,31 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
   }
 
+  test("lineDedup keeps each line at its first (id, pos) home; short docs drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // doc 1: four lines, one internal repeat (c at pos 1 and 3)
+      (1L, "a.b.c.c.d"),
+      // doc 2: shares a and c with doc 1 -> loses both, keeps only its own
+      (2L, "a.x.c"),
+      // doc 3: all original lines
+      (3L, "p.q.r")
+    ).toDF("id", "text")
+    val out = graft.operators.TextDedup
+      .lineDedup(docs, "id", "text", delim = ".", minLines = 3)
+      .orderBy("id")
+      .collect()
+    // doc 1 keeps a,b,c,d (the second c was a within-doc repeat);
+    // doc 2 is left with only x -> dropped below minLines;
+    // doc 3 untouched
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("text") == "a.b.c.d")
+    assert(byId(1L).getAs[Long]("n_lines") == 5L && byId(1L).getAs[Long]("n_kept") == 4L)
+    assert(byId(3L).getAs[String]("text") == "p.q.r")
+  }
+
   test("dupSpanCoverage counts positions under cross-doc duplicated grams") {
     val s = spark
     import s.implicits._
