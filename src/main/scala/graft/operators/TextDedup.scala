@@ -191,12 +191,27 @@ object TextDedup {
     * must agree on (shingleN, bands) — they are not recorded in the rows.
     */
   def buildIndex(reference: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 4): DataFrame =
-    reference.select(lit("hash").as("kind"), md5(col(textCol)).as("key"))
+      shingleN: Int = 3, bands: Int = 4, winnowGramN: Int = 0,
+      winnowWindow: Int = 4): DataFrame = {
+    val base = reference
+      .select(lit("hash").as("kind"), md5(col(textCol)).as("key"))
       .distinct()
       .unionAll(bandBuckets(reference, idCol, textCol, shingleN, bands)
         .select(lit("band").as("kind"), col("bk").cast("string").as("key"))
         .distinct())
+    // winnowGramN > 0 adds the position-aware sketch: distinct winnowing
+    // fingerprint hashes ([[winnowFingerprints]]), ~2/(winnowWindow+1) of
+    // the reference's gram inventory — the kind that catches a CONTAINED
+    // excerpt (the d63 case), which whole-doc hashes and minhash bands
+    // miss when the host document is much larger than the shared span.
+    // Build and query must agree on (winnowGramN, winnowWindow), like
+    // (shingleN, bands) — none are recorded in the rows.
+    if (winnowGramN <= 0) base
+    else base.unionAll(
+      winnowFingerprints(reference, idCol, textCol, winnowGramN, winnowWindow)
+        .select(lit("winnow").as("kind"), col("g").cast("string").as("key"))
+        .distinct())
+  }
 
   /** [[dedupAgainst]] against a prebuilt (typically parquet-loaded)
     * [[buildIndex]] result instead of the raw reference corpus: drop dump
@@ -206,7 +221,9 @@ object TextDedup {
     * from.
     */
   def dedupAgainstIndex(docs: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+      textCol: String, shingleN: Int = 3, bands: Int = 4,
+      winnowGramN: Int = 0, winnowWindow: Int = 4,
+      winnowMinShared: Int = 2): DataFrame = {
     val refHashes = index.filter(col("kind") === "hash")
       .select(col("key").as("__h"))
     val refBuckets = index.filter(col("kind") === "band")
@@ -214,9 +231,29 @@ object TextDedup {
     val nearDropIds = bandBuckets(docs, idCol, textCol, shingleN, bands)
       .join(refBuckets, Seq("bk"), "left_semi")
       .select(col("__id").as(idCol)).distinct()
-    docs.withColumn("__h", md5(col(textCol)))
+    val base = docs.withColumn("__h", md5(col(textCol)))
       .join(refHashes, Seq("__h"), "left_anti").drop("__h")
       .join(nearDropIds, Seq(idCol), "left_anti")
+    // containment pass (index built with winnowGramN > 0): drop a doc when
+    // >= winnowMinShared of its DISTINCT winnowed gram hashes hit the
+    // index — the MOSS guarantee in cross-corpus form: a contained run of
+    // winnowMinShared disjoint (winnowWindow + winnowGramN - 1)-word spans
+    // always trips it. Priced on the dump's sketch (~2/(window+1) of its
+    // grams) against |index winnow keys|; an equi-join, never a broadcast
+    // of either corpus.
+    if (winnowGramN <= 0) base
+    else {
+      val refWinnow = index.filter(col("kind") === "winnow")
+        .select(col("key").cast("long").as("g"))
+      val containedIds =
+        winnowFingerprints(docs, idCol, textCol, winnowGramN, winnowWindow)
+          .select(col(idCol).as("__wid"), col("g")).distinct()
+          .join(refWinnow, Seq("g"), "left_semi")
+          .groupBy(col("__wid")).agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= winnowMinShared)
+          .select(col("__wid").as(idCol))
+      base.join(containedIds, Seq(idCol), "left_anti")
+    }
   }
 
   /** Streaming twin of [[dedupAgainstIndex]]: the [[dedupAgainstStream]]

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextDedup
@@ -157,6 +158,49 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaStream == direct, s"$viaStream vs $direct")
     assert(direct == Set(12L, 13L), direct)
+  }
+
+  test("winnow-kind index catches a contained excerpt the hash/band kinds miss") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("id", "text")
+    val dump = Seq(
+      // 20 filler words hosting a verbatim 8-word excerpt of ref doc 1:
+      // whole-doc md5 differs and overall Jaccard is far below the band
+      // threshold, but the excerpt spans two disjoint 6-word runs -> two
+      // shared winnowing fingerprints guaranteed
+      (10L, "one two three four five six seven eight nine ten " +
+        "alpha beta gamma delta epsilon zeta eta theta " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (11L, "a genuinely new document mentioning parquet files and columns today")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-widx")
+      .resolve("idx").toString
+    TextDedup.buildIndex(reference, "id", "text", winnowGramN = 3, winnowWindow = 4)
+      .write.parquet(dir)
+    val idx = spark.read.parquet(dir)
+    // without the containment pass the excerpt host sails through...
+    val without = TextDedup.dedupAgainstIndex(dump, idx, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(without == Set(10L, 11L), without)
+    // ...the winnow kind drops exactly it
+    val withWinnow = TextDedup.dedupAgainstIndex(dump, idx, "id", "text",
+      winnowGramN = 3, winnowWindow = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(withWinnow == Set(11L), withWinnow)
+    // decision equality with the direct (no-index) containment check: the
+    // same distinct-fingerprint >= 2 rule computed straight from both
+    // corpora agrees on every dump id
+    val refFp = TextDedup.winnowFingerprints(reference, "id", "text", 3, 4)
+      .select(col("g")).distinct()
+    val directContained = TextDedup.winnowFingerprints(dump, "id", "text", 3, 4)
+      .select(col("id"), col("g")).distinct()
+      .join(refFp, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).collect().map(_.getLong(0)).toSet
+    assert(directContained == Set(10L), directContained)
   }
 
   test("bands must divide the 16 minhash seeds") {
