@@ -110,7 +110,67 @@ object DataQueries9 {
           "\n").as("text"))
       graft.operators.TextDedup.lineDedup(sents, "doc_id", "text", "\n", 3)
         .orderBy("doc_id")
-    })
+    }),
+
+    // product-quantization codes (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search"): split each 64-dim embedding into 8
+    // subvectors, assign each to the nearest of 4 sub-centroids (vectors
+    // id < 4, the d10/d18 centroid convention) by exact Euclidean
+    // distance, and report the code string + total quantized
+    // reconstruction error. The 8x4 sub-codebook is a bounded broadcast;
+    // scoring is a per-(vector, subspace) narrow map; the argmin is one
+    // two-phase min-struct rollup — at 100 TB this is the memory-8x
+    // compression pass an ANN serving tier runs over the full corpus.
+    // Per-sub errors are floor*1e6-quantized BEFORE the cross-sub sum
+    // (the d57/d73 rule), so totals are accumulation-order-exact.
+    "d78_pq_codes" -> ((s, dir) => {
+      def dot(a: Column, b: Column) = graft.functions.prom.vec_dot(a, b)
+      val sub = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))")).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      val cent = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      val scored = sub.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          ((dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))) -
+            lit(2.0) * dot(col("sv"), col("cv"))).as("d2"))
+      scored.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).as("a"))
+        .select(col("vec_id"), col("m"), col("a.cid").as("code"),
+          floor(col("a.d2") * lit(1000000.0)).cast("long").as("eq"))
+        .groupBy(col("vec_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("m"), col("code")))),
+            x => x.getField("code").cast("string")), "-").as("codes"),
+          sum(col("eq")).as("err_q6"))
+        .orderBy("vec_id")
+    }),
+
+    // feature-hashing linear classifier scoring — the fastText/CCNet-style
+    // model-based quality filter SHAPE with a deterministic stub model:
+    // each token hashes into one of 64 buckets (60-bit md5 prefix, the
+    // repo-wide hash), each bucket carries a fixed INTEGER weight
+    // ((j * 2654435761) % 1000 - 500), and the doc's score is the exact
+    // integer sum over token occurrences. A real deployment swaps the
+    // weight formula for a broadcast weight table; the plumbing under
+    // audit — hashing trick, occurrence-weighted linear score, threshold
+    // label — is identical. Zero shuffle: score and count are per-doc
+    // array folds inside one narrow projection.
+    "d79_hash_classifier" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) >= 1)").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr(
+            """aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc +
+              |  ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64)
+              |    * 2654435761 % 1000 - 500))""".stripMargin).as("score"))
+        .withColumn("keep", col("score") >= 0L)
+        .orderBy("doc_id"))
   )
 
   /** The oracle unrolls the same loop: per round a pair-count CTE, a LIMIT 1
@@ -160,6 +220,33 @@ object DataQueries9 {
         |        FROM kept GROUP BY doc_id)
         |SELECT a.doc_id, t.n_lines, a.n_kept, a.text
         |FROM agg a JOIN tot t USING (doc_id) WHERE a.n_kept >= 3
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "d78_pq_codes" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+        |  FROM e, (SELECT unnest(generate_series(0, 7)) AS m)),
+        |cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 4),
+        |sc AS (SELECT s.vec_id, s.m, c.cid,
+        |    (list_reduce(list_prepend(0.0::DOUBLE, [s.sv[i] * s.sv[i] FOR i IN generate_series(1, len(s.sv))]), (x, y) -> x + y)
+        |     + list_reduce(list_prepend(0.0::DOUBLE, [c.cv[i] * c.cv[i] FOR i IN generate_series(1, len(c.cv))]), (x, y) -> x + y))
+        |     - 2.0 * list_reduce(list_prepend(0.0::DOUBLE, [s.sv[i] * c.cv[i] FOR i IN generate_series(1, len(s.sv))]), (x, y) -> x + y) AS d2
+        |  FROM sub s JOIN cent c USING (m)),
+        |amin AS (SELECT vec_id, m, cid, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS codes,
+        |  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT) AS err_q6
+        |FROM amin GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "d79_hash_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT doc_id, w,
+        |    (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64) * 2654435761 % 1000 - 500 AS wt
+        |  FROM t WHERE length(w) >= 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(wt) AS BIGINT) AS score, sum(wt) >= 0 AS keep
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
