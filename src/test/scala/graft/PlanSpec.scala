@@ -351,6 +351,25 @@ class PlanSpec extends AnyFunSuite {
       s"the rank Window must sit ABOVE the TakeOrdered prune (parent prints first):\n$p")
   }
 
+  test("d77: line dedup is rollups + hash joins — no window, no broadcast of the corpus") {
+    val p = plan("d77_line_dedup")
+    assert(!p.contains("Window"), s"keeper election must be a min-struct rollup, not a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"partial+final agg expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d78: PQ sub-codebook broadcasts; scoring never shuffles the corpus side twice") {
+    val p = plan("d78_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), s"8x4 sub-codebook must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d79: hashed classifier scoring joins nothing — one narrow projection") {
+    val p = plan("d79_hash_classifier")
+    assert(!p.contains("Join"), s"score must be a per-doc array fold, no join:\n$p")
+    assert(!p.contains("HashAggregate"), s"no shuffle-side aggregation expected:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
