@@ -57,6 +57,43 @@ object DataQueries9 {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** Run the BPE training loop once: per round the argmax pair (the merge)
+    * and, after applying it, the corpus token total Σ wc·|syms| — the
+    * single number the compression curve (d80) reads. Totals double as the
+    * materialization barrier: each round's count-style action runs before
+    * the previous round unpersists, so lineage never recomputes from the
+    * corpus scan.
+    */
+  private def bpeRun(s: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], Seq[(Long, Long)]) = {
+    def total(df: DataFrame): Long =
+      df.agg(sum(col("wc") * size(col("syms")))).collect()(0).getLong(0)
+    var words = bpeBase(s, dir).persist()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    val totals = Seq.newBuilder[(Long, Long)]
+    totals += ((0L, total(words)))
+    for (r <- 1 to BpeRounds) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"),
+          col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a + " " + b, cnt))
+      val prev = words
+      words = prev.select(mergePair(col("syms"), a, b).as("syms"), col("wc")).persist()
+      totals += ((r.toLong, total(words)))
+      prev.unpersist(blocking = false)
+    }
+    words.unpersist(blocking = false)
+    (merges.result(), totals.result())
+  }
+
   val queries: Map[String, Q] = Map(
     // the BPE training loop: k rounds of (count adjacent symbol pairs
     // weighted by word frequency -> take the argmax -> apply the merge).
@@ -65,31 +102,19 @@ object DataQueries9 {
     // row is collected per round — the same driver-loop discipline as the
     // k-means step (d18) and connected components (d15).
     "d76_bpe_merges" -> ((s, dir) => {
-      var words = bpeBase(s, dir).persist()
-      val merges = Seq.newBuilder[(Long, String, Long)]
-      for (r <- 1 to BpeRounds) {
-        val top = words
-          .filter(size(col("syms")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"),
-            col("wc"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("wc")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
-          .collect()(0)
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r.toLong, a + " " + b, cnt))
-        val prev = words
-        words = prev.select(mergePair(col("syms"), a, b).as("syms"), col("wc")).persist()
-        // materialize the new round before releasing the old one so the
-        // lineage never recomputes from the corpus
-        words.count()
-        prev.unpersist(blocking = false)
-      }
-      words.unpersist(blocking = false)
       import s.implicits._
-      merges.result().toDF("round", "pair", "cnt").orderBy("round")
+      bpeRun(s, dir)._1.toDF("round", "pair", "cnt").orderBy("round")
+    }),
+
+    // the BPE ENCODE curve — what the trainer's merges buy at application
+    // time: corpus token count Σ wc·|syms| after 0..k merges, the
+    // compression read a tokenizer team uses to pick vocab size. Same loop
+    // (the encode pass IS the training pass's apply step run corpus-wide);
+    // per round the total is one sum over the vocab table, exact integers
+    // throughout.
+    "d80_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      bpeRun(s, dir)._2.toDF("round", "total_tokens").orderBy("round")
     }),
 
     // C4 line-level dedup (Raffel et al. §2.2): the testdata has no
@@ -177,7 +202,7 @@ object DataQueries9 {
     * argmax CTE, and a list_reduce merge CTE (init = first symbol, identical
     * fold order to the Spark kernel).
     */
-  private def bpeOracle: String = {
+  private def bpeCtes: String = {
     val base =
       """w0 AS (SELECT [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS syms,
         |         CAST(count(*) AS BIGINT) AS wc
@@ -195,14 +220,29 @@ object DataQueries9 {
          |      ELSE list_append(acc, xs[1]) END) AS syms, wc
          |  FROM w${r - 1}, t$r t)""".stripMargin
     }
+    s"WITH $base,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeOracle: String = {
     val selects = (1 to BpeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, a || ' ' || b AS pair, CAST(cnt AS BIGINT) AS cnt FROM t$r"
     }
-    s"WITH $base,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY round"
+    s"$bpeCtes\n${selects.mkString("\nUNION ALL ")}\nORDER BY round"
+  }
+
+  /** The encode-curve oracle shares the unrolled loop CTEs and reads one
+    * SUM per round's vocabulary state.
+    */
+  private def bpeEncodeOracle: String = {
+    val selects = (0 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, CAST(sum(wc * len(syms)) AS BIGINT) AS total_tokens FROM w$r"
+    }
+    s"$bpeCtes\n${selects.mkString("\nUNION ALL ")}\nORDER BY round"
   }
 
   val oracles: Map[String, String] = Map(
     "d76_bpe_merges" -> bpeOracle,
+    "d80_bpe_encode" -> bpeEncodeOracle,
 
     "d77_line_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
