@@ -94,7 +94,7 @@ object DataQueries9 {
     (merges.result(), totals.result())
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // the BPE training loop: k rounds of (count adjacent symbol pairs
     // weighted by word frequency -> take the argmax -> apply the merge).
     // Each round's rollup is partial-aggregatable over a key domain bounded
@@ -196,6 +196,44 @@ object DataQueries9 {
               |    * 2654435761 % 1000 - 500))""".stripMargin).as("score"))
         .withColumn("keep", col("score") >= 0L)
         .orderBy("doc_id"))
+  ) ++ Map[String, Q](
+    // content-defined chunking (the FastCDC/rsync family): chunk
+    // boundaries fall where a token's hash lands in a fixed residue class
+    // (h % 8 == 0), so identical content produces identical chunks at ANY
+    // offset — the property fixed-window chunking (d45) lacks and the
+    // reason storage/dataset-versioning dedup uses CDC. Per doc: chunk
+    // count, chunks shared with >= 1 other doc (by 60-bit content hash),
+    // and the shared fraction. Chunk assembly uses a PER-DOC running-sum
+    // window (doc-bounded, the d42 packing discipline — never a global
+    // window); the cross-doc df is one two-phase rollup on 8-byte hashes.
+    "d81_cdc_chunks" -> { (s: SparkSession, dir: String) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), x -> length(x) >= 1)"))
+            .as(Seq("p", "w")))
+        .withColumn("b",
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 8 === 0L)
+            .cast("int"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = w
+        .withColumn("cix", coalesce(sum(col("b")).over(win), lit(0)))
+        .groupBy(col("doc_id"), col("cix"))
+        .agg(conv(substring(md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w")), " ")), 1, 15), 16, 10).cast("long").as("ch"))
+      val df = chunks.select(col("doc_id"), col("ch")).distinct()
+        .groupBy(col("ch")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      chunks.join(df, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+          floor(col("n_shared") * lit(1000000L) / col("n_chunks")).cast("long")
+            .as("shared_frac_q6"))
+        .orderBy("doc_id")
+    }
   )
 
   /** The oracle unrolls the same loop: per round a pair-count CTE, a LIMIT 1
@@ -279,6 +317,26 @@ object DataQueries9 {
         |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS codes,
         |  CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS BIGINT) AS err_q6
         |FROM amin GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "d81_cdc_chunks" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 1) AS w FROM documents),
+        |t AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws),
+        |b AS (SELECT doc_id, i - 1 AS p, w[i] AS tok,
+        |    CASE WHEN CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM t),
+        |cx AS (SELECT doc_id, p, tok,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cix
+        |  FROM b),
+        |chunks AS (SELECT doc_id, cix,
+        |    CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY p)), 1, 15)) AS BIGINT) AS ch
+        |  FROM cx GROUP BY doc_id, cix),
+        |df AS (SELECT ch, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(floor(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS shared_frac_q6
+        |FROM chunks c JOIN df d USING (ch)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d79_hash_classifier" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
