@@ -233,6 +233,61 @@ object DataQueries9 {
           floor(col("n_shared") * lit(1000000L) / col("n_chunks")).cast("long")
             .as("shared_frac_q6"))
         .orderBy("doc_id")
+    },
+
+    // Count-Min sketch audit (Cormode & Muthukrishnan) — the d61/d55
+    // estimate-vs-exact pattern applied to the mergeable counting sketch a
+    // streaming pipeline would keep per shard: depth 2 x width 64, rows
+    // built as TWO bounded partial-agg rollups (64 rows each, broadcast
+    // back), estimates = min over rows, audited against the exact top-20.
+    // CMS guarantees est >= exact; `overcount` is the collision cost the
+    // width buys. Everything is exact integers — the sketch itself is
+    // deterministic data, so the audit cross-checks engines bit-for-bit.
+    "d82_cms_audit" -> { (s: SparkSession, dir: String) =>
+      def bucket(r: Int, w: Column): Column =
+        conv(substring(md5(concat(lit(r.toString), lit(":"), w)), 1, 15), 16, 10)
+          .cast("long") % 64
+      val c = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      def sketch(r: Int): DataFrame = c
+        .groupBy(bucket(r, col("w")).as(s"b$r"))
+        .agg(sum(col("c")).as(s"s$r"))
+      val top = c.orderBy(col("c").desc, col("w")).limit(20)
+        .withColumn("b0", bucket(0, col("w")))
+        .withColumn("b1", bucket(1, col("w")))
+      top.join(broadcast(sketch(0)), Seq("b0"))
+        .join(broadcast(sketch(1)), Seq("b1"))
+        .select(col("w"), col("c").as("exact"),
+          least(col("s0"), col("s1")).as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy(col("exact").desc, col("w"))
+    },
+
+    // Heaps'-law vocabulary growth curve: token and distinct-type counts
+    // over the first k documents, k in {100, 250, 500} — the
+    // types-vs-tokens read behind vocab-size planning (and d74's pruning
+    // rationale). Scale shape: types@k come from the per-word FIRST
+    // OCCURRENCE table (vocab-bounded — never re-scanning the corpus per
+    // k), tokens@k from the per-doc count table (doc-bounded); the k table
+    // is 3 fixed rows.
+    "d83_heaps_curve" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val ks = broadcast(Seq(100L, 250L, 500L).toDF("k"))
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val types = words.groupBy("w").agg(min(col("doc_id")).as("fd"))
+        .join(ks, col("fd") < col("k"))
+        .groupBy("k").agg(count(lit(1)).as("types"))
+      val tokens = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .join(ks, col("doc_id") < col("k"))
+        .groupBy("k").agg(sum(col("n")).as("tokens"))
+      tokens.join(types, Seq("k"))
+        .select(col("k"), col("tokens"), col("types"),
+          floor(col("types") * lit(1000000L) / col("tokens")).cast("long").as("ttr_q6"))
+        .orderBy("k")
     }
   )
 
@@ -337,6 +392,34 @@ object DataQueries9 {
         |  CAST(floor(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS shared_frac_q6
         |FROM chunks c JOIN df d USING (ch)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d82_cms_audit" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t WHERE length(w) >= 1 GROUP BY w),
+        |h AS (SELECT w, c,
+        |    CAST(('0x' || substr(md5('0:' || w), 1, 15)) AS BIGINT) % 64 AS b0,
+        |    CAST(('0x' || substr(md5('1:' || w), 1, 15)) AS BIGINT) % 64 AS b1
+        |  FROM c),
+        |s0 AS (SELECT b0, sum(c) AS s0 FROM h GROUP BY b0),
+        |s1 AS (SELECT b1, sum(c) AS s1 FROM h GROUP BY b1),
+        |top AS (SELECT w, c, b0, b1 FROM h ORDER BY c DESC, w LIMIT 20)
+        |SELECT top.w, top.c AS exact,
+        |  CAST(least(s0.s0, s1.s1) AS BIGINT) AS est,
+        |  CAST(least(s0.s0, s1.s1) - top.c AS BIGINT) AS overcount
+        |FROM top JOIN s0 USING (b0) JOIN s1 USING (b1)
+        |ORDER BY exact DESC, w""".stripMargin,
+
+    "d83_heaps_curve" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE length(w) >= 1),
+        |fd AS (SELECT w, min(doc_id) AS fd FROM f GROUP BY w),
+        |dt AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+        |ks AS (SELECT unnest([100, 250, 500]) AS k),
+        |ty AS (SELECT k, CAST(count(*) AS BIGINT) AS types FROM fd JOIN ks ON fd < k GROUP BY k),
+        |tk AS (SELECT k, CAST(sum(n) AS BIGINT) AS tokens FROM dt JOIN ks ON doc_id < k GROUP BY k)
+        |SELECT CAST(tk.k AS BIGINT) AS k, tk.tokens, ty.types,
+        |  CAST(floor(ty.types * 1000000.0 / tk.tokens) AS BIGINT) AS ttr_q6
+        |FROM tk JOIN ty USING (k) ORDER BY k""".stripMargin,
 
     "d79_hash_classifier" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
