@@ -308,6 +308,53 @@ object TextDedup {
         col("__text").as(textCol))
   }
 
+  /** Aligned shared-run estimation over winnowed sketches — the substring
+    * forensics read (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): for every candidate pair, fingerprints
+    * shared at a CONSTANT position offset (pa - pb) witness one aligned
+    * run, so the best offset group's position span estimates the longest
+    * shared token run — without ever comparing the texts.
+    *
+    * Returns `(a, b, shared, est_run, n_aligned)` for pairs sharing >=
+    * `minShared` distinct fingerprint hashes: `est_run` = the best
+    * aligned group's gram-start span + gramN (a lower-bound estimate of
+    * the run's token length), `n_aligned` its fingerprint count.
+    *
+    * Scale shape: the pair expansion joins fingerprint positions on the
+    * hash with the same df valve as [[winnowCandidates]] (2 <= df <=
+    * `maxBucket` docs), so ubiquitous spans never explode; everything
+    * after is two partial-aggregatable rollups keyed by (a, b[, offset]).
+    */
+  def winnowAlignedRuns(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 16): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, gramN, window)
+      .select(col(idCol).as("__id"), col("pos"), col("g"))
+    val okDf = fp.select(col("__id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 &&
+        (if (maxBucket > 0) col("__df") <= maxBucket else lit(true)))
+      .select(col("g"))
+    val f = fp.join(okDf, Seq("g"))
+    val pr = f.as("x").join(f.as("y"),
+        col("x.g") === col("y.g") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"), col("x.g").as("g"))
+    val byOffset = pr
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("__diff"))
+      .agg(count(lit(1)).as("n_aligned"),
+        (max(col("pa")) - min(col("pa")) + lit(gramN)).cast("long").as("est_run"))
+    val shared = pr.groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("g")).as("shared"))
+    byOffset.groupBy(col("a"), col("b"))
+      .agg(max(struct(col("est_run"), col("n_aligned"))).as("__best"))
+      .join(shared, Seq("a", "b"))
+      .filter(col("shared") >= minShared)
+      .select(col("a"), col("b"), col("shared"),
+        col("__best.est_run").as("est_run"),
+        col("__best.n_aligned").as("n_aligned"))
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     val buckets = bandBuckets(docs, idCol, textCol, shingleN, bands)

@@ -199,7 +199,7 @@ object DataQueries8 {
     * md5-prefix hash `h`, window starts `ws` in [max(i-3,1), min(i, max(n-3,
     * 1))], per-window min hash with rightmost-position tie-break.
     */
-  private val winnowCte: String =
+  private[queries] val winnowCte: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |n AS (SELECT doc_id, w, len(w) - 2 AS n FROM d WHERE len(w) >= 3),
       |g AS (SELECT doc_id, n, i,

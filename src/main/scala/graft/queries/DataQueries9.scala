@@ -288,6 +288,19 @@ object DataQueries9 {
         .select(col("k"), col("tokens"), col("types"),
           floor(col("types") * lit(1000000L) / col("tokens")).cast("long").as("ttr_q6"))
         .orderBy("k")
+    },
+
+    // aligned shared-run estimation — the substring forensics step after
+    // d72's pair detection (Lee et al.'s "what exactly is duplicated"
+    // question): fingerprints shared at a constant position offset witness
+    // one aligned run, so the best offset group's span estimates the
+    // longest shared token run without ever comparing texts. Same df
+    // valve as d72; two partial-agg rollups after the position join.
+    "d84_winnow_runs" -> { (s: SparkSession, dir: String) =>
+      graft.operators.TextDedup
+        .winnowAlignedRuns(docs(s, dir), "doc_id", "text",
+          gramN = 3, window = 4, minShared = 2, maxBucket = 16)
+        .orderBy("a", "b")
     }
   )
 
@@ -392,6 +405,26 @@ object DataQueries9 {
         |  CAST(floor(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS shared_frac_q6
         |FROM chunks c JOIN df d USING (ch)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d84_winnow_runs" ->
+      (s"WITH ${DataQueries8.winnowCte}," +
+        """fp AS (SELECT DISTINCT doc_id, i, h FROM sel),
+          |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM fp GROUP BY h)
+          |        WHERE df BETWEEN 2 AND 16),
+          |fo AS (SELECT f.doc_id, f.i, f.h FROM fp f JOIN dfh USING (h)),
+          |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.i AS pa, y.i AS pb, x.h AS h
+          |       FROM fo x JOIN fo y ON x.h = y.h AND x.doc_id < y.doc_id),
+          |gg AS (SELECT a, b, pa - pb AS diff, CAST(count(*) AS BIGINT) AS n_aligned,
+          |         CAST(max(pa) - min(pa) + 3 AS BIGINT) AS est_run
+          |       FROM pr GROUP BY a, b, pa - pb),
+          |sh AS (SELECT a, b, CAST(count(DISTINCT h) AS BIGINT) AS shared FROM pr GROUP BY a, b),
+          |best AS (SELECT a, b, est_run, n_aligned FROM (
+          |    SELECT gg.*, row_number() OVER (PARTITION BY a, b
+          |      ORDER BY est_run DESC, n_aligned DESC, diff) AS rn FROM gg)
+          |  WHERE rn = 1)
+          |SELECT sh.a, sh.b, sh.shared, best.est_run, best.n_aligned
+          |FROM sh JOIN best USING (a, b) WHERE sh.shared >= 2
+          |ORDER BY sh.a, sh.b""".stripMargin),
 
     "d82_cms_audit" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

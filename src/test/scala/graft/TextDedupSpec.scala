@@ -203,6 +203,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(directContained == Set(10L), directContained)
   }
 
+  test("winnowAlignedRuns estimates the shared run, ignores unaligned noise") {
+    val s = spark
+    import s.implicits._
+    // docs 20/21 share a verbatim 10-word run at DIFFERENT offsets (2 vs 5);
+    // doc 22 shares nothing
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (20L, s"pre1 pre2 $run post1 post2 post3"),
+      (21L, s"lead1 lead2 lead3 lead4 lead5 $run tail1"),
+      (22L, "completely different words about engines and shuffles and columns here today")
+    ).toDF("id", "text")
+    val out = TextDedup.winnowAlignedRuns(docs, "id", "text",
+      gramN = 3, window = 4, minShared = 2, maxBucket = 16).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getLong(0) == 20L && r.getLong(1) == 21L)
+    val estRun = r.getAs[Long]("est_run")
+    // a 10-word run has 8 gram starts; winnowing keeps a subset, so the
+    // aligned span estimate is bounded by the true run length and must
+    // cover at least one full winnowing window
+    assert(estRun >= 3 + 4 - 1 && estRun <= 10, s"est_run=$estRun")
+    assert(r.getAs[Long]("n_aligned") >= 2)
+  }
+
   test("bands must divide the 16 minhash seeds") {
     intercept[IllegalArgumentException](
       TextDedup.minhashCandidates(corpus, "id", "text", bands = 3))
