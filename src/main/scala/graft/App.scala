@@ -233,6 +233,13 @@ object App {
             flag(args, "pulsar.sticky-ranges", "false"))
           .option("pulsar.ack-timeout-ms",
             flag(args, "pulsar.ack-timeout-ms", "60000"))
+          // idle suppression: stop ticking empty epochs on an idle
+          // subscription (<= 0 disables); probe every N triggers bounds
+          // cluster-side wake latency (see BrokerStream scaladoc)
+          .option("pulsar.idle-suppress-after",
+            flag(args, "pulsar.idle-suppress-after", "3"))
+          .option("pulsar.idle-probe-every",
+            flag(args, "pulsar.idle-probe-every", "10"))
           .option("pulsar.connection-timeout-ms", pulsarCfg.connectionTimeoutMs.toString)
           // no operation-timeout option: the consumer client leaves it unset,
           // like the reference (send-timeout only bounds the HTTP POST below)
