@@ -341,6 +341,72 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("idle suppression disabled (<= 0): every trigger advances an epoch") {
+    withFakes(1) { _ =>
+      val st = new BrokerStream(topic = "t", subscription = "ep-idle-off",
+        pulsar = Some(cfg), readers = 1, executorPull = true, pollTimeoutMs = 5L,
+        idleSuppressAfter = 0)
+      val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+      var cur = 0L
+      (1 to 6).foreach { i =>
+        cur = st.latestOffset(BrokerOffset(cur), limit).asInstanceOf[BrokerOffset].seq
+        assert(cur == i, s"with suppression off, epoch must advance every trigger (got $cur at $i)")
+      }
+    }
+  }
+
+  test("real streaming engine: suppression engages while idle, a late message still arrives") {
+    withFakes(1) { fakes =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // nothing queued at start: after the allowance the stream must stop
+      // planning epochs (no-data triggers), yet a message arriving later
+      // must still be served and acked by the RUNNING query
+      val df = spark.readStream.format("graft.sources.BrokerSourceProvider")
+        .option("topic", "t").option("subscription", "ep-idle-live")
+        .option("pulsar.url", cfg.url)
+        .option("pulsar.executor-consumers", "true")
+        .option("readers", "1").option("pollTimeoutMs", "5")
+        .option("pulsar.idle-suppress-after", "2")
+        .option("pulsar.idle-probe-every", "1000")
+        .load()
+      val q = df.writeStream.format("memory").queryName("ep_idle_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      try {
+        // let the allowance pass and suppression engage
+        Thread.sleep(1500)
+        val sq = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        val idleBatch = sq.lastProgress match {
+          case null => -1L
+          case p => p.batchId
+        }
+        Thread.sleep(1000)
+        val idleBatch2 = sq.lastProgress match {
+          case null => -1L
+          case p => p.batchId
+        }
+        // suppressed: over a second of 50ms triggers, at most one more
+        // batch may have slipped in on the boundary
+        assert(idleBatch2 - idleBatch <= 1,
+          s"epochs must stop while idle (batch $idleBatch -> $idleBatch2)")
+        // a late message wakes the query and is delivered + acked
+        fakes(0).pending += msg(42)
+        val deadline = System.currentTimeMillis() + 15000
+        def delivered = spark.table("ep_idle_out").count()
+        while ((delivered < 1 || fakes(0).acked.isEmpty) &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(delivered == 1, s"late message not delivered")
+        assert(fakes(0).acked.map(_.n).toSeq == Seq(42), "late message not acked")
+      } finally q.stop()
+    }
+  }
+
   test("one RUNNING query per subscription: a concurrent second stream fails fast") {
     withFakes(1) { _ =>
       val first = stream(readers = 1)
