@@ -290,6 +290,29 @@ object DataQueries9 {
         .orderBy("k")
     },
 
+    // the tokenizer-path capstone (the d34 pattern for the packing side):
+    // length filter -> sentence segmentation -> C4 line dedup -> token
+    // recount on the DEDUPED text -> greedy next-fit packing, composing
+    // lineDedup + packGreedy end-to-end. Every stage keeps its own scale
+    // shape (narrow filter, min-struct keeper rollup, per-shard fold), so
+    // the composition adds no new shuffle class — what a production
+    // "clean and pack" job actually runs before training.
+    "d85_pack_capstone" -> { (s: SparkSession, dir: String) =>
+      val ws = split(col("text"), " ")
+      val sents = docs(s, dir)
+        .filter(size(split(col("text"), " ")) >= 24)
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), floor((size(ws) - lit(1)) / lit(8)).cast("int")),
+            i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " ")),
+            "\n").as("text"))
+      val ded = graft.operators.TextDedup.lineDedup(sents, "doc_id", "text", "\n", 3)
+      val toked = ded.select(col("doc_id"),
+        size(split(col("text"), "[\\n ]")).cast("long").as("n_tok"))
+      graft.operators.SequencePacking.packGreedy(toked, "doc_id", "n_tok", 256, 8)
+        .orderBy("doc_id")
+    },
+
     // aligned shared-run estimation — the substring forensics step after
     // d72's pair detection (Lee et al.'s "what exactly is duplicated"
     // question): fingerprints shared at a constant position offset witness
@@ -405,6 +428,34 @@ object DataQueries9 {
         |  CAST(floor(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*)) AS BIGINT) AS shared_frac_q6
         |FROM chunks c JOIN df d USING (ch)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d85_pack_capstone" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 24),
+        |sent AS (SELECT doc_id, i AS p, array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, CAST(floor((len(w) - 1) / 8.0) AS BIGINT))) AS i
+        |        FROM ws)),
+        |l AS (SELECT doc_id, p, line FROM sent WHERE length(trim(line)) > 0),
+        |kept AS (SELECT doc_id, p, line FROM (
+        |    SELECT l.*, row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn FROM l)
+        |  WHERE rn = 1),
+        |sv AS (SELECT doc_id, CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS n_tok
+        |       FROM kept GROUP BY doc_id HAVING count(*) >= 3),
+        |b AS (SELECT doc_id, n_tok, doc_id % 8 AS shard FROM sv),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
+        |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
+        |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
 
     "d84_winnow_runs" ->
       (s"WITH ${DataQueries8.winnowCte}," +
