@@ -417,6 +417,13 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   private var lastServedSeen = 0L
   private var idleTriggers = 0
   private var suppressedTriggers = 0
+  // AvailableNow drain state (see latestOffset): consecutive planning
+  // calls with neither a served-count change nor a waiting message, and
+  // whether the drain concluded — while draining, reportLatestOffset
+  // advertises one epoch beyond lastEnd so the engine keeps constructing
+  // batches
+  private var drainNoProgress = 0
+  @volatile private var drainDone = false
 
   override def initialOffset(): Offset = BrokerOffset(0L)
   override def latestOffset(): Offset =
@@ -434,16 +441,37 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
       // epochs, not counts: every trigger advances one epoch so the next
       // batch's tasks pull fresh data AND ack the previous epoch's —
       // the trigger interval is therefore also the ack-latency bound.
-      // Trigger.AvailableNow runs TWO epochs (the drain plus its ack
-      // epoch): Spark only delivers commit(e) at batch e+1's start, so a
-      // single-epoch run would terminate with its batch served-but-unacked
-      if (availableNowRequested && availableNowTarget == null)
-        availableNowTarget = s + 2
+      // Trigger.AvailableNow is drain-until-empty: KeyShared push has no
+      // offset to pin "available now" against, so the faithful one-shot
+      // semantic is to keep planning epochs while records flow and stop
+      // only once the backlog is provably gone — a backlog larger than one
+      // epoch's pull (e.g. under maxRecords) still drains completely.
+      // "Flow" is two signals: a same-JVM consumer peek (exact in local
+      // mode; stages what it finds for the next epoch's fill) and the
+      // served-count accumulator (the cluster signal). The engine
+      // constructs epoch e+1's offsets while epoch e still executes
+      // (pipelined planning), so accumulator progress can surface one call
+      // late — the drain therefore stops only after THREE consecutive
+      // planning calls with neither signal, leaving a couple of empty
+      // trailing epochs that double as the ack epochs for the tail.
+      if (availableNowRequested) {
+        val served = if (servedAcc == null) 0L else servedAcc.value.longValue
+        val progressed = served != lastServedSeen
+        lastServedSeen = served
+        val waiting = pulsar.exists(c => ExecutorPull.hasAvailable(c, subscription))
+        if (progressed || waiting) drainNoProgress = 0 else drainNoProgress += 1
+        if (drainNoProgress >= 3) {
+          drainDone = true
+          return BrokerOffset(s)
+        }
+        lastEnd = math.max(lastEnd, s + 1)
+        return BrokerOffset(s + 1)
+      }
       // idle suppression: a long-idle subscription stops ticking epochs
       // (empty planning cycles) until data shows up. A served record resets
       // the counter — which also guarantees every serving epoch gets its
       // following ack epoch before suppression can engage.
-      if (availableNowTarget == null && idleSuppressAfter > 0) {
+      if (idleSuppressAfter > 0) {
         val served = if (servedAcc == null) 0L else servedAcc.value.longValue
         if (served != lastServedSeen) {
           lastServedSeen = served; idleTriggers = 0; suppressedTriggers = 0
@@ -459,10 +487,8 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
           else return BrokerOffset(s) // suppressed: no epoch this trigger
         }
       }
-      val next =
-        if (availableNowTarget != null) math.min(availableNowTarget, s + 1) else s + 1
-      lastEnd = math.max(lastEnd, next)
-      return BrokerOffset(next)
+      lastEnd = math.max(lastEnd, s + 1)
+      return BrokerOffset(s + 1)
     }
     cursor.ensureBase(s)
     val polled = cursor.poll()
@@ -477,7 +503,11 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
   }
 
   override def reportLatestOffset(): Offset =
-    if (executorPull) BrokerOffset(lastEnd) else BrokerOffset(cursor.poll())
+    if (executorPull)
+      // during an AvailableNow drain the engine needs to see "more data"
+      // until the first empty epoch proves the backlog is gone
+      BrokerOffset(if (availableNowRequested && !drainDone) lastEnd + 1 else lastEnd)
+    else BrokerOffset(cursor.poll())
   override def deserializeOffset(json: String): Offset = {
     val seq = json.toLong
     // restored checkpoint offsets seed the epoch watermark, so progress
@@ -485,7 +515,7 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
     if (executorPull) lastEnd = math.max(lastEnd, seq)
     BrokerOffset(seq)
   }
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
     if (executorPull)
       // entries in THIS JVM (local mode) ack the committed epoch promptly;
       // cluster executors hear about the commit as the next epoch's tasks
@@ -493,6 +523,7 @@ class BrokerStream(topic: String, dir: String = null, maxRecords: Long = 0L,
       pulsar.foreach(ExecutorPull.ackThrough(_, subscription,
         end.asInstanceOf[BrokerOffset].seq))
     else cursor.commit(end.asInstanceOf[BrokerOffset].seq)
+  }
   override def stop(): Unit =
     // close the pull entries living in THIS JVM (local mode, tests); on a
     // cluster the executor-side entries close with their JVMs and the ack

@@ -407,6 +407,39 @@ class ExecutorPullSpec extends AnyFunSuite {
     }
   }
 
+  test("AvailableNow drains a backlog larger than one epoch's pull, then stops") {
+    withFakes(1) { fakes =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // 6 queued, 2 per epoch (maxRecords): a fixed two-epoch one-shot
+      // would strand 4 at the broker — the drain must keep planning
+      // epochs until one comes back empty, acking everything served
+      (0 until 6).foreach(i => fakes(0).pending += msg(i))
+      val out = java.nio.file.Files.createTempDirectory("ep-drain-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ep-drain-ckpt").toString
+      val df = spark.readStream.format("graft.sources.BrokerSourceProvider")
+        .option("topic", "t").option("subscription", "ep-drain")
+        .option("pulsar.url", cfg.url)
+        .option("pulsar.executor-consumers", "true")
+        .option("readers", "1").option("pollTimeoutMs", "5")
+        .option("maxRecordsPerTrigger", "2")
+        .load()
+      val q = df.selectExpr("key").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(spark.read.parquet(out).count() == 6,
+        "the one-shot drain must serve the whole backlog")
+      assert(fakes(0).acked.map(_.n).sorted.toSeq == (0 until 6),
+        "everything served must be acked before the query stops")
+    }
+  }
+
   test("one RUNNING query per subscription: a concurrent second stream fails fast") {
     withFakes(1) { _ =>
       val first = stream(readers = 1)
