@@ -213,6 +213,23 @@ object TextDedup {
         .distinct())
   }
 
+  /** Incremental index maintenance — the day-over-day ingestion loop:
+    * fold a new batch's keys (typically the SURVIVORS of
+    * [[dedupAgainstIndex]] against the current index) into the index, so
+    * tomorrow's dump dedupes against reference + everything admitted so
+    * far. The reference corpus is still scanned once EVER; each day adds
+    * only its own batch's scan. Same (kind, key) schema, deduplicated, so
+    * the index stays |distinct keys| at any history length. Must be
+    * called with the same (shingleN, bands, winnow*) settings as the
+    * original build — like build/query agreement, they are not recorded
+    * in the rows.
+    */
+  def appendToIndex(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 4,
+      winnowGramN: Int = 0, winnowWindow: Int = 4): DataFrame =
+    index.unionAll(buildIndex(newDocs, idCol, textCol, shingleN, bands,
+      winnowGramN, winnowWindow)).distinct()
+
   /** [[dedupAgainst]] against a prebuilt (typically parquet-loaded)
     * [[buildIndex]] result instead of the raw reference corpus: drop dump
     * rows whose content hash or any band bucket hits the index. Batch

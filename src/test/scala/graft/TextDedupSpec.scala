@@ -160,6 +160,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(direct == Set(12L, 13L), direct)
   }
 
+  test("appendToIndex: incremental decisions match a from-scratch reference build") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("id", "text")
+    val day1 = Seq(
+      (10L, "a genuinely new document mentioning parquet files and columns"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight") // dup of ref
+    ).toDF("id", "text")
+    val day2 = Seq(
+      (20L, "a genuinely new document mentioning parquet files and columns"), // dup of day1 survivor
+      (21L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of ref
+      (22L, "entirely fresh words on streaming state stores and watermarks")
+    ).toDF("id", "text")
+    val idx1 = TextDedup.buildIndex(reference, "id", "text")
+    val day1Kept = TextDedup.dedupAgainstIndex(day1, idx1, "id", "text")
+    assert(day1Kept.collect().map(_.getLong(0)).toSet == Set(10L))
+    // fold day 1's survivors in, dedup day 2 against the grown index...
+    val idx2 = TextDedup.appendToIndex(idx1, day1Kept, "id", "text")
+    val viaIncremental = TextDedup.dedupAgainstIndex(day2, idx2, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // ...and the decisions must match dedup against (reference + admitted
+    // docs) built from scratch
+    val fromScratch = TextDedup.dedupAgainstIndex(day2,
+        TextDedup.buildIndex(reference.unionAll(day1Kept.select("id", "text")),
+          "id", "text"), "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIncremental == fromScratch, s"$viaIncremental vs $fromScratch")
+    assert(viaIncremental == Set(22L), viaIncremental)
+  }
+
   test("winnow-kind index catches a contained excerpt the hash/band kinds miss") {
     val s = spark
     import s.implicits._
