@@ -48,7 +48,7 @@ object DataQueries9 {
     * tail probe) and mirrors DuckDB's list_reduce init semantics exactly —
     * cross-engine parity needs identical fold order, the d55/d73 rule.
     */
-  private def mergePair(syms: Column, a: String, b: String): Column =
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(
       slice(syms, lit(2), size(syms) - 1),
       array(element_at(syms, 1)),
