@@ -313,6 +313,24 @@ object DataQueries9 {
         .orderBy("doc_id")
     },
 
+    // dedup-cluster-aware train/val split — the leakage guard a plain
+    // per-doc split (d33) lacks: near-duplicate documents MUST co-travel
+    // into the same split or the val set leaks into train through its
+    // near-dups. The split key is the near-dup cluster label (min doc_id,
+    // from the shared persisted d15 clusters) for clustered docs and the
+    // doc's own id for singletons; the hash-window rule is d33's, applied
+    // to the key — so membership stays stable under re-runs and appends.
+    "d86_cluster_split" -> { (s: SparkSession, dir: String) =>
+      val cl = DataQueries3.dedupClusters(s, dir)
+      val keyed = docs(s, dir).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_key"))
+      graft.operators.Sampling.withTrainValSplit(keyed, "cluster_key")
+        .select(col("doc_id"), col("cluster_key"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // aligned shared-run estimation — the substring forensics step after
     // d72's pair detection (Lee et al.'s "what exactly is duplicated"
     // question): fingerprints shared at a constant position offset witness
@@ -456,6 +474,22 @@ object DataQueries9 {
         |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
         |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
         |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
+    "d86_cluster_split" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |cl AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |a AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_key
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, cluster_key,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 9, 5)) AS BIGINT) % 20 = 0
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM a ORDER BY doc_id""".stripMargin),
 
     "d84_winnow_runs" ->
       (s"WITH ${DataQueries8.winnowCte}," +
