@@ -344,8 +344,18 @@ object TextDedup {
     */
   def winnowAlignedRuns(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 3, window: Int = 4, minShared: Int = 2,
-      maxBucket: Int = 16): DataFrame = {
-    val fp = winnowFingerprints(docs, idCol, textCol, gramN, window)
+      maxBucket: Int = 16): DataFrame =
+    winnowAlignedRunsFrom(
+      winnowFingerprints(docs, idCol, textCol, gramN, window),
+      idCol, gramN, minShared, maxBucket)
+
+  /** [[winnowAlignedRuns]] over a precomputed [[winnowFingerprints]]
+    * result (same sharing rationale as [[winnowCandidatesFrom]]); `gramN`
+    * must match the sketch's.
+    */
+  def winnowAlignedRunsFrom(fingerprints: DataFrame, idCol: String,
+      gramN: Int = 3, minShared: Int = 2, maxBucket: Int = 16): DataFrame = {
+    val fp = fingerprints
       .select(col(idCol).as("__id"), col("pos"), col("g"))
     val okDf = fp.select(col("__id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("__df"))
@@ -643,8 +653,19 @@ object TextDedup {
     */
   def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 3, window: Int = 4, minShared: Int = 2,
-      maxBucket: Int = 16): DataFrame = {
-    val fp = winnowFingerprints(docs, idCol, textCol, gramN, window)
+      maxBucket: Int = 16): DataFrame =
+    winnowCandidatesFrom(
+      winnowFingerprints(docs, idCol, textCol, gramN, window),
+      idCol, minShared, maxBucket)
+
+  /** [[winnowCandidates]] over a PRECOMPUTED (typically persisted/shared)
+    * [[winnowFingerprints]] result — the sketch is the dominant cost, so
+    * pipelines running several winnowing consumers (density, pairs,
+    * aligned runs) should compute it once and pass it here.
+    */
+  def winnowCandidatesFrom(fingerprints: DataFrame, idCol: String,
+      minShared: Int = 2, maxBucket: Int = 16): DataFrame = {
+    val fp = fingerprints
       .select(col(idCol).as("__id"), col("g")).distinct()
     val grouped = fp.groupBy(col("g"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))

@@ -16,6 +16,36 @@ object DataQueries8 {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** ONE memoized+persisted winnowing sketch (K=3, W=4) per (session,
+    * dir), shared by every winnowing consumer — d69 density, d72 pairs,
+    * d84 aligned runs — the same bounded-cache discipline as
+    * DataQueries2's ivfMemo: the sketch is each query's dominant cost, so
+    * sharing it prices the family at one sketch per corpus instead of one
+    * per query.
+    */
+  private val winnowMemoMax = 8
+  private val winnowMemo = // access-order = LRU iteration order
+    new java.util.LinkedHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame](16, 0.75f, true)
+
+  private[queries] def winnowFp(s: SparkSession, dir: String): DataFrame =
+    winnowMemo.synchronized {
+      winnowMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(winnowMemo.get((s, dir))).getOrElse {
+        val df = graft.operators.TextDedup
+          .winnowFingerprints(docs(s, dir), "doc_id", "text", gramN = 3, window = 4)
+          .persist()
+        winnowMemo.put((s, dir), df)
+        if (winnowMemo.size > winnowMemoMax) {
+          val it = winnowMemo.entrySet().iterator()
+          val oldest = it.next()
+          it.remove()
+          try oldest.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
+        df
+      }
+    }
+
   val queries: Map[String, Q] = Map(
     // winnowing fingerprint density (Schleimer et al., SIGMOD '03 — MOSS):
     // per doc, how many (position, hash) fingerprints the window-min
@@ -27,8 +57,7 @@ object DataQueries8 {
     // keyed on (doc, window start); grams cross shuffles as 60-bit longs.
     "d69_winnowing" -> ((s, dir) => {
       val d = docs(s, dir)
-      val fp = graft.operators.TextDedup
-        .winnowFingerprints(d, "doc_id", "text", gramN = 3, window = 4)
+      val fp = winnowFp(s, dir)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       d.select(col("doc_id"),
           size(graft.functions.prom.ngram_g(col("text"), 3)).cast("long").as("n_grams"))
@@ -94,8 +123,8 @@ object DataQueries8 {
     // moves only ~40% of the gram inventory instead of all of it.
     "d72_winnow_overlap" -> ((s, dir) =>
       graft.operators.TextDedup
-        .winnowCandidates(docs(s, dir), "doc_id", "text",
-          gramN = 3, window = 4, minShared = 2, maxBucket = 16)
+        .winnowCandidatesFrom(winnowFp(s, dir), "doc_id",
+          minShared = 2, maxBucket = 16)
         .orderBy("a", "b")),
 
     // one power-iteration step over the embedding matrix — the inner loop

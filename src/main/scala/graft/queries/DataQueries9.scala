@@ -337,6 +337,12 @@ object DataQueries9 {
     // one aligned run, so the best offset group's span estimates the
     // longest shared token run without ever comparing texts. Same df
     // valve as d72; two partial-agg rollups after the position join.
+    // NOTE: d84 deliberately does NOT read the shared persisted sketch
+    // (DataQueries8.winnowFp): its fingerprint SELF-join lets Catalyst
+    // reuse one exchange for both sides of the fused recompute, which
+    // measures consistently faster than two scans of the cached relation
+    // (2.2s vs 2.6-2.8s at sf0.1) — the memo wins only for the
+    // single-consumer shapes (d69/d72).
     "d84_winnow_runs" -> { (s: SparkSession, dir: String) =>
       graft.operators.TextDedup
         .winnowAlignedRuns(docs(s, dir), "doc_id", "text",
