@@ -313,6 +313,46 @@ object DataQueries9 {
         .orderBy("doc_id")
     },
 
+    // b-bit minhash audit (Li & Koenig, "b-Bit Minwise Hashing"): keeping
+    // only each signature slot's LOWEST BIT costs 1/64th the index memory;
+    // the price is estimator variance — P(bit agree) = (1+J)/2, so
+    // J_1bit = 2*agree/16 - 1. On the d02 candidate pairs, the 1-bit and
+    // full-slot estimates side by side with exact Jaccard — d62's audit
+    // frame extended to the compressed regime a 100 TB index actually
+    // ships. Same equi-join shapes; all outputs exact integers.
+    "d87_bbit_minhash" -> { (s: SparkSession, dir: String) =>
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val sig = graft.operators.TextDedup
+        .minhashSignatures(docs(s, dir), "doc_id", "text")
+      val agree16 = (0 until 16)
+        .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val agree1 = (0 until 16)
+        .map(i => when(col(s"x.m$i").bitwiseAND(lit(1L)) ===
+          col(s"y.m$i").bitwiseAND(lit(1L)), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 3))).as("g"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val iv = pairs
+        .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      pairs.join(sig.as("x"), col("a") === col("x.__id"))
+        .join(sig.as("y"), col("b") === col("y.__id"))
+        .select(col("a"), col("b"), agree1.as("agree1"), agree16.as("agree16"))
+        .join(iv, Seq("a", "b"), "left")
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("agree1"), col("agree16"),
+          floor((col("agree1") * 2 - 16) * lit(1000000L) / 16).cast("long").as("est1_q6"),
+          floor(col("agree16") * lit(1000000L) / 16).cast("long").as("est16_q6"),
+          floor(coalesce(col("inter"), lit(0L)) * lit(1000000L) /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+            .cast("long").as("jacc_q6"))
+        .orderBy("a", "b")
+    },
+
     // dedup-cluster-aware train/val split — the leakage guard a plain
     // per-doc split (d33) lacks: near-duplicate documents MUST co-travel
     // into the same split or the val set leaks into train through its
@@ -480,6 +520,29 @@ object DataQueries9 {
         |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t)
         |SELECT r.doc_id, r.n_tok, r.shard, CAST(bs.base + r.bin AS BIGINT) AS seq
         |FROM r JOIN bs USING (shard) ORDER BY doc_id""".stripMargin,
+
+    "d87_bbit_minhash" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+          |iv AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter
+          |  FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh
+          |  GROUP BY p.a, p.b),
+          |es AS (SELECT p.a, p.b, CAST(""".stripMargin +
+        (0 until 16).map(i =>
+          s"(CASE WHEN (x.m$i & 1) = (y.m$i & 1) THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS agree1, CAST(" +
+        (0 until 16).map(i =>
+          s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        """ AS BIGINT) AS agree16
+          |  FROM pairs p JOIN sig x ON x.doc_id = p.a JOIN sig y ON y.doc_id = p.b)
+          |SELECT es.a, es.b, es.agree1, es.agree16,
+          |  CAST(floor((es.agree1 * 2 - 16) * 1000000.0 / 16) AS BIGINT) AS est1_q6,
+          |  CAST(floor(es.agree16 * 1000000.0 / 16) AS BIGINT) AS est16_q6,
+          |  CAST(floor(COALESCE(iv.inter, 0) * 1000000.0 /
+          |    (sa.n + sb.n - COALESCE(iv.inter, 0))) AS BIGINT) AS jacc_q6
+          |FROM es LEFT JOIN iv ON es.a = iv.a AND es.b = iv.b
+          |JOIN sz sa ON sa.doc_id = es.a JOIN sz sb ON sb.doc_id = es.b
+          |ORDER BY es.a, es.b""".stripMargin),
 
     "d86_cluster_split" ->
       ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
