@@ -313,6 +313,26 @@ object DataQueries9 {
         .orderBy("doc_id")
     },
 
+    // sequence-length planning curve: packing efficiency (fill fraction,
+    // sequence count) at seqLen 128/256/512 — the "what context length
+    // wastes least compute" read, produced by the SAME per-shard greedy
+    // next-fit fold as d43 run at three budgets. Each run is one corpus
+    // pass + a shards-row prefix sum; the curve is 3 aggregate rows. A
+    // doc longer than the budget packs alone (fill can exceed 1e6 at
+    // L=128 — that overflow is exactly what the curve is for).
+    "d88_seqlen_curve" -> { (s: SparkSession, dir: String) =>
+      val toked = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      Seq(128, 256, 512).map { l =>
+        graft.operators.SequencePacking.packGreedy(toked, "doc_id", "n_tok", l, 8)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tok"),
+            (max(col("seq")) + lit(1L)).as("n_seqs"))
+          .select(lit(l.toLong).as("seq_len"), col("n_docs"), col("n_seqs"),
+            floor(col("tot_tok") * lit(1000000L) / (col("n_seqs") * lit(l.toLong)))
+              .cast("long").as("fill_q6"))
+      }.reduce(_ unionAll _).orderBy("seq_len")
+    },
+
     // b-bit minhash audit (Li & Koenig, "b-Bit Minwise Hashing"): keeping
     // only each signature slot's LOWEST BIT costs 1/64th the index memory;
     // the price is estimator variance — P(bit agree) = (1+J)/2, so
@@ -433,9 +453,35 @@ object DataQueries9 {
     s"$bpeCtes\n${selects.mkString("\nUNION ALL ")}\nORDER BY round"
   }
 
+  /** One recursive next-fit block per budget (the d43 CTE parameterized by
+    * L), then one aggregate row each.
+    */
+  private def seqLenCurveOracle: String = {
+    val ls = Seq(128, 256, 512)
+    val blocks = ls.map { l =>
+      s"""b$l AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+         |n$l AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b$l),
+         |r$l AS (
+         |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n$l WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+         |    CASE WHEN r.fill + n.n_tok <= $l THEN r.fill + n.n_tok ELSE n.n_tok END,
+         |    CASE WHEN r.fill + n.n_tok <= $l THEN r.bin ELSE r.bin + 1 END
+         |  FROM r$l r JOIN n$l n ON n.shard = r.shard AND n.rn = r.rn + 1),
+         |t$l AS (SELECT shard, max(bin) + 1 AS nseq FROM r$l GROUP BY shard),
+         |a$l AS (SELECT CAST($l AS BIGINT) AS seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST((SELECT sum(nseq) FROM t$l) AS BIGINT) AS n_seqs,
+         |  CAST(floor(sum(n_tok) * 1000000.0 / ((SELECT sum(nseq) FROM t$l) * $l)) AS BIGINT) AS fill_q6
+         |  FROM r$l)""".stripMargin
+    }
+    "WITH RECURSIVE " + blocks.mkString(",\n") + "\n" +
+      ls.map(l => s"SELECT * FROM a$l").mkString("\nUNION ALL ") + "\nORDER BY seq_len"
+  }
+
   val oracles: Map[String, String] = Map(
     "d76_bpe_merges" -> bpeOracle,
     "d80_bpe_encode" -> bpeEncodeOracle,
+    "d88_seqlen_curve" -> seqLenCurveOracle,
 
     "d77_line_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
