@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Tenth wave: the curation-planning reads a 100 TB pipeline runs BEFORE
+  * committing compute — a full k-means training loop (the d76 driver-loop
+  * pattern applied to embeddings), per-source distribution divergence (the
+  * data-mixing diagnostic), the dedup-rate scaling curve (how dup density
+  * grows with corpus size), and a mergeable histogram-quantile sketch
+  * audited against exact ranks (the d82 estimate-vs-exact frame for
+  * quantiles).
+  *
+  * Numeric discipline is the repo rule throughout: quantize to integers
+  * BEFORE any cross-row sum (long sums are accumulation-order-free), keep
+  * doubles only inside per-row scalar expressions where IEEE evaluation is
+  * order-fixed, and let ln() appear only per-row behind a floor-quantize
+  * (the d57/d60 precedent).
+  */
+object DataQueries10 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Lloyd iterations for d89. Small and fixed so the unrolled DuckDB
+    * oracle stays readable; each round is O(1) jobs of corpus-wide narrow
+    * work + one 256-row driver collect.
+    */
+  private[graft] val KmRounds = 3
+
+  /** Embeddings with components quantized to q6 longs ONCE at load. Every
+    * downstream distance/update is exact integer arithmetic, so the whole
+    * training loop is engine- and partition-order-exact: squared distances
+    * are sums of (xq-cq)^2 <= 64 * (2e7)^2 ~ 2.6e16 per vector — Long-safe.
+    */
+  private def kmQuant(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+        .as("xq"))
+
+  /** Exact integer squared Euclidean distance between two q6-quantized
+    * component arrays.
+    */
+  private def d2q(x: Column, c: Column): Column =
+    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // the FULL k-means training loop (Lloyd's algorithm) — d18 is one
+    // step; a real clustering job iterates assign -> update to (near)
+    // convergence. Per round: assignment is a broadcast of 4 quantized
+    // centroids + one min-struct argmin rollup; the centroid update is one
+    // partial-aggregatable (cell, dim) rollup whose 256-row result is the
+    // ONLY thing the driver ever collects (the d76/d15 driver-loop
+    // discipline). Centroids live as floor(mean)-quantized longs, so every
+    // round's distances, counts and inertia are exact integers and the
+    // loop is bit-reproducible across engines — the property that lets the
+    // unrolled DuckDB oracle vouch for an iterative algorithm at all. A
+    // cluster that loses all members keeps its previous centroid (total
+    // update rule, mirrored by the oracle's LEFT JOIN + COALESCE).
+    "d89_kmeans_train" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val e = kmQuant(s, dir).persist()
+      var cents: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < 4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+      val stats = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (r <- 1 to KmRounds) {
+        val cdf = broadcast(cents.toDF("cid", "cq"))
+        val assigned = e.crossJoin(cdf)
+          .select(col("vec_id"), col("cid"), d2q(col("xq"), col("cq")).as("d2"))
+          .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("a"))
+          .select(col("vec_id"), col("a.cid").as("cell"), col("a.d2").as("d2"))
+          .persist()
+        assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+          .collect().foreach(row =>
+            stats += ((r.toLong, row.getLong(0), row.getLong(1), row.getLong(2))))
+        val upd = assigned.join(e, "vec_id")
+          .select(col("cell"), posexplode(col("xq")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("c"))
+          .collect()
+          .map(row => ((row.getLong(0), row.getInt(1)), row.getLong(2))).toMap
+        cents = cents.map { case (cid, cq) =>
+          (cid, cq.indices.map(i => upd.getOrElse((cid, i), cq(i))))
+        }
+        assigned.unpersist(blocking = false)
+      }
+      e.unpersist(blocking = false)
+      stats.result().toDF("round", "cluster", "n", "inertia")
+        .orderBy("round", "cluster")
+    },
+
+    // per-source unigram KL divergence to the corpus mixture — the
+    // data-mixing diagnostic (DoReMi/DSIR-family reads): how far each
+    // source's token distribution sits from the blend the model will
+    // actually train on. Shape: both count tables are vocab-bounded, the
+    // (source, word) x word join is an equi-join of two vocab-sized
+    // relations (never corpus-sized), per-source totals are a
+    // few-row broadcast, and the per-word term P*ln(P/Q) is quantized to
+    // 1e-9 BEFORE the per-source sum (ln ulp skew ~1e-16 relative cannot
+    // cross a q9 floor — the d57 argument with margin).
+    "d90_source_kl" -> { (s: SparkSession, dir: String) =>
+      val tk = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val cs = tk.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cws"))
+      val cw = tk.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("cws")).as("n_tokens"))
+      val n = cw.agg(sum(col("cw")).as("n"))
+      val terms = cs.join(cw, "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .select(col("source"),
+          floor((col("cws").cast("double") / col("n_tokens"))
+            * log((col("cws").cast("double") * col("n"))
+              / (col("cw").cast("double") * col("n_tokens")))
+            * lit(1000000000.0)).cast("long").as("tq"))
+      terms.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"), sum(col("tq")).as("kl_q9"))
+        .join(broadcast(ns), "source")
+        .select(col("source"), col("n_tokens"), col("n_types"), col("kl_q9"))
+        .orderBy("source")
+    },
+
+    // the dedup-rate SCALING curve: exact-dup density and LSH candidate
+    // pair count within the first k documents, k in {125, 250, 500} — the
+    // extrapolation read behind "what does dedup buy at 10x the crawl"
+    // (dup density GROWS with corpus size; a pilot-scale measurement
+    // understates the savings). Signatures and band buckets are computed
+    // ONCE over the full corpus; each prefix is a filter on the results
+    // (bucket membership is per-doc, so prefix-filtered pairs == pairs of
+    // a prefix-only run — no per-k recompute). All outputs exact integers.
+    "d91_dedup_scaling" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val ks = broadcast(Seq(125L, 250L, 500L).toDF("k"))
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val pre = d.join(ks, col("doc_id") < col("k"))
+      val nd = pre.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+      val ed = pre.groupBy(col("k"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("k"))
+        .agg(sum(col("c") - 1).as("exact_dups"), count(lit(1)).as("distinct_texts"))
+      val np = DataQueries.minhashPairs(s, dir)
+        .join(ks, col("b") < col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("near_pairs"))
+      nd.join(ed, "k").join(np, Seq("k"), "left")
+        .select(col("k"), col("n_docs"), col("distinct_texts"), col("exact_dups"),
+          floor(col("exact_dups") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("dup_frac_q6"),
+          coalesce(col("near_pairs"), lit(0L)).as("near_pairs"))
+        .orderBy("k")
+    },
+
+    // mergeable histogram-quantile sketch audit — the d82 (CMS)
+    // estimate-vs-exact frame applied to quantiles: a fixed 64-bin
+    // width-16 histogram over doc token counts (histograms merge by
+    // vector add — the per-shard sketch a streaming length-monitor keeps),
+    // quantile estimate = upper edge of the bin where the cumulative count
+    // crosses ceil(p*N/100), audited against the exact type-1 quantile
+    // from the VALUE histogram. Both paths are integer counts end-to-end.
+    // Scale shape: corpus work is one narrow map + two bounded rollups
+    // (64 bins / |distinct lengths| rows); the cumulative windows run over
+    // those bounded tables, never the corpus, and the 4-row p-table joins
+    // are broadcast nested loops over bounded sketches.
+    "d92_hist_quantiles" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val lens = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val n = broadcast(lens.agg(count(lit(1)).as("n")))
+      val vh = lens.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+      val cum = vh.select(col("n_tok"),
+        sum(col("c")).over(Window.orderBy(col("n_tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      val bcum = vh
+        .select(least(floor(col("n_tok") / 16), lit(63L)).cast("long").as("bin"), col("c"))
+        .groupBy(col("bin")).agg(sum(col("c")).as("bc"))
+        .select(col("bin"),
+          sum(col("bc")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      val rk = broadcast(Seq(25L, 50L, 75L, 90L).toDF("p").crossJoin(n)
+        .select(col("p"), ceil(col("p") * col("n") / lit(100)).cast("long").as("rk")))
+      val est = rk.join(bcum, col("cum") >= col("rk"))
+        .groupBy(col("p")).agg(((min(col("bin")) + 1) * 16).as("est"))
+      val ex = rk.join(cum, col("cum") >= col("rk"))
+        .groupBy(col("p")).agg(min(col("n_tok")).as("exact"))
+      est.join(ex, "p")
+        .select(col("p"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("err"))
+        .orderBy("p")
+    }
+  )
+
+  /** The d89 oracle unrolls the loop: per round an assignment CTE (argmin
+    * over exact integer distances) and an update CTE (floor-mean per
+    * (cell, dim), LEFT JOIN so empty cells keep their previous centroid),
+    * identical arithmetic to the Spark loop.
+    */
+  private def kmOracle: String = {
+    val base =
+      """e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xq FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, xq AS cq FROM e WHERE vec_id < 4)""".stripMargin
+    val rounds = (1 to KmRounds).map { r =>
+      s"""s$r AS (SELECT e.vec_id, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [(e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i]) FOR i IN generate_series(1, len(e.xq))]),
+         |      (a, b) -> a + b) AS d2
+         |  FROM e CROSS JOIN c${r - 1} c),
+         |a$r AS (SELECT vec_id, cid AS cell, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s$r)
+         |  WHERE rn = 1),
+         |u$r AS (SELECT a.cell, i.i - 1 AS dim,
+         |    CAST(floor(sum(e.xq[i.i]) / count(*)) AS BIGINT) AS c
+         |  FROM a$r a JOIN e USING (vec_id),
+         |    (SELECT unnest(generate_series(1, 64)) AS i) i
+         |  GROUP BY a.cell, i.i),
+         |c$r AS (SELECT pd.cid,
+         |    list(COALESCE(u.c, pd.oldc) ORDER BY pd.i) AS cq
+         |  FROM (SELECT p.cid, d.i, p.cq[d.i] AS oldc
+         |        FROM c${r - 1} p, (SELECT unnest(generate_series(1, 64)) AS i) d) pd
+         |  LEFT JOIN u$r u ON u.cell = pd.cid AND u.dim = pd.i - 1
+         |  GROUP BY pd.cid)""".stripMargin
+    }
+    val selects = (1 to KmRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, cell AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(d2) AS BIGINT) AS inertia
+         |FROM a$r GROUP BY cell""".stripMargin
+    }
+    s"WITH $base,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}\nORDER BY round, cluster"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d89_kmeans_train" -> kmOracle,
+
+    "d90_source_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT source, w FROM t WHERE length(w) >= 1),
+        |cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cws FROM f GROUP BY source, w),
+        |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM f GROUP BY w),
+        |ns AS (SELECT source, CAST(sum(cws) AS BIGINT) AS n_tokens FROM cs GROUP BY source),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw),
+        |q AS (SELECT cs.source,
+        |    CAST(floor((CAST(cs.cws AS DOUBLE) / ns.n_tokens)
+        |      * ln((CAST(cs.cws AS DOUBLE) * n.n) / (CAST(cw.cw AS DOUBLE) * ns.n_tokens))
+        |      * 1000000000.0) AS BIGINT) AS tq
+        |  FROM cs JOIN cw USING (w) JOIN ns USING (source), n)
+        |SELECT q.source, ns.n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(tq) AS BIGINT) AS kl_q9
+        |FROM q JOIN ns USING (source) GROUP BY q.source, ns.n_tokens
+        |ORDER BY source""".stripMargin,
+
+    "d91_dedup_scaling" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """ks AS (SELECT unnest([125, 250, 500]) AS k),
+          |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |pre AS (SELECT ks.k, d.doc_id, d.h FROM d JOIN ks ON d.doc_id < ks.k),
+          |nd AS (SELECT k, CAST(count(*) AS BIGINT) AS n_docs FROM pre GROUP BY k),
+          |ed AS (SELECT k, CAST(sum(c - 1) AS BIGINT) AS exact_dups,
+          |         CAST(count(*) AS BIGINT) AS distinct_texts
+          |       FROM (SELECT k, h, count(*) AS c FROM pre GROUP BY k, h) GROUP BY k),
+          |np AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS near_pairs
+          |       FROM pairs JOIN ks ON pairs.b < ks.k GROUP BY ks.k)
+          |SELECT CAST(nd.k AS BIGINT) AS k, nd.n_docs, ed.distinct_texts, ed.exact_dups,
+          |  CAST(floor(ed.exact_dups * 1000000.0 / nd.n_docs) AS BIGINT) AS dup_frac_q6,
+          |  CAST(COALESCE(np.near_pairs, 0) AS BIGINT) AS near_pairs
+          |FROM nd JOIN ed USING (k) LEFT JOIN np ON np.k = nd.k
+          |ORDER BY k""".stripMargin),
+
+    "d92_hist_quantiles" ->
+      """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+        |vh AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY n_tok),
+        |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM vh),
+        |bh AS (SELECT least(n_tok // 16, 63) AS bin, sum(c) AS bc FROM vh GROUP BY 1),
+        |bcum AS (SELECT bin, sum(bc) OVER (ORDER BY bin) AS cum FROM bh),
+        |rk AS (SELECT p, CAST(ceil(p * n.n / 100.0) AS BIGINT) AS rk
+        |       FROM (SELECT unnest([25, 50, 75, 90]) AS p), n),
+        |est AS (SELECT rk.p, CAST((min(bin) + 1) * 16 AS BIGINT) AS est
+        |        FROM rk JOIN bcum ON bcum.cum >= rk.rk GROUP BY rk.p),
+        |ex AS (SELECT rk.p, CAST(min(n_tok) AS BIGINT) AS exact
+        |       FROM rk JOIN cum ON cum.cum >= rk.rk GROUP BY rk.p)
+        |SELECT CAST(est.p AS BIGINT) AS p, est.est, ex.exact, est.est - ex.exact AS err
+        |FROM est JOIN ex USING (p) ORDER BY p""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the wave-10 queries (d89–d92). The oracle gate pins the
+  * exact values; these pin the semantic guarantees that hold at any scale
+  * factor — the properties a 100 TB run relies on.
+  */
+class Wave5Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("d89 k-means: every round partitions the corpus; inertia never increases") {
+    val rows = q("d89_kmeans_train").collect()
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    val byRound = rows.groupBy(_.getAs[Long]("round"))
+    assert(byRound.keySet == (1L to queries.DataQueries10.KmRounds).toSet)
+    // assignment is total: per-round cluster sizes sum to the corpus
+    byRound.values.foreach(rs => assert(rs.map(_.getAs[Long]("n")).sum == n))
+    // Lloyd monotonicity: total inertia is non-increasing round over round
+    val inertia = byRound.toSeq.sortBy(_._1)
+      .map(_._2.map(_.getAs[Long]("inertia")).sum)
+    assert(inertia.zip(inertia.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("d90 KL: self-distribution term structure — corpus-identical source sits near zero") {
+    val rows = q("d90_source_kl").collect()
+    assert(rows.nonEmpty)
+    // Gibbs: KL >= 0 up to the per-word floor-quantization bias, which is
+    // bounded by 1 q9-unit per (source, word) type
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kl_q9") >= -r.getAs[Long]("n_types"))
+    }
+  }
+
+  test("d91 scaling curve: all counters are monotone in the prefix size k") {
+    val rows = q("d91_dedup_scaling").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 3)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("n_docs") >= a.getAs[Long]("n_docs"))
+      assert(b.getAs[Long]("exact_dups") >= a.getAs[Long]("exact_dups"))
+      assert(b.getAs[Long]("near_pairs") >= a.getAs[Long]("near_pairs"))
+      assert(b.getAs[Long]("distinct_texts") >= a.getAs[Long]("distinct_texts"))
+    }
+  }
+
+  test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
+    val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
+    assert(rows.length == 4)
+    // the sketch reports a bin's UPPER edge, so est >= exact always
+    rows.foreach(r => assert(r.getAs[Long]("err") >= 0,
+      s"p=${r.getAs[Long]("p")} est undershot exact"))
+    // and the error is bounded by the bin width
+    rows.foreach(r => assert(r.getAs[Long]("err") <= 16))
+    val est = rows.map(_.getAs[Long]("est"))
+    assert(est.zip(est.tail).forall { case (a, b) => b >= a })
+  }
+}
