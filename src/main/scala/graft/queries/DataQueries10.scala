@@ -155,6 +155,47 @@ object DataQueries10 {
         .orderBy("k")
     },
 
+    // PageRank over the near-dup similarity graph — graph centrality as a
+    // CANONICAL-DOCUMENT signal: in a near-dup cluster the most-connected
+    // doc is the best representative (an authority read d66's min-id rule
+    // lacks). Damping 0.85, 3 rounds, unrolled as chained shuffles on dst
+    // (the classic Pregel/GraphX unroll — Catalyst sees ONE composed plan;
+    // nothing but the node count ever reaches the driver). Ranks are q9
+    // longs with per-EDGE floor quantization before the per-node sum, so
+    // every round is accumulation-order-exact; isolated docs receive only
+    // the teleport term; dangling-mass leak is accepted (standard
+    // simplification — this is a relative-authority read, not a
+    // probability). Edge list = the d02 LSH candidates, symmetrized —
+    // degree-bounded by the band df valve, so messages are priced on
+    // |candidates|, never |docs|^2.
+    "d93_pagerank" -> { (s: SparkSession, dir: String) =>
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = docs(s, dir).select(col("doc_id"))
+      val n = nodes.count()
+      val teleport = floor(lit(150000000L) / lit(n)).cast("long")
+      var pr = nodes.select(col("doc_id"),
+        floor(lit(1000000000L) / lit(n)).cast("long").as("pr"))
+      for (_ <- 1 to 3) {
+        val msgs = edges.join(deg, "src")
+          .join(pr.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst"),
+            floor(col("pr") * 17 / (col("deg") * 20)).cast("long").as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("msum"))
+        pr = nodes.join(msgs, nodes("doc_id") === msgs("dst"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("msum"), lit(0L)) + teleport).as("pr"))
+      }
+      val out = pr.join(deg, pr("doc_id") === deg("src"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          col("pr").as("pr_q9"))
+        .orderBy("doc_id")
+      out
+    },
+
     // mergeable histogram-quantile sketch audit — the d82 (CMS)
     // estimate-vs-exact frame applied to quantiles: a fixed 64-bin
     // width-16 histogram over doc token counts (histograms merge by
@@ -268,6 +309,28 @@ object DataQueries10 {
           |  CAST(COALESCE(np.near_pairs, 0) AS BIGINT) AS near_pairs
           |FROM nd JOIN ed USING (k) LEFT JOIN np ON np.k = nd.k
           |ORDER BY k""".stripMargin),
+
+    "d93_pagerank" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |nodes AS (SELECT doc_id, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n FROM documents),
+          |p0 AS (SELECT doc_id, n, CAST(floor(1000000000 / n) AS BIGINT) AS pr FROM nodes),
+          |m1 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 17 / (d.deg * 20)) AS BIGINT)) AS BIGINT) AS msum
+          |       FROM edges e JOIN deg d USING (src) JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst),
+          |p1 AS (SELECT x.doc_id, x.n, CAST(COALESCE(m1.msum, 0) + floor(150000000 / x.n) AS BIGINT) AS pr
+          |       FROM nodes x LEFT JOIN m1 ON m1.dst = x.doc_id),
+          |m2 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 17 / (d.deg * 20)) AS BIGINT)) AS BIGINT) AS msum
+          |       FROM edges e JOIN deg d USING (src) JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst),
+          |p2 AS (SELECT x.doc_id, x.n, CAST(COALESCE(m2.msum, 0) + floor(150000000 / x.n) AS BIGINT) AS pr
+          |       FROM nodes x LEFT JOIN m2 ON m2.dst = x.doc_id),
+          |m3 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 17 / (d.deg * 20)) AS BIGINT)) AS BIGINT) AS msum
+          |       FROM edges e JOIN deg d USING (src) JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst),
+          |p3 AS (SELECT x.doc_id, CAST(COALESCE(m3.msum, 0) + floor(150000000 / x.n) AS BIGINT) AS pr
+          |       FROM nodes x LEFT JOIN m3 ON m3.dst = x.doc_id)
+          |SELECT p3.doc_id, CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg, p3.pr AS pr_q9
+          |FROM p3 LEFT JOIN deg ON deg.src = p3.doc_id
+          |ORDER BY p3.doc_id""".stripMargin),
 
     "d92_hist_quantiles" ->
       """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -54,6 +54,18 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("d93 pagerank: isolated docs carry exactly the teleport mass; total mass is sub-stochastic") {
+    val rows = q("d93_pagerank").collect()
+    val n = rows.length.toLong
+    val teleport = (150000000L.toDouble / n).floor.toLong
+    rows.filter(_.getAs[Long]("deg") == 0L)
+      .foreach(r => assert(r.getAs[Long]("pr_q9") == teleport))
+    // floors only ever drop mass (plus the dangling leak): sum <= 1e9
+    assert(rows.map(_.getAs[Long]("pr_q9")).sum <= 1000000000L)
+    // connected docs accumulate at least the teleport floor
+    rows.foreach(r => assert(r.getAs[Long]("pr_q9") >= teleport))
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
