@@ -155,6 +155,64 @@ object DataQueries10 {
         .orderBy("k")
     },
 
+    // IVF-PQ ADC search — the compressed serving path a 100 TB ANN tier
+    // actually runs (Jégou et al. §IV): corpus vectors are searched by
+    // their 8-subspace PQ CODES, never their components. Per probe query a
+    // 8x4 distance TABLE (query subvector -> each sub-centroid, exact
+    // integer squared distance on q6-quantized components) is broadcast
+    // (256 rows total for the 8-query probe set); the asymmetric distance
+    // (ADC) of a corpus vector is the 8-way sum of table lookups keyed by
+    // its codes — one equi-join on (m, code) + one (qid, vec) rollup,
+    // priced on |corpus|x8 code rows, not |corpus|x64 components. Audited
+    // against the exact top-3 by full integer distance (hits_pq = ADC
+    // recall@3) — the d55/d75 recall frame for the compressed regime —
+    // plus nn1_rank, the ADC rank of the TRUE nearest neighbor: the
+    // refinement-depth read ("how deep must the exact rerank stage go to
+    // recover NN1") that sizes the rerank window a two-stage IVF-PQ
+    // deployment actually ships. One shared sub-distance relation feeds
+    // BOTH the code assignment and the distance tables, so the codebook is
+    // scanned once.
+    "d94_ivfpq_search" -> { (s: SparkSession, dir: String) =>
+      val sub = kmQuant(s, dir)
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(xq, m*8+1, 8) AS sv))")).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      val cent = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      val sc = sub.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"), d2q(col("sv"), col("cv")).as("d2"))
+      val codes = sc.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).as("a"))
+        .select(col("vec_id"), col("m").as("cm"), col("a.cid").as("code"))
+      val dt = sc.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("m"), col("cid"), col("d2").as("dq"))
+      val adc = codes.join(broadcast(dt),
+          col("cm") === col("m") && col("code") === col("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("dq")).as("adc"))
+      val wa = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      val ar = adc.withColumn("rk", row_number().over(wa))
+      val atop = ar.filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val full = kmQuant(s, dir)
+      val qfull = full.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("xq").as("qx"))
+      val ex = full.join(broadcast(qfull), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), d2q(col("xq"), col("qx")).as("d2"))
+      val we = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+      val exr = ex.withColumn("rk", row_number().over(we))
+      val etop = exr.filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val nn1rank = exr.filter(col("rk") === 1).select(col("qid"), col("vec_id"))
+        .join(ar.select(col("qid"), col("vec_id"), col("rk")), Seq("qid", "vec_id"))
+        .select(col("qid"), col("rk").cast("long").as("nn1_rank"))
+      etop.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+        .join(etop.join(atop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits_pq")), Seq("qid"), "left")
+        .join(nn1rank, Seq("qid"))
+        .select(col("qid"), col("k"),
+          coalesce(col("hits_pq"), lit(0L)).as("hits_pq"), col("nn1_rank"))
+        .orderBy("qid")
+    },
+
     // PageRank over the near-dup similarity graph — graph centrality as a
     // CANONICAL-DOCUMENT signal: in a near-dup cluster the most-connected
     // doc is the best representative (an authority read d66's min-id rule
@@ -309,6 +367,48 @@ object DataQueries10 {
           |  CAST(COALESCE(np.near_pairs, 0) AS BIGINT) AS near_pairs
           |FROM nd JOIN ed USING (k) LEFT JOIN np ON np.k = nd.k
           |ORDER BY k""".stripMargin),
+
+    "d94_ivfpq_search" ->
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xq FROM embeddings),
+        |sub AS (SELECT vec_id, m, xq[m*8+1 : m*8+8] AS sv
+        |  FROM e, (SELECT unnest(generate_series(0, 7)) AS m)),
+        |cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 4),
+        |sc AS (SELECT s.vec_id, s.m, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) FOR i IN generate_series(1, len(s.sv))]),
+        |      (a, b) -> a + b) AS d2
+        |  FROM sub s JOIN cent c USING (m)),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |dt AS (SELECT vec_id AS qid, m, cid, d2 AS dq FROM sc WHERE vec_id >= 8 AND vec_id < 16),
+        |adc AS (SELECT d.qid, c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+        |        FROM codes c JOIN dt d ON d.m = c.m AND d.cid = c.code
+        |        WHERE c.vec_id <> d.qid GROUP BY d.qid, c.vec_id),
+        |atop AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 3),
+        |fx AS (SELECT q.vec_id AS qid, x.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [(x.xq[i] - q.xq[i]) * (x.xq[i] - q.xq[i]) FOR i IN generate_series(1, len(x.xq))]),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e x, e q WHERE q.vec_id >= 8 AND q.vec_id < 16 AND x.vec_id <> q.vec_id),
+        |etop AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM fx)
+        |  WHERE rn <= 3),
+        |hits AS (SELECT e1.qid, CAST(count(*) AS BIGINT) AS hits_pq
+        |         FROM etop e1 JOIN atop a ON a.qid = e1.qid AND a.vec_id = e1.vec_id
+        |         GROUP BY e1.qid),
+        |nn1 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM fx)
+        |  WHERE rn = 1),
+        |ar AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk FROM adc),
+        |nr AS (SELECT nn1.qid, CAST(ar.rk AS BIGINT) AS nn1_rank
+        |       FROM nn1 JOIN ar ON ar.qid = nn1.qid AND ar.vec_id = nn1.vec_id),
+        |ks AS (SELECT qid, CAST(count(*) AS BIGINT) AS k FROM etop GROUP BY qid)
+        |SELECT ks.qid, ks.k, CAST(COALESCE(hits.hits_pq, 0) AS BIGINT) AS hits_pq, nr.nn1_rank
+        |FROM ks LEFT JOIN hits USING (qid) JOIN nr USING (qid)
+        |ORDER BY ks.qid""".stripMargin,
 
     "d93_pagerank" ->
       (s"WITH ${DataQueries.minhashPairsCte}," +

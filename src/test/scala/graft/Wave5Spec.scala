@@ -66,6 +66,18 @@ class Wave5Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("pr_q9") >= teleport))
   }
 
+  test("d94 IVF-PQ: recall bounded by k; nn1_rank consistent with recall") {
+    val rows = q("d94_ivfpq_search").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (k, hits, nn1) =
+        (r.getAs[Long]("k"), r.getAs[Long]("hits_pq"), r.getAs[Long]("nn1_rank"))
+      assert(k == 3 && hits >= 0 && hits <= k && nn1 >= 1)
+      // the true NN inside the ADC top-3 implies at least one recall hit
+      if (nn1 <= 3) assert(hits >= 1)
+    }
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
