@@ -370,6 +370,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"no shuffle-side aggregation expected:\n$p")
   }
 
+  test("d93: PageRank rounds are equi-joins + two-phase rollups — corpus never broadcast-nested") {
+    val p = plan("d93_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // three message rounds => at least three partial/final aggregate pairs
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      s"expected two-phase aggregation per round:\n$p")
+  }
+
+  test("d94: ADC lookups join the broadcast distance table; only the 8-row probe set nested-loops") {
+    val p = plan("d94_ivfpq_search")
+    // forced bounded broadcasts: sub-codebook, distance table, probe set
+    assert(p.contains("BroadcastHashJoin"), s"distance table must broadcast:\n$p")
+    // every nested-loop join must be the exact-ground-truth comparison
+    // against the BROADCAST 8-row probe set (the subtree appears once per
+    // consumer); the corpus side must never be the build side
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("NOT (vec_id")),
+      s"unexpected nested-loop join:\n${bnlj.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
