@@ -111,4 +111,24 @@ object StreamOps {
     */
   def repetitionStats(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withRepetitionStats(df, textCol)
+
+  /** Per-window mergeable histogram sketch (the streaming twin of d92): a
+    * fixed `nBins`-bin width-`binWidth` histogram of `valueCol` per
+    * event-time tumbling window — the length/latency monitor a streaming
+    * ingest keeps. One row per (window, bin); histograms merge by adding
+    * counts (what the windowed groupBy already does across partitions and
+    * triggers), so per-shard partials combine map-side exactly like any
+    * long sum, and downstream quantile estimation is the bounded d92 read
+    * over at most `nBins` rows per window. Values above the top bin clamp
+    * into it (the d92 rule).
+    */
+  def histogramSketch(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, valueCol: String, binWidth: Long,
+      nBins: Int = 64): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w"),
+        least(floor(col(valueCol) / binWidth), lit(nBins - 1L)).cast("long")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("bin"), col("n"))
 }

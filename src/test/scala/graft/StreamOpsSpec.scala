@@ -281,4 +281,29 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows(2L) == ((0.0, 0.0)), rows.toString)
     } finally q.stop()
   }
+
+  test("histogram sketch: per-window bin counts merge across triggers and clamp the top bin") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val sk = StreamOps.histogramSketch(
+      ms.toDF().toDF("et", "len"), "et", "5 seconds", "10 seconds", "len",
+      binWidth = 16L, nBins = 4)
+    val q = sk.writeStream.format("memory").queryName("hist_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): bins 0 (3, 15), 1 (17) across TWO triggers — the
+      // windowed agg must merge them into single per-bin rows on emission
+      ms.addData((ts(1), 3L), (ts(2), 17L))
+      q.processAllAvailable()
+      ms.addData((ts(3), 15L), (ts(4), 999L)) // 999 clamps into top bin 3
+      q.processAllAvailable()
+      ms.addData((ts(30), 1L)) // advance watermark past window end
+      q.processAllAvailable()
+      val rows = spark.table("hist_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(rows == Map(0L -> 2L, 1L -> 1L, 3L -> 1L), rows.toString)
+    } finally q.stop()
+  }
 }
