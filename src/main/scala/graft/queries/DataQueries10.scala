@@ -49,6 +49,42 @@ object DataQueries10 {
     aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
+  /** ADC table for the IVF-PQ path (d94/d95): per (qid, vec_id) the
+    * 8-subspace sum of distance-table lookups keyed by the vector's PQ
+    * codes. One shared sub-distance relation feeds both the code argmin and
+    * the 256-row broadcast distance tables.
+    */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val sub = kmQuant(s, dir)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(xq, m*8+1, 8) AS sv))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cent = sub.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+    val sc = sub.join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"), d2q(col("sv"), col("cv")).as("d2"))
+    val codes = sc.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cid"))).as("a"))
+      .select(col("vec_id"), col("m").as("cm"), col("a.cid").as("code"))
+    val dt = sc.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("m"), col("cid"), col("d2").as("dq"))
+    codes.join(broadcast(dt),
+        col("cm") === col("m") && col("code") === col("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("dq")).as("adc"))
+  }
+
+  /** Exact integer distances from every corpus vector to each of the 8
+    * probe queries (the ground-truth side of d94/d95).
+    */
+  private def pqExact(s: SparkSession, dir: String): DataFrame = {
+    val full = kmQuant(s, dir)
+    val qfull = full.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("xq").as("qx"))
+    full.join(broadcast(qfull), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), d2q(col("xq"), col("qx")).as("d2"))
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     // the FULL k-means training loop (Lloyd's algorithm) — d18 is one
     // step; a real clustering job iterates assign -> update to (near)
@@ -173,31 +209,11 @@ object DataQueries10 {
     // BOTH the code assignment and the distance tables, so the codebook is
     // scanned once.
     "d94_ivfpq_search" -> { (s: SparkSession, dir: String) =>
-      val sub = kmQuant(s, dir)
-        .select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(xq, m*8+1, 8) AS sv))")).as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-      val cent = sub.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
-      val sc = sub.join(broadcast(cent), Seq("m"))
-        .select(col("vec_id"), col("m"), col("cid"), d2q(col("sv"), col("cv")).as("d2"))
-      val codes = sc.groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("cid"))).as("a"))
-        .select(col("vec_id"), col("m").as("cm"), col("a.cid").as("code"))
-      val dt = sc.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select(col("vec_id").as("qid"), col("m"), col("cid"), col("d2").as("dq"))
-      val adc = codes.join(broadcast(dt),
-          col("cm") === col("m") && col("code") === col("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id")).agg(sum(col("dq")).as("adc"))
+      val adc = pqAdc(s, dir)
       val wa = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
       val ar = adc.withColumn("rk", row_number().over(wa))
       val atop = ar.filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
-      val full = kmQuant(s, dir)
-      val qfull = full.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select(col("vec_id").as("qid"), col("xq").as("qx"))
-      val ex = full.join(broadcast(qfull), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), d2q(col("xq"), col("qx")).as("d2"))
+      val ex = pqExact(s, dir)
       val we = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
       val exr = ex.withColumn("rk", row_number().over(we))
       val etop = exr.filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
@@ -211,6 +227,86 @@ object DataQueries10 {
         .select(col("qid"), col("k"),
           coalesce(col("hits_pq"), lit(0L)).as("hits_pq"), col("nn1_rank"))
         .orderBy("qid")
+    },
+
+    // TWO-STAGE IVF-PQ search: ADC shortlist -> exact rerank — the
+    // deployment answer to d94's nn1_rank finding (coarse codebook => NN1
+    // hides at ADC rank up to ~450): shortlist the top R by compressed
+    // distance, recompute EXACT distances only for those R rows, re-rank,
+    // and report recall@3 at R = 8 and R = 32 beside the raw ADC recall.
+    // The exact recompute is priced on |queries| x R rows (a semi-join
+    // of the bounded shortlist against the corpus), never the corpus —
+    // the read that tells a serving team what rerank depth buys back.
+    "d95_adc_rerank" -> { (s: SparkSession, dir: String) =>
+      val adc = pqAdc(s, dir)
+      val wa = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      val ar = adc.withColumn("ark", row_number().over(wa))
+      val ex = pqExact(s, dir)
+      val we = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+      val etop = ex.withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      def rerank(r: Int): DataFrame = {
+        val cand = ar.filter(col("ark") <= r).select(col("qid"), col("vec_id"))
+        val rr = cand.join(ex, Seq("qid", "vec_id"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+        rr.withColumn("rrk", row_number().over(w)).filter(col("rrk") <= 3)
+          .select(col("qid"), col("vec_id"))
+      }
+      def hits(top: DataFrame, name: String): DataFrame =
+        etop.join(top, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(name))
+      val atop = ar.filter(col("ark") <= 3).select(col("qid"), col("vec_id"))
+      etop.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+        .join(hits(atop, "hits_adc"), Seq("qid"), "left")
+        .join(hits(rerank(8), "hits_r8"), Seq("qid"), "left")
+        .join(hits(rerank(32), "hits_r32"), Seq("qid"), "left")
+        .select(col("qid"), col("k"),
+          coalesce(col("hits_adc"), lit(0L)).as("hits_adc"),
+          coalesce(col("hits_r8"), lit(0L)).as("hits_r8"),
+          coalesce(col("hits_r32"), lit(0L)).as("hits_r32"))
+        .orderBy("qid")
+    },
+
+    // two-sample Kolmogorov–Smirnov drift test, per source vs the REST of
+    // the corpus, over doc token counts — the distribution-drift monitor a
+    // multi-source ingest runs before a new crawl shifts the length mix.
+    // The D statistic is computed exactly in integers: at every distinct
+    // length v (value-domain-bounded), D_num(v) = |cum_s(v)*n_rest -
+    // cum_rest(v)*n_s|; ks_q6 = floor(max_v D_num * 1e6 / (n_s*n_rest)).
+    // The step functions are evaluated on the source x distinct-value GRID
+    // (|sources| x |lengths| rows — bounded, never corpus-sized) so each
+    // side's CDF is defined at every jump point of either; the windows run
+    // over that grid, the corpus is touched by exactly two narrow rollups.
+    "d96_ks_drift" -> { (s: SparkSession, dir: String) =>
+      val lens = docs(s, dir).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+      val sv = lens.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val vals = lens.select(col("v")).distinct()
+      val srcs = sv.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val tot = srcs.agg(sum(col("n_s")).as("n"))
+      val grid = srcs.crossJoin(broadcast(tot)).crossJoin(broadcast(vals))
+        .join(sv, Seq("source", "v"), "left")
+        .select(col("source"), col("v"), col("n_s"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wc = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the grid is complete (every source x every value), so the global
+      // CDF at v is the sum of per-source CDFs at v — one partition-by-v
+      // window over the grid, no second corpus pass
+      val cums = grid
+        .withColumn("cum_s", sum(col("c")).over(wc))
+        .withColumn("cum_all",
+          sum(col("cum_s")).over(Window.partitionBy(col("v"))))
+      cums
+        .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_rest"),
+          abs(col("cum_s") * (col("n") - col("n_s"))
+            - (col("cum_all") - col("cum_s")) * col("n_s")).as("dnum"))
+        .groupBy(col("source"), col("n_s"), col("n_rest"))
+        .agg(max(col("dnum")).as("mx"))
+        .select(col("source"), col("n_s"), col("n_rest"),
+          floor(col("mx") * lit(1000000L) / (col("n_s") * col("n_rest")))
+            .cast("long").as("ks_q6"))
+        .orderBy("source")
     },
 
     // PageRank over the near-dup similarity graph — graph centrality as a
@@ -409,6 +505,73 @@ object DataQueries10 {
         |SELECT ks.qid, ks.k, CAST(COALESCE(hits.hits_pq, 0) AS BIGINT) AS hits_pq, nr.nn1_rank
         |FROM ks LEFT JOIN hits USING (qid) JOIN nr USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "d95_adc_rerank" ->
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xq FROM embeddings),
+        |sub AS (SELECT vec_id, m, xq[m*8+1 : m*8+8] AS sv
+        |  FROM e, (SELECT unnest(generate_series(0, 7)) AS m)),
+        |cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 4),
+        |sc AS (SELECT s.vec_id, s.m, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) FOR i IN generate_series(1, len(s.sv))]),
+        |      (a, b) -> a + b) AS d2
+        |  FROM sub s JOIN cent c USING (m)),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |dt AS (SELECT vec_id AS qid, m, cid, d2 AS dq FROM sc WHERE vec_id >= 8 AND vec_id < 16),
+        |adc AS (SELECT d.qid, c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+        |        FROM codes c JOIN dt d ON d.m = c.m AND d.cid = c.code
+        |        WHERE c.vec_id <> d.qid GROUP BY d.qid, c.vec_id),
+        |ar AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS ark FROM adc),
+        |fx AS (SELECT q.vec_id AS qid, x.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [(x.xq[i] - q.xq[i]) * (x.xq[i] - q.xq[i]) FOR i IN generate_series(1, len(x.xq))]),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e x, e q WHERE q.vec_id >= 8 AND q.vec_id < 16 AND x.vec_id <> q.vec_id),
+        |etop AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM fx)
+        |  WHERE rn <= 3),
+        |r8 AS (SELECT qid, vec_id FROM (
+        |    SELECT a.qid, a.vec_id, row_number() OVER (PARTITION BY a.qid ORDER BY f.d2, a.vec_id) AS rrk
+        |    FROM ar a JOIN fx f ON f.qid = a.qid AND f.vec_id = a.vec_id WHERE a.ark <= 8)
+        |  WHERE rrk <= 3),
+        |r32 AS (SELECT qid, vec_id FROM (
+        |    SELECT a.qid, a.vec_id, row_number() OVER (PARTITION BY a.qid ORDER BY f.d2, a.vec_id) AS rrk
+        |    FROM ar a JOIN fx f ON f.qid = a.qid AND f.vec_id = a.vec_id WHERE a.ark <= 32)
+        |  WHERE rrk <= 3),
+        |ha AS (SELECT e1.qid, CAST(count(*) AS BIGINT) AS hits_adc FROM etop e1
+        |       JOIN ar a ON a.qid = e1.qid AND a.vec_id = e1.vec_id AND a.ark <= 3 GROUP BY e1.qid),
+        |h8 AS (SELECT e1.qid, CAST(count(*) AS BIGINT) AS hits_r8 FROM etop e1
+        |       JOIN r8 ON r8.qid = e1.qid AND r8.vec_id = e1.vec_id GROUP BY e1.qid),
+        |h32 AS (SELECT e1.qid, CAST(count(*) AS BIGINT) AS hits_r32 FROM etop e1
+        |        JOIN r32 ON r32.qid = e1.qid AND r32.vec_id = e1.vec_id GROUP BY e1.qid),
+        |ks AS (SELECT qid, CAST(count(*) AS BIGINT) AS k FROM etop GROUP BY qid)
+        |SELECT ks.qid, ks.k,
+        |  CAST(COALESCE(ha.hits_adc, 0) AS BIGINT) AS hits_adc,
+        |  CAST(COALESCE(h8.hits_r8, 0) AS BIGINT) AS hits_r8,
+        |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
+        |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
+        |ORDER BY ks.qid""".stripMargin,
+
+    "d96_ks_drift" ->
+      """WITH l AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+        |sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY source, v),
+        |vals AS (SELECT DISTINCT v FROM l),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sv GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM srcs),
+        |grid AS (SELECT s.source, vals.v, s.n_s, tot.n, COALESCE(sv.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals CROSS JOIN tot
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.v = vals.v),
+        |cums AS (SELECT source, v, n_s, n, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+        |  FROM grid),
+        |alls AS (SELECT *, sum(cum_s) OVER (PARTITION BY v) AS cum_all FROM cums)
+        |SELECT source, n_s, n - n_s AS n_rest,
+        |  CAST(floor(max(abs(cum_s * (n - n_s) - (cum_all - cum_s) * n_s)) * 1000000.0
+        |    / (n_s * (n - n_s))) AS BIGINT) AS ks_q6
+        |FROM alls GROUP BY source, n_s, n
+        |ORDER BY source""".stripMargin,
 
     "d93_pagerank" ->
       (s"WITH ${DataQueries.minhashPairsCte}," +

@@ -78,6 +78,30 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("d95 rerank: recall is monotone in the shortlist depth") {
+    // a true-top-3 member can only be displaced from a larger shortlist's
+    // exact top-3 by vectors strictly closer — which are themselves true
+    // top-3 members, so the hit count never decreases with depth
+    val rows = q("d95_adc_rerank").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (k, a, h8, h32) = (r.getAs[Long]("k"), r.getAs[Long]("hits_adc"),
+        r.getAs[Long]("hits_r8"), r.getAs[Long]("hits_r32"))
+      assert(a <= h8 && h8 <= h32 && h32 <= k, s"non-monotone recall: $r")
+    }
+  }
+
+  test("d96 KS drift: D is a probability-scaled statistic with consistent complements") {
+    val rows = q("d96_ks_drift").collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getAs[Long]("n_s") + rows.head.getAs[Long]("n_rest")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_s") + r.getAs[Long]("n_rest") == n)
+      val ks = r.getAs[Long]("ks_q6")
+      assert(ks >= 0 && ks <= 1000000L)
+    }
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
