@@ -267,6 +267,53 @@ object DataQueries10 {
         .orderBy("qid")
     },
 
+    // empirical LSH S-curve / miss audit — the measurement behind the
+    // dedup pipeline's recall claim: which Jaccard mass does the 4-band x
+    // 4-row config actually flag, and what does it MISS? Probe set =
+    // deterministic offset pairs (doc_id, doc_id+o), o in {1, 3, 17} —
+    // linear in the corpus, replay-stable — UNION the LSH candidates
+    // themselves (so both tails of the S-curve are populated). Exact
+    // Jaccard per probe pair via the d87 shingle equi-join shape (priced
+    // on |probe| x shingles, never corpus^2); `flagged` = membership in
+    // the candidate set. Output: per jacc decile, pair count and flagged
+    // count — the false-negative profile a tuning pass reads before
+    // trusting LSH at 100 TB.
+    "d97_lsh_miss_audit" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id"))
+      val cand = DataQueries.minhashPairs(s, dir)
+      val offsets = broadcast(Seq(1L, 3L, 17L).toDF("o"))
+      val probes = ids.crossJoin(offsets)
+        .select(col("doc_id").as("a"), (col("doc_id") + col("o")).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        // the using-join moves `b` first — re-project before the POSITIONAL
+        // union or the branches stack swapped
+        .select(col("a"), col("b"))
+        .unionAll(cand.select(col("a"), col("b")))
+        .distinct()
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(graft.functions.prom.shingle_g(col("text"), 3))).as("g"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val iv = probes
+        .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      val scored = probes
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .join(iv, Seq("a", "b"), "left")
+        .join(cand.select(col("a"), col("b"), lit(1L).as("fl")), Seq("a", "b"), "left")
+        .select(
+          floor(coalesce(col("inter"), lit(0L)) * lit(1000000L) /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+            .cast("long").as("jq"),
+          coalesce(col("fl"), lit(0L)).as("fl"))
+      scored
+        .groupBy(least(floor(col("jq") / 100000L), lit(9L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("fl")).as("n_flagged"))
+        .orderBy("bucket")
+    },
+
     // two-sample Kolmogorov–Smirnov drift test, per source vs the REST of
     // the corpus, over doc token counts — the distribution-drift monitor a
     // multi-source ingest runs before a new crawl shifts the length mix.
@@ -553,6 +600,29 @@ object DataQueries10 {
         |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
         |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "d97_lsh_miss_audit" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """ids AS (SELECT doc_id FROM documents),
+          |off AS (SELECT unnest([1, 3, 17]) AS o),
+          |op AS (SELECT i.doc_id AS a, i.doc_id + off.o AS b FROM ids i CROSS JOIN off
+          |       WHERE EXISTS (SELECT 1 FROM ids j WHERE j.doc_id = i.doc_id + off.o)),
+          |probes AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM op UNION ALL SELECT a, b FROM pairs)),
+          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+          |iv AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter
+          |       FROM probes p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh
+          |       GROUP BY p.a, p.b),
+          |sc AS (SELECT CAST(floor(COALESCE(iv.inter, 0) * 1000000.0
+          |           / (sa.n + sb.n - COALESCE(iv.inter, 0))) AS BIGINT) AS jq,
+          |         CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS fl
+          |       FROM probes p
+          |       JOIN sz sa ON sa.doc_id = p.a
+          |       JOIN sz sb ON sb.doc_id = p.b
+          |       LEFT JOIN iv ON iv.a = p.a AND iv.b = p.b
+          |       LEFT JOIN pairs c ON c.a = p.a AND c.b = p.b)
+          |SELECT CAST(least(jq // 100000, 9) AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(fl) AS BIGINT) AS n_flagged
+          |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     "d96_ks_drift" ->
       """WITH l AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),

@@ -102,6 +102,19 @@ class Wave5Spec extends AnyFunSuite {
     }
   }
 
+  test("d97 LSH audit: flagged counts bounded by pair counts; every candidate pair is audited") {
+    val rows = q("d97_lsh_miss_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_pairs")))
+    // the candidate set is a subset of the probe set, so total flagged
+    // equals the candidate-pair count exactly (restricted to docs with
+    // shingles — all candidates have >= 3 words by construction)
+    val cand = graft.operators.TextDedup.minhashCandidates(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text").count()
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum == cand)
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
