@@ -356,6 +356,52 @@ object DataQueries10 {
         .orderBy("source")
     },
 
+    // the CORPUS CARD — the one-row release report a dataset ships
+    // (docs/tokens/vocab, source+lang spread, exact-dup docs, LSH
+    // candidate pairs, exact median length, quality keep-rate): every
+    // sub-metric keeps its own scale shape and lands as a ONE-ROW
+    // relation, composed by broadcast cross joins at the end. Each
+    // distinct-count is its own two-phase aggregation (the q13 lesson:
+    // multiple distincts in one agg Expand-duplicates every input row);
+    // the median is the exact d92 rank read over the value histogram; the
+    // keep-rate reuses the d39 TextQuality rules so the card can never
+    // drift from the filter actually deployed.
+    "d98_corpus_card" -> { (s: SparkSession, dir: String) =>
+      val d = docs(s, dir)
+      val toks = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val nTok = toks.agg(count(lit(1)).as("n_tokens"))
+      val vocab = toks.distinct().agg(count(lit(1)).as("vocab"))
+      val nSrc = d.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_sources"))
+      val nLang = d.select(col("lang")).distinct()
+        .agg(count(lit(1)).as("n_langs"))
+      val dups = d.select(md5(col("text")).as("h")).distinct()
+        .agg(count(lit(1)).as("distinct_texts"))
+      val pairs = DataQueries.minhashPairs(s, dir)
+        .agg(count(lit(1)).as("near_dup_pairs"))
+      val lens = d.select(size(split(col("text"), " ")).cast("long").as("v"))
+      val cum = lens.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .select(col("v"), sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      val med = cum.crossJoin(broadcast(nDocs))
+        .filter(col("cum") * 2 >= col("n_docs"))
+        .agg(min(col("v")).as("median_len"))
+      val kept = graft.operators.TextQuality.withQualityRules(d, "text")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      nDocs.crossJoin(nTok).crossJoin(vocab).crossJoin(nSrc).crossJoin(nLang)
+        .crossJoin(dups).crossJoin(pairs).crossJoin(med).crossJoin(kept)
+        .select(col("n_docs"), col("n_tokens"), col("vocab"),
+          col("n_sources"), col("n_langs"),
+          (col("n_docs") - col("distinct_texts")).as("exact_dup_docs"),
+          col("near_dup_pairs"), col("median_len"),
+          floor(col("n_tokens") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("mean_len_q6"),
+          floor(col("kept") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("keep_rate_q6"))
+    },
+
     // PageRank over the near-dup similarity graph — graph centrality as a
     // CANONICAL-DOCUMENT signal: in a near-dup cluster the most-connected
     // doc is the best representative (an authority read d66's min-id rule
@@ -600,6 +646,35 @@ object DataQueries10 {
         |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
         |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "d98_corpus_card" ->
+      (s"WITH ${DataQueries.minhashPairsCte}," +
+        """toks AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1),
+          |lens AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+          |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+          |        FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY v)),
+          |q AS (SELECT doc_id, len(w) AS n_words,
+          |    list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS sum_wlen,
+          |    len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS stop_hits
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |card AS (SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens,
+          |  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM toks) AS vocab,
+          |  (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+          |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+          |  (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS exact_dup_docs,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS near_dup_pairs,
+          |  (SELECT CAST(min(v) AS BIGINT) FROM cum, (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) nn
+          |   WHERE cum * 2 >= nn.n) AS median_len,
+          |  (SELECT CAST(sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+          |      AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+          |      AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM q) AS kept)
+          |SELECT n_docs, n_tokens, vocab, n_sources, n_langs, exact_dup_docs,
+          |  near_dup_pairs, median_len,
+          |  CAST(floor(n_tokens * 1000000.0 / n_docs) AS BIGINT) AS mean_len_q6,
+          |  CAST(floor(kept * 1000000.0 / n_docs) AS BIGINT) AS keep_rate_q6
+          |FROM card""".stripMargin),
 
     "d97_lsh_miss_audit" ->
       (s"WITH ${DataQueries.minhashPairsCte}," +

@@ -115,6 +115,19 @@ class Wave5Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_flagged")).sum == cand)
   }
 
+  test("d98 corpus card: one row, internally consistent") {
+    val r = q("d98_corpus_card").collect() match { case Array(x) => x }
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("exact_dup_docs") >= 0)
+    assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("keep_rate_q6") >= 0 && r.getAs[Long]("keep_rate_q6") <= 1000000L)
+    // mean and median must both lie inside the observed length range
+    val mean = r.getAs[Long]("mean_len_q6") / 1000000.0
+    assert(math.abs(mean - r.getAs[Long]("n_tokens").toDouble / nDocs) < 1)
+    assert(r.getAs[Long]("median_len") > 0)
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
