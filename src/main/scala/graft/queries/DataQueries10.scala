@@ -356,6 +356,40 @@ object DataQueries10 {
         .orderBy("source")
     },
 
+    // shard-balance audit — the partition-key health check run BEFORE
+    // choosing how to lay 100 TB out: token load per shard under doc-id
+    // hash-sharding at 8/32/128 shards vs keying by `source` (the natural
+    // but skew-prone choice). imbalance_q6 = floor(max_load * n_shards *
+    // 1e6 / total) — 1e6 means perfectly even, and the by-source row
+    // quantifies exactly the skew a salted or hash key dissolves (the q14
+    // lever, justified with numbers). One corpus rollup to doc-level
+    // loads; every scheme is a bounded re-aggregation of that table.
+    "d99_shard_balance" -> { (s: SparkSession, dir: String) =>
+      val dl = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      val tot = dl.agg(sum(col("t")).as("total"))
+      def hashScheme(n: Int): DataFrame = dl
+        .groupBy((conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % n).as("shard"))
+        .agg(sum(col("t")).as("load"))
+        .agg(max(col("load")).as("max_load"), count(lit(1)).as("used"))
+        .crossJoin(broadcast(tot))
+        .select(lit(s"hash$n").as("scheme"), lit(n.toLong).as("n_shards"),
+          col("used"), col("max_load"),
+          floor(col("max_load") * lit(n.toLong) * lit(1000000L) / col("total"))
+            .cast("long").as("imbalance_q6"))
+      val bySource = dl.groupBy(col("source")).agg(sum(col("t")).as("load"))
+        .agg(max(col("load")).as("max_load"), count(lit(1)).as("n_src"))
+        .crossJoin(broadcast(tot))
+        .select(lit("by_source").as("scheme"), col("n_src").as("n_shards"),
+          col("n_src").as("used"), col("max_load"),
+          floor(col("max_load") * col("n_src") * lit(1000000L) / col("total"))
+            .cast("long").as("imbalance_q6"))
+      Seq(8, 32, 128).map(hashScheme).reduce(_ unionAll _)
+        .unionAll(bySource)
+        .orderBy("scheme")
+    },
+
     // the CORPUS CARD — the one-row release report a dataset ships
     // (docs/tokens/vocab, source+lang spread, exact-dup docs, LSH
     // candidate pairs, exact median length, quality keep-rate): every
@@ -646,6 +680,23 @@ object DataQueries10 {
         |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
         |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "d99_shard_balance" ->
+      """WITH dl AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM dl),
+        |h AS (SELECT n, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % n AS shard, t
+        |      FROM dl, (SELECT unnest([8, 32, 128]) AS n)),
+        |hl AS (SELECT n, shard, sum(t) AS load FROM h GROUP BY n, shard),
+        |hs AS (SELECT 'hash' || CAST(n AS VARCHAR) AS scheme, CAST(n AS BIGINT) AS n_shards,
+        |         CAST(count(*) AS BIGINT) AS used, CAST(max(load) AS BIGINT) AS max_load,
+        |         CAST(floor(max(load) * n * 1000000.0 / (SELECT total FROM tot)) AS BIGINT) AS imbalance_q6
+        |       FROM hl GROUP BY n),
+        |sl AS (SELECT source, sum(t) AS load FROM dl GROUP BY source),
+        |ss AS (SELECT 'by_source' AS scheme, CAST(count(*) AS BIGINT) AS n_shards,
+        |         CAST(count(*) AS BIGINT) AS used, CAST(max(load) AS BIGINT) AS max_load,
+        |         CAST(floor(max(load) * count(*) * 1000000.0 / (SELECT total FROM tot)) AS BIGINT) AS imbalance_q6
+        |       FROM sl)
+        |SELECT * FROM hs UNION ALL SELECT * FROM ss ORDER BY scheme""".stripMargin,
 
     "d98_corpus_card" ->
       (s"WITH ${DataQueries.minhashPairsCte}," +

@@ -128,6 +128,21 @@ class Wave5Spec extends AnyFunSuite {
     assert(r.getAs[Long]("median_len") > 0)
   }
 
+  test("d99 shard balance: imbalance >= even-split floor and finer sharding uses more shards") {
+    val rows = q("d99_shard_balance").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      // max load * n_shards >= total => imbalance >= ~1e6 (floor may shave 1)
+      assert(r.getAs[Long]("imbalance_q6") >= 999999L, r.toString)
+      assert(r.getAs[Long]("used") <= r.getAs[Long]("n_shards"))
+    }
+    val hashRows = rows.filter(_.getAs[String]("scheme").startsWith("hash"))
+      .sortBy(_.getAs[Long]("n_shards"))
+    // coarser sharding has more tokens per shard
+    val maxLoads = hashRows.map(_.getAs[Long]("max_load"))
+    assert(maxLoads.zip(maxLoads.tail).forall { case (a, b) => b <= a })
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
