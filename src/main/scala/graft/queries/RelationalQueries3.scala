@@ -8,8 +8,9 @@ import graft.sources.Tables
 
 /** Third wave of relational surface: unpivot/melt, correlated EXISTS /
   * NOT EXISTS, IGNORE NULLS window navigation (carry-forward), array scalar
-  * surface, FILTER-style conditional aggregation, bitwise aggregates, and
-  * regex extraction — each oracle-checked against DuckDB.
+  * surface, FILTER-style conditional aggregation, bitwise aggregates,
+  * regex extraction, and the ordered-conversion funnel — each
+  * oracle-checked against DuckDB.
   */
 object RelationalQueries3 {
 
@@ -154,7 +155,46 @@ object RelationalQueries3 {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           sum(col("nd")).as("sum_digits"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ordered-conversion funnel over the event stream (view -> click ->
+    // purchase, strictly increasing event time per user) — the classic
+    // product-analytics read missing from plain sessionization: stage k
+    // counts users whose earliest qualifying stage-k event FOLLOWS their
+    // stage-(k-1) time. Each stage is one equi-join against the previous
+    // stage's (user, t) table + one partial-aggregatable min rollup on
+    // user_id — k chained shuffles on the same key (co-partitioned after
+    // the first), never a window over the raw stream; the 3 counts compose
+    // through one-row cross joins exactly like d98's card.
+    "q43_funnel" -> { (s: SparkSession, dir: String) =>
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val c1 = s1.agg(count(lit(1)).as("u1"))
+      val c2 = s2.agg(count(lit(1)).as("u2"))
+      val c3 = s3.agg(count(lit(1)).as("u3"))
+      c1.crossJoin(c2).crossJoin(c3)
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("u1").as("users"),
+            lit(1000000L).as("conv_q6")),
+          struct(lit("2_click").as("stage"), col("u2").as("users"),
+            when(col("u1") === 0, 0L).otherwise(
+              floor(col("u2") * lit(1000000L) / col("u1")).cast("long"))
+              .as("conv_q6")),
+          struct(lit("3_purchase").as("stage"), col("u3").as("users"),
+            when(col("u2") === 0, 0L).otherwise(
+              floor(col("u3") * lit(1000000L) / col("u2")).cast("long"))
+              .as("conv_q6")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.users").as("users"),
+          col("r.conv_q6").as("conv_q6"))
+        .orderBy("stage")
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +290,22 @@ object RelationalQueries3 {
         |FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k, CAST(sum(nd) AS BIGINT) AS sum_digits
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q43_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS u1,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS u2,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS u3)
+        |SELECT '1_view' AS stage, u1 AS users, CAST(1000000 AS BIGINT) AS conv_q6 FROM c
+        |UNION ALL
+        |SELECT '2_click', u2, CASE WHEN u1 = 0 THEN 0 ELSE CAST(floor(u2 * 1000000.0 / u1) AS BIGINT) END FROM c
+        |UNION ALL
+        |SELECT '3_purchase', u3, CASE WHEN u2 = 0 THEN 0 ELSE CAST(floor(u3 * 1000000.0 / u2) AS BIGINT) END FROM c
+        |ORDER BY stage""".stripMargin
   )
 }
