@@ -356,6 +356,38 @@ object DataQueries10 {
         .orderBy("source")
     },
 
+    // media near-dup by shared frame hashes — the d81/d03 bucket-candidate
+    // discipline applied to the MULTIMODAL path: sample frames (m02's
+    // per-partition stub codec; a real decoder swaps in without touching
+    // the plan), df-valve the frame hashes (2..16 — ubiquitous intro/outro
+    // frames never explode the join), pair media sharing >= 2 hashes, and
+    // score overlap against the smaller item's distinct-frame count
+    // (containment, the d63 convention). At 100 TB the candidate join is
+    // priced on valved frame-hash buckets — never media x media.
+    "m05_media_neardup" -> { (s: SparkSession, dir: String) =>
+      val fr = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()
+        .select(col("doc_id"), col("phash")).distinct()
+      val nf = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val valve = fr.groupBy(col("phash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df").between(2, 16))
+        .select(col("phash"))
+      val fo = fr.join(valve, Seq("phash"))
+      val pairs = fo.select(col("doc_id").as("a"), col("phash"))
+        .join(fo.select(col("doc_id").as("b"), col("phash")), Seq("phash"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(nf.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
+        .join(nf.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("shared"),
+          floor(col("shared") * lit(1000000L) / least(col("na"), col("nb")))
+            .cast("long").as("overlap_q6"))
+        .orderBy("a", "b")
+    },
+
     // shard-balance audit — the partition-key health check run BEFORE
     // choosing how to lay 100 TB out: token load per shard under doc-id
     // hash-sharding at 8/32/128 shards vs keying by `source` (the natural
@@ -680,6 +712,23 @@ object DataQueries10 {
         |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
         |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "m05_media_neardup" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n // 100 AS BIGINT) - 1, 3)) AS idx
+        |      FROM m WHERE n >= 100),
+        |fr AS (SELECT DISTINCT doc_id, CAST((n * 131 + idx * 7) % 2147483647 AS BIGINT) AS phash FROM f),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fr GROUP BY doc_id),
+        |valve AS (SELECT phash FROM (SELECT phash, count(DISTINCT doc_id) AS df FROM fr GROUP BY phash)
+        |          WHERE df BETWEEN 2 AND 16),
+        |fo AS (SELECT fr.doc_id, fr.phash FROM fr JOIN valve USING (phash)),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |          FROM fo x JOIN fo y ON x.phash = y.phash AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.shared,
+        |  CAST(floor(p.shared * 1000000.0 / least(na.nf, nb.nf)) AS BIGINT) AS overlap_q6
+        |FROM pairs p JOIN nf na ON na.doc_id = p.a JOIN nf nb ON nb.doc_id = p.b
+        |WHERE p.shared >= 2 ORDER BY p.a, p.b""".stripMargin,
 
     "d99_shard_balance" ->
       """WITH dl AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
