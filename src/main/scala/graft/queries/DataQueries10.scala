@@ -356,6 +356,34 @@ object DataQueries10 {
         .orderBy("source")
     },
 
+    // dup↔quality interaction — the hypothesis test behind "dedup removes
+    // low-quality boilerplate": do near-dup-clustered docs differ from
+    // singletons in length and stopword rate? Composes the shared d15
+    // clusters (memoized connected components) with d06's quality
+    // expressions; per-doc rates are floor-quantized BEFORE the per-group
+    // mean (sum of longs / count, floored — accumulation-order-exact), so
+    // the 2-row answer is engine-exact. One narrow quality projection +
+    // one broadcast-scale left join + one 2-group rollup.
+    "d100_dup_quality" -> { (s: SparkSession, dir: String) =>
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val nStop = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a|of|and|to)\\b"), lit(0))).cast("long")
+      val q = docs(s, dir).select(col("doc_id"), nTok.as("nt"),
+        floor(nStop * lit(1000000L) / nTok).cast("long").as("stop_q6"))
+      val cl = DataQueries3.dedupClusters(s, dir).select(col("doc_id"), lit(1).as("m"))
+      q.join(cl, Seq("doc_id"), "left")
+        .select(when(col("m").isNotNull, "clustered").otherwise("singleton")
+          .as("status"), col("nt"), col("stop_q6"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+          sum(col("stop_q6")).as("ssq"))
+        .select(col("status"), col("n_docs"), col("tokens"),
+          floor(col("tokens") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("mean_len_q6"),
+          floor(col("ssq") / col("n_docs")).cast("long").as("mean_stop_q6"))
+        .orderBy("status")
+    },
+
     // media near-dup by shared frame hashes — the d81/d03 bucket-candidate
     // discipline applied to the MULTIMODAL path: sample frames (m02's
     // per-partition stub codec; a real decoder swaps in without touching
@@ -712,6 +740,26 @@ object DataQueries10 {
         |  CAST(COALESCE(h32.hits_r32, 0) AS BIGINT) AS hits_r32
         |FROM ks LEFT JOIN ha USING (qid) LEFT JOIN h8 USING (qid) LEFT JOIN h32 USING (qid)
         |ORDER BY ks.qid""".stripMargin,
+
+    "d100_dup_quality" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |cl AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |q AS (SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+        |    CAST(floor(len(regexp_extract_all(d.text, '\b(the|a|of|and|to)\b')) * 1000000.0
+        |      / len(string_split(d.text, ' '))) AS BIGINT) AS stop_q6,
+        |    CASE WHEN cl.doc_id IS NULL THEN 'singleton' ELSE 'clustered' END AS status
+        |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens,
+        |  CAST(floor(sum(nt) * 1000000.0 / count(*)) AS BIGINT) AS mean_len_q6,
+        |  CAST(floor(sum(stop_q6) * 1.0 / count(*)) AS BIGINT) AS mean_stop_q6
+        |FROM q GROUP BY status ORDER BY status""".stripMargin),
 
     "m05_media_neardup" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
