@@ -143,6 +143,31 @@ class Wave5Spec extends AnyFunSuite {
     assert(maxLoads.zip(maxLoads.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q43 funnel: stage user counts never increase down the funnel") {
+    val rows = q("q43_funnel").collect().sortBy(_.getAs[String]("stage"))
+    assert(rows.length == 3)
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(users.zip(users.tail).forall { case (a, b) => b <= a }, users.mkString(","))
+    rows.foreach(r => assert(r.getAs[Long]("conv_q6") <= 1000000L))
+  }
+
+  test("m05 media near-dup: containment bounded, pairs ordered, shared >= 2") {
+    val rows = q("m05_media_neardup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("shared") >= 2)
+      assert(r.getAs[Long]("overlap_q6") <= 1000000L)
+    }
+  }
+
+  test("d100 dup-quality: the two groups partition the corpus") {
+    val rows = q("d100_dup_quality").collect()
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(rows.map(_.getAs[String]("status")).toSet == Set("clustered", "singleton"))
+  }
+
   test("d92 histogram quantiles: upper-edge estimates never undershoot; estimates are monotone in p") {
     val rows = q("d92_hist_quantiles").collect().sortBy(_.getAs[Long]("p"))
     assert(rows.length == 4)
