@@ -186,7 +186,13 @@ class E2ESpec extends AnyFunSuite {
   }
 
   test("receiver cache: same port with different settings fails fast, never a silent mismatch") {
-    val port = 19217
+    // ephemeral allocation instead of a fixed port: the JDK http server
+    // binds without SO_REUSEADDR, so a TIME_WAIT remnant of a fixed port
+    // (observed flake) would fail the bind before the test begins
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
     val r = graft.sources.HttpRemoteWriteSource.receiver(port, "/write", validate = true)
     try {
       // identical settings: same receiver handed back
