@@ -45,7 +45,7 @@ object DataQueries10 {
   /** Exact integer squared Euclidean distance between two q6-quantized
     * component arrays.
     */
-  private def d2q(x: Column, c: Column): Column =
+  private[graft] def d2q(x: Column, c: Column): Column =
     aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 

@@ -20,6 +20,23 @@ class Wave5Spec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("d2q kernel equals the imperative integer squared distance on random vectors") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(16)(rnd.nextLong() % 10000000L),
+      Seq.fill(16)(rnd.nextLong() % 10000000L)))
+    val got = rows.toDF("x", "c")
+      .select(queries.DataQueries10.d2q(col("x"), col("c")).as("d2"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((x, c), d) =>
+      val expect = x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d == expect, s"x=$x c=$c")
+    }
+  }
+
   test("d89 k-means: every round partitions the corpus; inertia never increases") {
     val rows = q("d89_kmeans_train").collect()
     val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
