@@ -112,6 +112,50 @@ object StreamOps {
   def repetitionStats(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withRepetitionStats(df, textCol)
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+  final case class FunnelTransition(
+      user_id: Long, stage: Int, stage_name: String, ts_ms: Long)
+
+  /** Per-user funnel state. */
+  final case class FunnelState(stage: Int, lastTsMs: Long)
+
+  /** Streaming ordered-conversion funnel (the streaming twin of q43) as
+    * explicit per-user GroupState: stage k advances only on the k-th stage
+    * name with event time STRICTLY after the previous advance, emitting one
+    * transition row per advance. State is two numbers per live user,
+    * hash-partitioned by the groupByKey shuffle. Within a trigger the
+    * group's events are processed in event-time order; across triggers
+    * this is a processing-order funnel (a stage event arriving after a
+    * later trigger already advanced past it cannot advance retroactively —
+    * the standard live-funnel semantics; the q43 batch query is the
+    * retrospective exact answer).
+    */
+  def funnelState(ds: org.apache.spark.sql.Dataset[FunnelEvent],
+      stages: Seq[String]): org.apache.spark.sql.Dataset[FunnelTransition] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val outEnc = E.product[FunnelTransition]
+    implicit val stEnc = E.product[FunnelState]
+    implicit val keyEnc = E.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent],
+            state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage)
+                && e.ts_ms > st.lastTsMs) {
+              st = FunnelState(st.stage + 1, e.ts_ms)
+              out += FunnelTransition(user, st.stage, e.event_type, e.ts_ms)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-window mergeable histogram sketch (the streaming twin of d92): a
     * fixed `nBins`-bin width-`binWidth` histogram of `valueCol` per
     * event-time tumbling window — the length/latency monitor a streaming

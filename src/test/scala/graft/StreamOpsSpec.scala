@@ -282,6 +282,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state: stages advance in order across triggers, never retroactively") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamOps.FunnelEvent
+    val ms = MemoryStream[FunnelEvent](spark)
+    val q = StreamOps.funnelState(ms.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // user 1: full path in one trigger, out of order within the batch
+      // (sorted by ts before processing); user 2: click before any view —
+      // must NOT advance
+      ms.addData(
+        FunnelEvent(1L, "purchase", 30L), FunnelEvent(1L, "view", 10L),
+        FunnelEvent(1L, "click", 20L),
+        FunnelEvent(2L, "click", 10L))
+      q.processAllAvailable()
+      // next trigger: user 2 views at t=20, then clicks at t=30 (advances);
+      // a late view at t=5 for user 1 changes nothing (already past stage 1)
+      ms.addData(FunnelEvent(2L, "view", 20L), FunnelEvent(2L, "click", 30L),
+        FunnelEvent(1L, "view", 5L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, 1, "view", 10L), (1L, 2, "click", 20L), (1L, 3, "purchase", 30L),
+        (2L, 1, "view", 20L), (2L, 2, "click", 30L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("histogram sketch: per-window bin counts merge across triggers and clamp the top bin") {
     val s = spark
     import s.implicits._
