@@ -9,7 +9,8 @@ import graft.sources.Tables
 /** Third wave of relational surface: unpivot/melt, correlated EXISTS /
   * NOT EXISTS, IGNORE NULLS window navigation (carry-forward), array scalar
   * surface, FILTER-style conditional aggregation, bitwise aggregates,
-  * regex extraction, and the ordered-conversion funnel — each
+  * regex extraction, the ordered-conversion funnel, and window
+  * distribution functions (ntile/percent_rank/cume_dist) — each
   * oracle-checked against DuckDB.
   */
 object RelationalQueries3 {
@@ -194,6 +195,30 @@ object RelationalQueries3 {
         .select(col("r.stage").as("stage"), col("r.users").as("users"),
           col("r.conv_q6").as("conv_q6"))
         .orderBy("stage")
+    },
+
+    // window distribution functions — ntile / percent_rank / cume_dist
+    // over a per-flag total order (price, orderkey/linenumber tie-break
+    // makes every rank deterministic), then aggregated per (flag, quartile)
+    // so the output stays bounded. The rank ratios are exact small
+    // rationals; q6 floor-quantization keeps the cross-engine compare on
+    // integers. Per-partition sort only — the partition count is the
+    // 3-value flag domain, each an independent sort, the shape AQE splits
+    // across executors.
+    "q44_ntile_dist" -> { (s: SparkSession, dir: String) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("q4", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("l_returnflag"), col("q4").cast("long").as("q4"))
+        .agg(count(lit(1)).as("n"),
+          floor(min(col("pr")) * lit(1000000.0)).cast("long").as("min_pr_q6"),
+          floor(max(col("cd")) * lit(1000000.0)).cast("long").as("max_cd_q6"))
+        .orderBy("l_returnflag", "q4")
     }
   )
 
@@ -306,6 +331,18 @@ object RelationalQueries3 {
         |SELECT '2_click', u2, CASE WHEN u1 = 0 THEN 0 ELSE CAST(floor(u2 * 1000000.0 / u1) AS BIGINT) END FROM c
         |UNION ALL
         |SELECT '3_purchase', u3, CASE WHEN u2 = 0 THEN 0 ELSE CAST(floor(u3 * 1000000.0 / u2) AS BIGINT) END FROM c
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    "q44_ntile_dist" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p,
+        |    ntile(4) OVER w AS q4,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE), l_orderkey, l_linenumber))
+        |SELECT l_returnflag, CAST(q4 AS BIGINT) AS q4, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(min(pr) * 1000000.0) AS BIGINT) AS min_pr_q6,
+        |  CAST(floor(max(cd) * 1000000.0) AS BIGINT) AS max_cd_q6
+        |FROM r GROUP BY l_returnflag, q4 ORDER BY l_returnflag, q4""".stripMargin
   )
 }
