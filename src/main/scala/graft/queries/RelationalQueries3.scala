@@ -10,7 +10,8 @@ import graft.sources.Tables
   * NOT EXISTS, IGNORE NULLS window navigation (carry-forward), array scalar
   * surface, FILTER-style conditional aggregation, bitwise aggregates,
   * regex extraction, the ordered-conversion funnel, and window
-  * distribution functions (ntile/percent_rank/cume_dist) — each
+  * distribution functions (ntile/percent_rank/cume_dist), and
+  * time-series resampling with LOCF gap fill — each
   * oracle-checked against DuckDB.
   */
 object RelationalQueries3 {
@@ -219,6 +220,33 @@ object RelationalQueries3 {
           floor(min(col("pr")) * lit(1000000.0)).cast("long").as("min_pr_q6"),
           floor(max(col("cd")) * lit(1000000.0)).cast("long").as("max_cd_q6"))
         .orderBy("l_returnflag", "q4")
+    },
+
+    // time-series resample + gap fill: hourly grid per event type
+    // (sequence() between the observed bounds — no hardcoded range), LEFT
+    // join of the hourly rollup onto the grid, missing hours filled with
+    // n=0 and last-observation-carried-forward value (q35's IGNORE NULLS
+    // carry applied to a GENERATED grid — the dashboard/feature-store
+    // densification every metrics pipeline runs). Values are per-row
+    // q6-quantized before the hourly sum, so the carried values are
+    // engine-exact; the LOCF window runs over the bounded grid
+    // (|types| x |hours|), never the raw stream.
+    "q45_resample_fill" -> { (s: SparkSession, dir: String) =>
+      val ev = events(s, dir).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vq"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+      val grid = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+        .select(explode(expr("sequence(hmin, hmax, interval 1 hour)")).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sq"), ignoreNulls = true).over(w).as("locf_sq6"))
+        .orderBy("event_type", "h")
     }
   )
 
@@ -343,6 +371,22 @@ object RelationalQueries3 {
         |SELECT l_returnflag, CAST(q4 AS BIGINT) AS q4, CAST(count(*) AS BIGINT) AS n,
         |  CAST(floor(min(pr) * 1000000.0) AS BIGINT) AS min_pr_q6,
         |  CAST(floor(max(cd) * 1000000.0) AS BIGINT) AS max_cd_q6
-        |FROM r GROUP BY l_returnflag, q4 ORDER BY l_returnflag, q4""".stripMargin
+        |FROM r GROUP BY l_returnflag, q4 ORDER BY l_returnflag, q4""".stripMargin,
+
+    "q45_resample_fill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vq FROM events),
+        |hourly AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(vq) AS BIGINT) AS sq FROM ev GROUP BY event_type, h),
+        |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+        |grid AS (SELECT t.event_type, g.h
+        |         FROM (SELECT DISTINCT event_type FROM ev) t,
+        |              (SELECT unnest(generate_series(b.hmin, b.hmax, INTERVAL 1 HOUR)) AS h FROM b) g)
+        |SELECT g.event_type, g.h, COALESCE(hourly.n, 0) AS n,
+        |  last_value(hourly.sq IGNORE NULLS)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sq6
+        |FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+        |ORDER BY g.event_type, g.h""".stripMargin
   )
 }
