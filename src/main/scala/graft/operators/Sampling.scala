@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public deterministic sampling / splitting / mixing API — the d13/d29/
@@ -60,4 +61,38 @@ object Sampling {
         (col("__pos") + 1).cast("long").as("rank"),
         col(s"__t.$idCol").as(idCol),
         col(s"__t.$orderCol").as(orderCol)): _*)
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "A-ES"): each row draws u in (0, 1] from md5 chars
+    * 19-26 of its id (a fourth DISJOINT hash window, so the draw is
+    * independent of the sample/split/mix decisions above) and keeps key
+    * ln(u)/w — the k LARGEST keys are a weighted sample where a row's
+    * inclusion odds are proportional to its weight. Content-independent,
+    * coordination-free, reproducible across engines and shards like every
+    * decision in this file; ln() appears once per row behind a 1e-9
+    * floor-quantization (the d52/d57 ulp discipline), so the ordering the
+    * top-k sees is engine-exact.
+    *
+    * Scale shape: one narrow map then a bounded top-k
+    * (TakeOrderedAndProject — k rows per partition move, never a global
+    * sort); the rank window runs over the k collected rows only.
+    *
+    * Returns `(rank, idCol, weight, key_q9)`, best first.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    // (h + 1) / (2^32 + 1) in (0, 1]: u = 1 -> key 0 (best possible)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 19, 8), 16, 10)
+      .cast("long") + 1L).cast("double") / 4294967297.0d
+    val keyed = df
+      .filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        floor(log(u) / col(weightCol).cast("double") * 1000000000.0d)
+          .cast("long").as("key_q9"))
+      .orderBy(col("key_q9").desc, col(idCol)).limit(k)
+    keyed.select(
+      row_number().over(Window.orderBy(col("key_q9").desc, col(idCol)))
+        .cast("long").as("rank"),
+      col(idCol), col("weight"), col("key_q9"))
+  }
 }

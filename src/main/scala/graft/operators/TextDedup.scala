@@ -677,4 +677,55 @@ object TextDedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Prefix-filtering similarity join (the PPJoin/AllPairs candidate rule —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): for Jaccard threshold
+    * `tNum/tDen`, two gram sets of sizes na, nb can only reach the
+    * threshold if their `n - ceil(t*n) + 1` RAREST grams (by global
+    * document frequency, ties by gram value) intersect — so candidate
+    * generation joins only on prefix grams, then the exact inter/union
+    * verify runs on candidates alone. EXACT-COMPLETE (no LSH false
+    * negatives): every pair with true Jaccard >= t is returned.
+    *
+    * Scale shape: one df rollup over the gram table; the rank window is
+    * PARTITIONED BY document (per-doc gram counts are bounded by doc
+    * length, never a corpus sort); candidate expansion is the d03
+    * bucket-shuffle on prefix grams only — and prefix grams are by
+    * construction the globally RAREST, so bucket fan-out is naturally
+    * tiny (boilerplate grams rank last and never enter a prefix);
+    * verification is an equi-join priced on |candidates| x grams/doc.
+    *
+    * Returns `(a, b, inter, uni)` with `a < b` and
+    * `inter * tDen >= uni * tNum` (Jaccard >= t, integer-exact).
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1")
+    val g = docs.select(col(idCol).as("__id"),
+      explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val ranked = g.join(dfreq, "g").join(sizes, "__id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("df"), col("g"))))
+    // prefix length n - ceil(t*n) + 1; ceil(tNum*n/tDen) = (tNum*n + tDen-1) div tDen
+    val prefix = ranked.filter(
+      col("rk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+    val cand = prefix.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(pairExpand(col("ids")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val inter = cand
+      .join(g.as("ga"), col("a") === col("ga.__id"))
+      .join(g.as("gb"), col("b") === col("gb.__id") && col("ga.g") === col("gb.g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.__id"))
+      .join(sizes.as("sb"), col("b") === col("sb.__id"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+  }
 }

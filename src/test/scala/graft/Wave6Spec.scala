@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the wave-11 queries (d101–d115). The oracle gate pins
+  * exact values at sf0.01; these pin the semantic guarantees that hold at
+  * any scale factor — the properties a 100 TB run relies on.
+  */
+class Wave6Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("d101 prefix filtering is exact-complete: equals brute-force J >= 0.8 pairs") {
+    val s = spark
+    import s.implicits._
+    // crafted corpus: 0/1 near-identical (J ~ 0.9), 2 unrelated, 3/4 exact
+    // duplicates, 5 shares a few grams with 0 but far below threshold
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h i j k m"),
+      (2L, "q r s t u v w x y z zz qq"),
+      (3L, "m n o p m n o p m n o p"),
+      (4L, "m n o p m n o p m n o p"),
+      (5L, "a b c zz yy xx ww vv uu tt ss rr")).toDF("doc_id", "text")
+    val got = operators.TextDedup
+      .prefixFilterPairs(docs, "doc_id", "text", 3, 4, 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs with the same shingle definition
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(i =>
+      i -> grams(docs.filter(col("doc_id") === i).head().getString(1))).toMap
+    val expect = (for {
+      a <- all.keys; b <- all.keys if a < b
+      in = (all(a) & all(b)).size; un = (all(a) | all(b)).size
+      if in * 5 >= un * 4
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.contains((0L, 1L)) && expect.contains((3L, 4L)))
+  }
+
+  test("weightedSample: deterministic, bounded, rank consistent with key order") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).map(i => (i, i % 37 + 1)).toDF("id", "w")
+    val a = operators.Sampling.weightedSample(df, "id", "w", 20).collect()
+    val b = operators.Sampling.weightedSample(df, "id", "w", 20).collect()
+    assert(a.toSeq == b.toSeq, "re-run must reproduce exactly")
+    assert(a.length == 20)
+    val keys = a.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("key_q9"))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y })
+    // all keys are <= 0 (ln u <= 0, w > 0)
+    assert(keys.forall(_ <= 0L))
+  }
+
+  test("d103 silhouette: s bounded by construction, cells partition the corpus") {
+    val rows = q("d103_silhouette").collect()
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mean_s_q6")
+      assert(m >= 0L && m <= 1000000L,
+        "b >= a for the argmin assignment, so s in [0, 1]")
+    }
+  }
+
+  test("d104 band sweep: candidate volume is monotone in band count") {
+    // every 2k-slot band is the union of two k-slot bands, so agreement at
+    // fewer/wider bands implies agreement at more/narrower bands
+    val rows = q("d104_band_sweep").collect().sortBy(_.getAs[Long]("bands"))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (lo, hi) => lo <= hi })
+    val th = rows.map(_.getAs[Long]("thresh_q6"))
+    assert(th.zip(th.tail).forall { case (hi, lo) => lo <= hi },
+      "more bands -> lower S-curve threshold")
+  }
+
+  test("d105 graph stats: triangles bounded by wedges, degrees by nodes") {
+    val r = q("d105_graph_stats").head()
+    assert(r.getAs[Long]("n_triangles") * 3 <= math.max(r.getAs[Long]("n_wedges"), 1L))
+    assert(r.getAs[Long]("max_degree") < math.max(r.getAs[Long]("n_nodes"), 1L))
+    assert(r.getAs[Long]("cc_q6") >= 0L && r.getAs[Long]("cc_q6") <= 1000000L)
+  }
+
+  test("d107 apportionment sums exactly to the budget") {
+    val rows = q("d107_apportion").collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L)
+    rows.foreach(r =>
+      assert((r.getAs[Long]("alloc") - r.getAs[Long]("base_alloc")).abs <= 1L))
+  }
+
+  test("d108 water-filling: feasible (alloc <= avail) and exhausts the budget") {
+    val rows = q("d108_waterfill").collect()
+    rows.foreach(r => assert(r.getAs[Long]("alloc") <= r.getAs[Long]("avail")))
+    val t = rows.map(_.getAs[Long]("avail")).sum
+    assert(rows.map(_.getAs[Long]("alloc")).sum == t * 19 / 20)
+    // unsaturated sources are levelled within 1 token of each other
+    val un = rows.filter(!_.getAs[Boolean]("saturated")).map(_.getAs[Long]("alloc"))
+    if (un.nonEmpty) assert(un.max - un.min <= 1L)
+  }
+
+  test("d110 truncation curve: monotone in the cap") {
+    val rows = q("d110_trunc_budget").collect().sortBy(_.getAs[Long]("cap"))
+    val lost = rows.map(_.getAs[Long]("tokens_lost"))
+    assert(lost.zip(lost.tail).forall { case (a, b) => b <= a })
+    val kept = rows.map(_.getAs[Long]("tokens_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("d111: 60-bit gram hashing is collision-free on this corpus") {
+    val r = q("d111_hash_collisions").head()
+    assert(r.getAs[Long]("coll_60") == 0L,
+      "the 'grams cross shuffles as longs' discipline rests on this")
+    assert(r.getAs[Long]("n_h20") <= r.getAs[Long]("n_h60"))
+  }
+
+  test("d112 ablation: joint kills bounded by solo kills; diagonal is consistent") {
+    val rows = q("d112_rule_ablation").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kill_both") <= r.getAs[Long]("kill_a"))
+      if (r.getAs[String]("rule_a") == r.getAs[String]("rule_b"))
+        assert(r.getAs[Long]("kill_both") == r.getAs[Long]("kill_a"))
+    }
+  }
+
+  test("d113 packing: both orders respect the token-count lower bound") {
+    val rows = q("d113_pack_order").collect()
+    rows.foreach { r =>
+      val lb = (r.getAs[Long]("tokens") + 255L) / 256L
+      assert(r.getAs[Long]("nseq_arrival") >= lb)
+      assert(r.getAs[Long]("nseq_sorted") >= lb)
+    }
+  }
+
+  test("d115 bloom audit: no false negatives, fp rate within bound") {
+    val r = q("d115_bloom_audit").head()
+    assert(r.getAs[Boolean]("bloom_superset"))
+    assert(r.getAs[Boolean]("fp_within_bound"))
+    assert(r.getAs[Long]("exact_hits") <= r.getAs[Long]("n_probe"))
+  }
+}
