@@ -383,8 +383,24 @@ object TextDedup {
   }
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
-    val buckets = bandBuckets(docs, idCol, textCol, shingleN, bands)
+      shingleN: Int = 3, bands: Int = 4, maxBucket: Int = 0): DataFrame =
+    minhashCandidatesFromSignatures(
+      minhashSignatures(docs, idCol, textCol, shingleN), bands, maxBucket)
+
+  /** [[minhashCandidates]] over a PRECOMPUTED (typically persisted/shared)
+    * [[minhashSignatures]] result — a band-config sweep (d104) bands the
+    * same signature table several ways, so the signature pass (the
+    * dominant cost: scan + shingle kernel + 16-min aggregation) should run
+    * once and be reused.
+    */
+  def minhashCandidatesFromSignatures(sig: DataFrame, bands: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
+    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
+    val rows = 16 / bands
+    val buckets = sig.select(col("__id"), explode(array(
+      (0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col(s"m${rows * b + r}")): _*)
+      }: _*)).as("bk"))
     val grouped = buckets.groupBy(col("bk"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -701,8 +717,12 @@ object TextDedup {
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1")
+    // the gram table feeds FIVE consumers (df rollup, sizes, the ranked
+    // prefix, and both sides of the verify join); persist it once or the
+    // scan+shingle+distinct subtree re-executes per consumer
     val g = docs.select(col(idCol).as("__id"),
       explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
+      .persist()
     val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     val ranked = g.join(dfreq, "g").join(sizes, "__id")
