@@ -147,4 +147,28 @@ class Wave6Spec extends AnyFunSuite {
     assert(r.getAs[Boolean]("fp_within_bound"))
     assert(r.getAs[Long]("exact_hits") <= r.getAs[Long]("n_probe"))
   }
+
+  test("d116 MMR: step 1 is the relevance argmax; scores never exceed pure relevance") {
+    val rows = q("d116_mmr_rerank").collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 4, "no re-selection")
+    val first = rows.head
+    assert(first.getAs[Long]("score_q6") == 7L * first.getAs[Long]("rel_q6"))
+    rows.tail.foreach(r =>
+      assert(r.getAs[Long]("score_q6") <= 7L * r.getAs[Long]("rel_q6"),
+        "the redundancy penalty can only subtract"))
+  }
+
+  test("d117 cross-val: val docs are a strict minority and never feed the counts") {
+    val rows = q("d117_crossval_lm").collect()
+    val nVal = rows.map(_.getAs[Long]("n_val_docs")).sum
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(nVal > 0 && nVal * 10 < total, s"~1/20 split, got $nVal of $total")
+  }
+
+  test("d118 threshold curve is non-increasing in the cut") {
+    val rows = q("d118_thresh_curve").collect().sortBy(_.getAs[Long]("t_pct"))
+    val n = rows.map(_.getAs[Long]("n_pairs"))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a })
+  }
 }
