@@ -185,24 +185,13 @@ object DataQueries11 {
     // rule (quota floor + ranked remainders) that sums EXACTLY to the
     // budget, which proportional rounding does not. One corpus rollup to
     // |sources| rows; everything after runs on the bounded table.
-    "d107_apportion" -> ((s, dir) => {
-      // |sources|-row rollup persisted: total, quota and remainder-rank
-      // branches all reuse the one corpus scan
-      val t = docs(s, dir).groupBy("source")
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
-        .persist()
-      val tot = t.agg(sum(col("tok")).as("T"))
-      val base = t.crossJoin(broadcast(tot))
-        .select(col("source"), col("tok"),
-          expr("(1000 * tok) div T").as("base"),
-          expr("(1000 * tok) % T").as("rem"))
-      val leftover = base.agg((lit(1000L) - sum(col("base"))).as("leftover"))
-      base.crossJoin(broadcast(leftover))
-        .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-        .select(col("source"), col("tok").as("tokens"), col("base").as("base_alloc"),
-          (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
-        .orderBy("source")
-    }),
+    "d107_apportion" -> ((s, dir) =>
+      graft.operators.Allocation.apportion(
+        docs(s, dir).groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok")),
+        "source", "tok", 1000L)
+        .select(col("source"), col("tok").as("tokens"), col("base_alloc"), col("alloc"))
+        .orderBy("source")),
 
     // water-filling allocation: a 95%-of-corpus token budget spread as
     // evenly as sources allow, each capped by its availability — the
@@ -212,32 +201,14 @@ object DataQueries11 {
     // one-row aggregate decide the level; remainder goes largest-
     // remainder-style to the first unsaturated sources.
     "d108_waterfill" -> ((s, dir) => {
-      // same persist rationale as d107: four consumers of one corpus rollup
+      // the 19/20 budget is computed from the same rollup the API consumes;
+      // one bounded collect of the one-row total (the budget is a scalar
+      // parameter of the closed form, not a column)
       val t = docs(s, dir).groupBy("source")
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
         .persist()
-      val tot = t.agg(sum(col("avail")).as("T"), count(lit(1)).as("m"))
-      val w = Window.orderBy(col("avail"), col("source"))
-      val o = t.select(col("source"), col("avail"),
-        row_number().over(w).cast("long").as("k"),
-        sum(col("avail")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("pk"))
-      val st = o.crossJoin(broadcast(tot))
-        .withColumn("B", expr("T * 19 div 20"))
-        .withColumn("sat",
-          col("avail") * (col("m") - col("k") + 1) + (col("pk") - col("avail")) <= col("B"))
-      val lvl = st.agg(
-        coalesce(max(when(col("sat"), col("k"))), lit(0L)).as("kstar"),
-        coalesce(max(when(col("sat"), col("pk"))), lit(0L)).as("psat"),
-        max(col("B")).as("B2"), max(col("m")).as("m2"))
-        .select(col("kstar"),
-          expr("(B2 - psat) div (m2 - kstar)").as("base"),
-          expr("(B2 - psat) % (m2 - kstar)").as("extra"))
-      st.crossJoin(broadcast(lvl))
-        .select(col("source"), col("avail"), col("sat").as("saturated"),
-          when(col("sat"), col("avail"))
-            .otherwise(col("base") +
-              when(col("k") - col("kstar") <= col("extra"), 1L).otherwise(0L))
-            .as("alloc"))
+      val budget = t.agg(sum(col("avail"))).first().getLong(0) * 19L / 20L
+      graft.operators.Allocation.waterfill(t, "source", "avail", budget)
         .orderBy("source")
     }),
 

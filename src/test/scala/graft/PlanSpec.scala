@@ -391,6 +391,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d101: the prefix-rank window is partitioned by document (never a global sort)") {
+    val p = plan("d101_prefix_filter")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(__id"),
+      "the rank window must exchange on the doc id, not a single partition\n" + p)
+  }
+
+  test("d106/d109: bounded top-k is a TakeOrdered, not a global sort+limit") {
+    assert(plan("d106_weighted_sample").contains("TakeOrderedAndProject"),
+      "A-ES top-k must be a bounded TakeOrdered")
+    assert(plan("d109_zipf_slope").contains("TakeOrderedAndProject"),
+      "the vocab prune must be a bounded TakeOrdered (the d74 rule)")
+  }
+
+  test("d112: the ablation matrix plans with no join and no row fan-out") {
+    val p = plan("d112_rule_ablation")
+    assert(!p.contains("Join"), "one narrow conditional aggregation expected\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly

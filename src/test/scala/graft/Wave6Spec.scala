@@ -148,6 +148,27 @@ class Wave6Spec extends AnyFunSuite {
     assert(r.getAs[Long]("exact_hits") <= r.getAs[Long]("n_probe"))
   }
 
+  test("Allocation API: exact-sum and feasibility hold on random inputs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 5 + rnd.nextInt(20)
+      val rows = (1 to n).map(i => (s"k$i", 1L + rnd.nextInt(10000).toLong))
+      val df = rows.toDF("k", "w")
+      val budget = 1L + rnd.nextInt(5000).toLong
+      val ap = operators.Allocation.apportion(df, "k", "w", budget).collect()
+      assert(ap.map(_.getAs[Long]("alloc")).sum == budget, s"trial $trial apportion")
+      val total = rows.map(_._2).sum
+      val wb = 1L + rnd.nextLong(total) // in [1, total)
+      val wf = operators.Allocation.waterfill(df, "k", "w", wb).collect()
+      assert(wf.map(_.getAs[Long]("alloc")).sum == wb, s"trial $trial waterfill sum")
+      wf.foreach(r => assert(r.getAs[Long]("alloc") <= r.getAs[Long]("w")))
+      val un = wf.filter(!_.getAs[Boolean]("saturated")).map(_.getAs[Long]("alloc"))
+      if (un.nonEmpty) assert(un.max - un.min <= 1L, s"trial $trial level")
+    }
+  }
+
   test("d116 MMR: step 1 is the relevance argmax; scores never exceed pure relevance") {
     val rows = q("d116_mmr_rerank").collect().sortBy(_.getAs[Long]("step"))
     assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L, 4L))
