@@ -192,4 +192,31 @@ class Wave6Spec extends AnyFunSuite {
     val n = rows.map(_.getAs[Long]("n_pairs"))
     assert(n.zip(n.tail).forall { case (a, b) => b <= a })
   }
+
+  test("d119 chunk dedup: identity n_dup = total - distinct; fractions bounded") {
+    val r = q("d119_chunk_dedup").head()
+    assert(r.getAs[Long]("n_dup") ==
+      r.getAs[Long]("total_chunks") - r.getAs[Long]("n_distinct"))
+    val f = r.getAs[Long]("dup_frac_q6")
+    assert(f >= 0L && f <= 1000000L)
+  }
+
+  test("d120 confusion matrix: cells partition the corpus; shares bounded") {
+    val rows = q("d120_langid_confusion").collect()
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { cells =>
+      val s = cells.map(_.getAs[Long]("share_q6")).sum
+      assert(s <= 1000000L && s > 1000000L - cells.length - 1,
+        "floor shares of one row sum to 1e6 within |cells| units")
+    }
+  }
+
+  test("d121 val coverage: seen bounded by types, coverage in [0, 1e6]") {
+    q("d121_val_coverage").collect().foreach { r =>
+      assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_val_types"))
+      val c = r.getAs[Long]("coverage_q6")
+      assert(c >= 0L && c <= 1000000L)
+    }
+  }
 }
