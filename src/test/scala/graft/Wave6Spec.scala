@@ -219,4 +219,41 @@ class Wave6Spec extends AnyFunSuite {
       assert(c >= 0L && c <= 1000000L)
     }
   }
+
+  test("d122 dup-length profile: longer grams never duplicate more") {
+    val rows = q("d122_dup_length_profile").collect().sortBy(_.getAs[Long]("gram_n"))
+    // a duplicated 8-gram implies duplicated 5-grams inside it, etc. —
+    // instance mass is non-increasing in gram length
+    val inst = rows.map(_.getAs[Long]("dup_instances"))
+    assert(inst.zip(inst.tail).forall { case (a, b) => b <= a })
+    rows.foreach(r =>
+      assert(r.getAs[Long]("dup_instances") >= 2 * r.getAs[Long]("n_dup_grams")
+        || r.getAs[Long]("n_dup_grams") == 0L))
+  }
+
+  test("d123 source quality: keep counts bounded, ratios in range") {
+    q("d123_source_quality").collect().foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("tokens"))
+      assert(r.getAs[Long]("keep_q6") <= 1000000L)
+      assert(r.getAs[Long]("ttr_q6") <= 1000000L)
+    }
+  }
+
+  test("d124 purity: cells partition the corpus; purity bounded below by 1/|labels|") {
+    val rows = q("d124_cluster_purity").collect()
+    val n = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n"))
+      val p = r.getAs[Long]("purity_q6")
+      assert(p >= 1000000L / 10 - 1 && p <= 1000000L, "majority share >= 1/|labels|")
+    }
+  }
+
+  test("d125 kNN accuracy: every query scored exactly once") {
+    val r = q("d125_knn_accuracy").head()
+    assert(r.getAs[Long]("n_queries") == 16L)
+    assert(r.getAs[Long]("n_correct") <= 16L)
+  }
 }
