@@ -48,6 +48,39 @@ class Wave6Spec extends AnyFunSuite {
     assert(expect.contains((0L, 1L)) && expect.contains((3L, 4L)))
   }
 
+  test("d101 prefix filtering: completeness on seeded random corpora with planted near-dups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    for (trial <- 1 to 3) {
+      // random word-soup docs + planted one-word-substituted near-dups
+      val base = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = (0 until 8).map { j =>
+        val (_, t) = base(rnd.nextInt(base.size))
+        val w = t.split(" ")
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (100L + j, w.mkString(" "))
+      }
+      val docs = (base ++ planted).toDF("doc_id", "text")
+      val got = operators.TextDedup
+        .prefixFilterPairs(docs, "doc_id", "text", 3, 4, 5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      def grams(t: String) =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val all = (base ++ planted).map { case (i, t) => i -> grams(t) }.toMap
+      val expect = (for {
+        a <- all.keys; b <- all.keys
+        if a < b && all(a).nonEmpty && all(b).nonEmpty
+        in = (all(a) & all(b)).size; un = (all(a) | all(b)).size
+        if in * 5 >= un * 4
+      } yield (a, b)).toSet
+      assert(got == expect, s"trial $trial: got ${got.size}, expected ${expect.size}")
+    }
+  }
+
   test("weightedSample: deterministic, bounded, rank consistent with key order") {
     val s = spark
     import s.implicits._
@@ -255,5 +288,32 @@ class Wave6Spec extends AnyFunSuite {
     val r = q("d125_knn_accuracy").head()
     assert(r.getAs[Long]("n_queries") == 16L)
     assert(r.getAs[Long]("n_correct") <= 16L)
+  }
+
+  test("d126 decon: every held-out vector gets exactly one nearest train neighbor") {
+    val rows = q("d126_semantic_decon").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cos_q6") <= 1000000L)
+      assert(r.getAs[Boolean]("leaked") == (r.getAs[Long]("cos_q6") >= 900000L))
+    }
+  }
+
+  test("d127 unique content: per-source hits bounded by type counts times docs") {
+    val rows = q("d127_unique_vocab").collect()
+    rows.foreach(r =>
+      assert(r.getAs[Long]("unique_doc_hits") >= r.getAs[Long]("unique_types"),
+        "each unique type has at least one doc hit"))
+  }
+
+  test("d128/d129: per-language ratios bounded") {
+    q("d128_fertility").collect().foreach(r =>
+      assert(r.getAs[Long]("fertility_q6") >= 1000000L,
+        "BPE-ish segmentation never yields fewer tokens than whitespace"))
+    q("d129_hapax").collect().foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("hapax_q6") <= 1000000L)
+    }
   }
 }
