@@ -70,6 +70,7 @@ object GraftFunctions {
     f("mix64") { case Seq(g, a, b) => invoke(LongType, "mix64", Seq(g, a, b)) }
     f("simhash64") { case Seq(s) => invoke(StringType, "simhash64", Seq(s)) }
     f("vec_dot") { case Seq(a, b) => invoke(DoubleType, "vecDot", Seq(a, b)) }
+    f("vec_sqdist_q") { case Seq(a, b) => invoke(LongType, "vecSqDistQ", Seq(a, b)) }
     f("shingle_g") { case Seq(s, n) =>
       invoke(ArrayType(LongType, containsNull = false), "shingleG", Seq(s, n)) }
     f("ngram_g") { case Seq(s, n) =>

@@ -177,6 +177,20 @@ object PromCatalyst {
     acc
   }
 
+  /** Exact integer squared Euclidean distance over two array<long> columns
+    * — value-identical to `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+    * 0L, +)` (Long addition is order-free mod 2^64) but codegen'd; this is
+    * the inner loop of the k-means/IVF/PQ/silhouette family, which the
+    * interpreted higher-order form dominates.
+    */
+  def vecSqDistQ(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
   // --- prompb wire codec ----------------------------------------------------
 
   /** arg: array<struct<labels array<struct<name,value>>, samples array<struct<value,timestamp>>>>

@@ -143,6 +143,10 @@ object prom {
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))
 
+  /** Codegen'd exact integer squared distance over two array<long> columns. */
+  def vec_sqdist_q(a: Column, b: Column): Column =
+    invoke(LongType, "vecSqDistQ", Seq(expr(a), expr(b)))
+
   /** Greedy next-fit bin ids for an array<long> of token counts — the O(n)
     * mutable-builder kernel behind `SequencePacking.packGreedy` (a Catalyst
     * `aggregate` fold carrying the output array would copy O(n^2) elements).

@@ -46,8 +46,11 @@ object DataQueries10 {
     * component arrays.
     */
   private[graft] def d2q(x: Column, c: Column): Column =
-    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd kernel; value-identical to the previous
+    // aggregate(zip_with(...)) fold (Long addition is order-free mod 2^64)
+    // — this is the inner loop of the k-means/IVF/PQ/silhouette family and
+    // the interpreted higher-order form dominated those queries' profiles
+    graft.functions.prom.vec_sqdist_q(x, c)
 
   /** ADC table for the IVF-PQ path (d94/d95): per (qid, vec_id) the
     * 8-subspace sum of distance-table lookups keyed by the vector's PQ
