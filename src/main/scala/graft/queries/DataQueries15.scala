@@ -89,6 +89,38 @@ object DataQueries15 {
             .as("fertility_q6"))
         .orderBy("lang")),
 
+    // label-propagation communities over the near-dup candidate graph —
+    // completing the graph trio (d15 connected components = clustering,
+    // d93 PageRank = authority, this = communities): 3 synchronous
+    // rounds, each node adopting the most frequent label among its
+    // neighbors PLUS its own current label (the self-vote variant — a
+    // bare 2-node component oscillates forever under pure synchronous
+    // LPA; with the self-vote it settles to the min id in one round),
+    // ties to the smallest label. Deterministic, so the unrolled DuckDB
+    // oracle can vouch for every round. Per round: one shuffle on dst +
+    // one (node, label) rollup + one min-struct argmax — the d93 Pregel
+    // shape; only graph nodes participate, never the corpus.
+    "d130_label_prop" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lab"))
+      for (_ <- 1 to 3) {
+        val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("lab"))
+          .unionAll(labels)
+        labels = msgs.groupBy(col("node"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab"))).as("m"))
+          .select(col("node"), col("m.lab").as("lab"))
+      }
+      labels.select(col("node").as("doc_id"), col("lab").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // hapax legomena rate per language: word types occurring EXACTLY once
     // in the whole corpus, attributed to the language of their single
     // occurrence, over the language's distinct types — the
@@ -139,6 +171,21 @@ object DataQueries15 {
         |SELECT only_src AS source, CAST(count(*) AS BIGINT) AS unique_types,
         |  CAST(sum(df) AS BIGINT) AS unique_doc_hits
         |FROM pg WHERE nsrc = 1 GROUP BY only_src ORDER BY source""".stripMargin,
+
+    "d130_label_prop" ->
+      (s"WITH ${DataQueries.minhashPairsCte},\n" +
+        """edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+          |m1 AS (SELECT e.dst AS node, l.lab FROM edges e JOIN l0 l ON l.node = e.src UNION ALL SELECT node, lab FROM l0),
+          |c1 AS (SELECT node, lab, count(*) AS c FROM m1 GROUP BY node, lab),
+          |l1 AS (SELECT node, lab FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1) WHERE rn = 1),
+          |m2 AS (SELECT e.dst AS node, l.lab FROM edges e JOIN l1 l ON l.node = e.src UNION ALL SELECT node, lab FROM l1),
+          |c2 AS (SELECT node, lab, count(*) AS c FROM m2 GROUP BY node, lab),
+          |l2 AS (SELECT node, lab FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2) WHERE rn = 1),
+          |m3 AS (SELECT e.dst AS node, l.lab FROM edges e JOIN l2 l ON l.node = e.src UNION ALL SELECT node, lab FROM l2),
+          |c3 AS (SELECT node, lab, count(*) AS c FROM m3 GROUP BY node, lab),
+          |l3 AS (SELECT node, lab FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3) WHERE rn = 1)
+          |SELECT node AS doc_id, lab AS community FROM l3 ORDER BY doc_id""".stripMargin),
 
     "d128_fertility" ->
       """WITH b AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,

@@ -307,6 +307,22 @@ class Wave6Spec extends AnyFunSuite {
         "each unique type has at least one doc hit"))
   }
 
+  test("d130 label propagation: labels are node ids; isolated pairs settle to min id") {
+    val s = spark
+    import s.implicits._
+    val rows = q("d130_label_prop").collect()
+    val nodes = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.forall(r => nodes.contains(r.getAs[Long]("community"))),
+      "a community label is always some participating node's id")
+    val edges = q("d02_minhash_lsh").select("a", "b").as[(Long, Long)].collect()
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    val lab = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    edges.filter(e => deg(e._1) == 1 && deg(e._2) == 1).foreach { case (a, b) =>
+      assert(lab(a) == math.min(a, b) && lab(b) == math.min(a, b),
+        s"self-vote LPA settles an isolated pair ($a,$b) to its min id")
+    }
+  }
+
   test("d128/d129: per-language ratios bounded") {
     q("d128_fertility").collect().foreach(r =>
       assert(r.getAs[Long]("fertility_q6") >= 1000000L,
