@@ -54,4 +54,34 @@ object TextQuality {
           col("sum_word_len") <= col("n_words") * 10 &&
           col("stop_hits") >= minStopHits)
   }
+
+  /** Per-language stopword lexicons for the cheap language-ID classifier
+    * (shared by the d05/d120 batch queries and the streaming router).
+    */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** Adds the language-ID classifier columns: per-language distinct
+    * stopword hit counts (`h_en`, `h_de`, `h_es`, `h_fr`) and the argmax
+    * `pred` with the fixed en > de > es > fr tie order — ONE narrow map,
+    * zero shuffle, identical on a batch corpus and a stream (the
+    * batch/stream-twin contract every TextQuality map keeps).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val tok = array_distinct(split(col(textCol), " "))
+    def hits(words: Seq[String]) =
+      size(array_intersect(tok, array(words.map(lit): _*))).cast("long")
+    val h = LangLexicons.map { case (l, ws) => l -> hits(ws) }.toMap
+    df.withColumn("h_en", h("en")).withColumn("h_de", h("de"))
+      .withColumn("h_es", h("es")).withColumn("h_fr", h("fr"))
+      .withColumn("pred",
+        when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es")
+          && col("h_en") >= col("h_fr"), "en")
+          .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr"), "de")
+          .when(col("h_es") >= col("h_fr"), "es")
+          .otherwise("fr"))
+  }
 }

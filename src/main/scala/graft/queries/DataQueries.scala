@@ -133,24 +133,14 @@ object DataQueries {
         .select(col("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
         .orderBy("qid", "rank")),
 
-    // language-ID by stopword-hit scoring (argmax with fixed tie order)
-    "d05_langid" -> ((s, dir) => {
-      val tok = array_distinct(split(col("text"), " "))
-      def hits(words: Seq[String]) =
-        size(array_intersect(tok, array(words.map(lit): _*))).cast("long")
-      val hEn = hits(Seq("the", "a", "of", "and", "to"))
-      val hDe = hits(Seq("der", "die", "das", "und", "ist"))
-      val hEs = hits(Seq("el", "la", "de", "los", "y"))
-      val hFr = hits(Seq("le", "les", "et", "des", "un"))
-      docs(s, dir).select(
-        col("doc_id"),
-        hEn.as("h_en"), hDe.as("h_de"), hEs.as("h_es"), hFr.as("h_fr"),
-        when(hEn >= hDe && hEn >= hEs && hEn >= hFr, "en")
-          .when(hDe >= hEs && hDe >= hFr, "de")
-          .when(hEs >= hFr, "es")
-          .otherwise("fr").as("pred"))
-        .orderBy("doc_id")
-    }),
+    // language-ID by stopword-hit scoring (argmax with fixed tie order) via
+    // the shared TextQuality.withLangId narrow map (the same expressions
+    // power the d120 confusion matrix and the streaming router)
+    "d05_langid" -> ((s, dir) =>
+      graft.operators.TextQuality.withLangId(docs(s, dir), "text")
+        .select(col("doc_id"), col("h_en"), col("h_de"), col("h_es"),
+          col("h_fr"), col("pred"))
+        .orderBy("doc_id")),
 
     // quality scoring: length/punct/stopword ratios (single-division doubles
     // are IEEE-exact parity; no accumulation)

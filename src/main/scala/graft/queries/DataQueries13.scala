@@ -49,18 +49,8 @@ object DataQueries13 {
     // cheap classifier as a 100 TB routing filter. One narrow map, one
     // |langs|^2-bounded rollup; row totals ride a second bounded rollup.
     "d120_langid_confusion" -> ((s, dir) => {
-      val tok = array_distinct(split(col("text"), " "))
-      def hits(words: Seq[String]) =
-        size(array_intersect(tok, array(words.map(lit): _*))).cast("long")
-      val hEn = hits(Seq("the", "a", "of", "and", "to"))
-      val hDe = hits(Seq("der", "die", "das", "und", "ist"))
-      val hEs = hits(Seq("el", "la", "de", "los", "y"))
-      val hFr = hits(Seq("le", "les", "et", "des", "un"))
-      val pred = docs(s, dir).select(col("lang"),
-        when(hEn >= hDe && hEn >= hEs && hEn >= hFr, "en")
-          .when(hDe >= hEs && hDe >= hFr, "de")
-          .when(hEs >= hFr, "es")
-          .otherwise("fr").as("pred"))
+      val pred = graft.operators.TextQuality.withLangId(docs(s, dir), "text")
+        .select(col("lang"), col("pred"))
       val cells = pred.groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
       val rows = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))

@@ -112,6 +112,26 @@ object StreamOps {
   def repetitionStats(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withRepetitionStats(df, textCol)
 
+  /** Streaming language router (the streaming twin of d05): the shared
+    * TextQuality.withLangId narrow map — no state, no shuffle; a live
+    * ingest splits by `pred` exactly as the batch query would.
+    */
+  def langidRoute(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextQuality.withLangId(df, textCol)
+
+  /** Live language-ID confusion counts (the streaming twin of d120):
+    * per event-time window, (true label, predicted) counts — the drift
+    * monitor on the classifier a 100 TB pipeline routes by. Watermarked
+    * windowed aggregation; state is |windows|x|langs|² counters, merged
+    * across triggers/shards like any long sum.
+    */
+  def langidConfusion(df: DataFrame, eventTimeCol: String, delay: String,
+      windowLen: String, labelCol: String, textCol: String): DataFrame =
+    graft.operators.TextQuality.withLangId(df, textCol)
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen), col(labelCol), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
 
   final case class FunnelTransition(

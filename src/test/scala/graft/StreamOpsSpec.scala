@@ -336,4 +336,29 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows == Map(0L -> 2L, 1L -> 1L, 3L -> 1L), rows.toString)
     } finally q.stop()
   }
+
+  test("live langid confusion counts (lang, pred) per window via the shared map") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, String, String)](spark)
+    val out = StreamOps.langidConfusion(
+      ms.toDF().toDF("et", "lang", "text"), "et", "5 seconds", "10 seconds",
+      "lang", "text")
+    val q = out.writeStream.format("memory").queryName("langid_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (ts(1), "en", "the cat and the dog of a to"),
+        (ts(2), "en", "der hund und die katze ist"), // mislabeled-ish: German text
+        (ts(3), "de", "der die das und ist hier"))
+      q.processAllAvailable()
+      ms.addData((ts(30), "en", "the end")) // close the first window
+      q.processAllAvailable()
+      val rows = spark.table("langid_out").collect()
+        .filter(_.getStruct(0).getTimestamp(0).getTime == 0L)
+        .map(r => ((r.getString(1), r.getString(2)), r.getLong(3))).toMap
+      assert(rows == Map(("en", "en") -> 1L, ("en", "de") -> 1L, ("de", "de") -> 1L),
+        rows.toString)
+    } finally q.stop()
+  }
 }
