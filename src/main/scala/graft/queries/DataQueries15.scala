@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -89,6 +90,61 @@ object DataQueries15 {
             .as("fertility_q6"))
         .orderBy("lang")),
 
+    // duplication locality: near-dup candidate pairs broken down by
+    // whether the two docs share a source and/or a language — "is
+    // duplication intra-site mirroring or cross-site syndication", the
+    // read that decides whether dedup can shard by source (it can only
+    // if cross-source pairs are rare). One join of the pair list against
+    // the doc attributes on each side, then a 4-row rollup.
+    "d131_dup_locality" -> ((s, dir) => {
+      val pairs = DataQueries.minhashPairs(s, dir)
+      val attrs = docs(s, dir).select(col("doc_id"), col("source"), col("lang"))
+      pairs
+        .join(attrs.as("x"), col("a") === col("x.doc_id"))
+        .join(attrs.as("y"), col("b") === col("y.doc_id"))
+        .groupBy((col("x.source") === col("y.source")).as("same_source"),
+          (col("x.lang") === col("y.lang")).as("same_lang"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("same_source", "same_lang")
+    }),
+
+    // int8-quantization recall audit (the d55 estimate-vs-exact frame for
+    // the d27 storage tier): per probe query, the top-3 neighbor overlap
+    // between full-precision cosine and cosine on the per-vector-scaled
+    // int8 codes — per-vector scales cancel in cosine, so the only
+    // error is rounding, and this measures whether 4x-smaller vectors
+    // change any serving answer. Both rankings are per-query bounded
+    // windows over the broadcast probe set; int8 components are exact
+    // small integers in double, so the fold-ordered dot is engine-exact.
+    "d133_quant_recall" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val e = embs(s, dir).select(col("vec_id"), v.as("v"),
+          array_max(transform(v, x => abs(x))).as("mx"))
+        // cast back to double: vec_dot consumes array<double>, and the
+        // int8 codes are exact small integers in double either way
+        .withColumn("q8", transform(col("v"),
+          x => floor(x * lit(127.0) / greatest(col("mx"), lit(1e-30))).cast("double")))
+        .select(col("vec_id"), col("v"), col("q8"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("n8", sqrt(dot(col("q8"), col("q8"))))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("q8").as("q8q"),
+          col("nrm").as("qn"), col("n8").as("qn8"))
+      val scored = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      def top3(c: Column): DataFrame = {
+        val w = Window.partitionBy(col("qid")).orderBy(c.desc, col("vec_id"))
+        scored.withColumn("cos", c).withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3).select(col("qid"), col("vec_id"))
+      }
+      val exact = top3(dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val int8 = top3(dot(col("q8q"), col("q8")) / (col("qn8") * col("n8")))
+      exact.join(int8, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        .join(exact.groupBy(col("qid")).agg(count(lit(1)).as("k")), Seq("qid"), "right")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("recall3"))
+        .orderBy("qid")
+    }),
+
     // label-propagation communities over the near-dup candidate graph —
     // completing the graph trio (d15 connected components = clustering,
     // d93 PageRank = authority, this = communities): 3 synchronous
@@ -171,6 +227,38 @@ object DataQueries15 {
         |SELECT only_src AS source, CAST(count(*) AS BIGINT) AS unique_types,
         |  CAST(sum(df) AS BIGINT) AS unique_doc_hits
         |FROM pg WHERE nsrc = 1 GROUP BY only_src ORDER BY source""".stripMargin,
+
+    "d131_dup_locality" ->
+      (s"WITH ${DataQueries.minhashPairsCte}\n" +
+        """SELECT x.source = y.source AS same_source, x.lang = y.lang AS same_lang,
+          |  CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM pairs p JOIN documents x ON p.a = x.doc_id JOIN documents y ON p.b = y.doc_id
+          |GROUP BY same_source, same_lang ORDER BY same_source, same_lang""".stripMargin),
+
+    "d133_quant_recall" ->
+      """WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v,
+        |    [floor(x * 127.0 / greatest(list_max([abs(y) FOR y IN v]), 1e-30)) FOR x IN v] AS q8
+        |  FROM e0),
+        |n AS (SELECT vec_id, v, q8,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN v]), (a, b) -> a + b)) AS nrm,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN q8]), (a, b) -> a + b)) AS n8
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, q8 AS q8q, nrm AS qn, n8 AS qn8 FROM n
+        |      WHERE vec_id >= 8 AND vec_id < 16),
+        |sc AS (SELECT qid, vec_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [qv[i] * v[i] FOR i IN generate_series(1, len(v))]), (a, b) -> a + b) / (qn * nrm) AS ce,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [q8q[i] * q8[i] FOR i IN generate_series(1, len(q8))]), (a, b) -> a + b) / (qn8 * n8) AS c8
+        |  FROM n CROSS JOIN q WHERE vec_id <> qid),
+        |te AS (SELECT qid, vec_id FROM
+        |        (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY ce DESC, vec_id) AS rn FROM sc)
+        |      WHERE rn <= 3),
+        |t8 AS (SELECT qid, vec_id FROM
+        |        (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c8 DESC, vec_id) AS rn FROM sc)
+        |      WHERE rn <= 3)
+        |SELECT te.qid, CAST(count(t8.vec_id) AS BIGINT) AS recall3
+        |FROM te LEFT JOIN t8 ON te.qid = t8.qid AND te.vec_id = t8.vec_id
+        |GROUP BY te.qid ORDER BY te.qid""".stripMargin,
 
     "d130_label_prop" ->
       (s"WITH ${DataQueries.minhashPairsCte},\n" +

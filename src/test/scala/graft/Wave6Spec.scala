@@ -307,6 +307,20 @@ class Wave6Spec extends AnyFunSuite {
         "each unique type has at least one doc hit"))
   }
 
+  test("d131 locality: pair counts partition the candidate set") {
+    val total = q("d02_minhash_lsh").count()
+    assert(q("d131_dup_locality").collect().map(_.getAs[Long]("n_pairs")).sum == total)
+  }
+
+  test("d133 quantization recall: one row per probe, recall within [0, 3]") {
+    val rows = q("d133_quant_recall").collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSet == (8L until 16L).toSet)
+    rows.foreach { r =>
+      val rec = r.getAs[Long]("recall3")
+      assert(rec >= 0L && rec <= 3L)
+    }
+  }
+
   test("d130 label propagation: labels are node ids; isolated pairs settle to min id") {
     val s = spark
     import s.implicits._
