@@ -85,10 +85,14 @@ object DataQueries {
     // docs sharing a shingle meet in one reducer, which emits the doc-id
     // pairs directly (sorted collect + in-array combinations). Pair work is
     // proportional to SHARED shingles; no self-join, no corpus-sized
-    // broadcast, no arrays crossing a join. At 100 TB a document-frequency
-    // cap on the shingle (drop boilerplate shingles shared by thousands of
-    // docs) bounds the per-group pair fan-out; the synthetic corpus has no
-    // such heavy hitters so none is applied here.
+    // broadcast, no arrays crossing a join. The 2..16 document-frequency
+    // valve (SURVEY §9; the TextDedup.winnowAlignedRunsFrom window) runs
+    // BEFORE the collect, so no reducer ever materializes an unbounded id
+    // list for a boilerplate shingle: a 3-gram shared by 10^4 docs is
+    // dropped from intersection counting (union keeps full sizes, so the
+    // valve only lowers — never raises — the estimated Jaccard of
+    // boilerplate-only pairs). The count pre-pass partial-aggregates
+    // map-side; the semi-join moves 8-byte keys only.
     "d03_ngram_jaccard" -> ((s, dir) => {
       // shuffle key is a 64-bit hash of (block, shingle-hash), never the
       // shingle string: docs sharing a shingle still meet in one reducer but
@@ -102,9 +106,12 @@ object DataQueries {
         .select(col("doc_id"), xxhash64(col("lang"), col("source"), col("g0")).as("sh"))
       val sizes = docs(s, dir).select(col("doc_id"),
         size(graft.functions.prom.shingle_g(col("text"), 3)).cast("long").as("n"))
-      val pairs = sh.groupBy(col("sh"))
+      val ok = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= 16)
+        .select(col("sh"))
+      val pairs = sh.join(ok, Seq("sh"))
+        .groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
         .select(explode(flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             y => struct(x.as("a"), y.as("b"))))))
@@ -218,14 +225,18 @@ object DataQueries {
 
     "d03_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |ss AS (SELECT doc_id, lang, source,
-        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS shs
-        |       FROM w)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
-        |  CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
-        |  CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS BIGINT) AS uni
-        |FROM ss x JOIN ss y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-        |WHERE len(list_intersect(x.shs, y.shs)) * 20 >= len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))
+        |sh AS (SELECT DISTINCT doc_id, lang, source,
+        |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS sh
+        |       FROM w),
+        |ok AS (SELECT lang, source, sh FROM sh GROUP BY lang, source, sh HAVING count(*) BETWEEN 2 AND 16),
+        |f AS (SELECT s.doc_id, s.lang, s.source, s.sh FROM sh s JOIN ok o ON s.lang = o.lang AND s.source = o.source AND s.sh = o.sh),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM f x JOIN f y ON x.lang = y.lang AND x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id)
+        |SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni
+        |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        |WHERE i.inter * 20 >= sa.n + sb.n - i.inter
         |ORDER BY a, b""".stripMargin,
 
     "d04_cosine_topk" ->

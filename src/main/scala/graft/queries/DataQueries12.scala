@@ -99,10 +99,12 @@ object DataQueries12 {
 
     // dedup threshold sensitivity: verified-pair volume at Jaccard cuts
     // {0.5, 0.7, 0.8, 0.9} from ONE candidate/verify pass (the d03
-    // blocked shape) — the curve that prices a threshold choice before a
-    // 100 TB dedup run. The (inter, uni) pair table is computed once;
-    // each cut is an integer-exact filter over it crossed with a fixed
-    // 4-row threshold table.
+    // blocked shape, including d03's 2..16 document-frequency valve so
+    // a boilerplate shingle never materializes an unbounded reducer
+    // list — SURVEY §9) — the curve that prices a threshold choice
+    // before a 100 TB dedup run. The (inter, uni) pair table is
+    // computed once; each cut is an integer-exact filter over it
+    // crossed with a fixed 4-row threshold table.
     "d118_thresh_curve" -> ((s, dir) => {
       import s.implicits._
       val sh = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
@@ -110,9 +112,12 @@ object DataQueries12 {
         .select(col("doc_id"), xxhash64(col("lang"), col("source"), col("g0")).as("sh"))
       val sizes = docs(s, dir).select(col("doc_id"),
         size(graft.functions.prom.shingle_g(col("text"), 3)).cast("long").as("n"))
-      val pairs = sh.groupBy(col("sh"))
+      val ok = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= 16)
+        .select(col("sh"))
+      val pairs = sh.join(ok, Seq("sh"))
+        .groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
         .select(explode(flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             y => struct(x.as("a"), y.as("b"))))))
@@ -181,13 +186,17 @@ object DataQueries12 {
 
     "d118_thresh_curve" ->
       """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |ss AS (SELECT doc_id, lang, source,
-        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS shs
+        |sh AS (SELECT DISTINCT doc_id, lang, source,
+        |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w) - 2)]) AS sh
         |       FROM w),
-        |iv AS (SELECT len(list_intersect(x.shs, y.shs)) AS inter,
-        |         len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS uni
-        |       FROM ss x JOIN ss y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-        |       WHERE len(list_intersect(x.shs, y.shs)) >= 1),
+        |ok AS (SELECT lang, source, sh FROM sh GROUP BY lang, source, sh HAVING count(*) BETWEEN 2 AND 16),
+        |f AS (SELECT s.doc_id, s.lang, s.source, s.sh FROM sh s JOIN ok o ON s.lang = o.lang AND s.source = o.source AND s.sh = o.sh),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM f x JOIN f y ON x.lang = y.lang AND x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |iv AS (SELECT i.inter, sa.n + sb.n - i.inter AS uni
+        |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id),
         |t AS (SELECT unnest([50, 70, 80, 90]) AS t_pct)
         |SELECT CAST(t_pct AS BIGINT) AS t_pct,
         |  CAST(count(CASE WHEN inter * 100 >= uni * t_pct THEN 1 END) AS BIGINT) AS n_pairs

@@ -411,6 +411,25 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg\n" + p)
   }
 
+  test("d03/d118: the 2..16 df valve gates the pair expansion (SURVEY §9)") {
+    // the boilerplate-shingle skew valve must be IN the plan, before the
+    // collect_list, so no reducer ever materializes an unbounded id list
+    for (q <- Seq("d03_ngram_jaccard", "d118_thresh_curve")) {
+      val p = plan(q)
+      assert(p.contains("__df"), s"$q: df valve predicate missing from plan\n$p")
+      assert("__df#\\d+L? >= 2".r.findFirstIn(p).isDefined &&
+        "__df#\\d+L? <= 16".r.findFirstIn(p).isDefined,
+        s"$q: 2..16 window not found\n$p")
+    }
+  }
+
+  test("q13: exact median is rank arithmetic — no unmergeable Percentile buffer") {
+    val p = plan("q13_sketches")
+    assert(!p.contains("percentile(") && !p.contains("Percentile"),
+      "exact Percentile aggregate must not appear; q20 rank shape expected\n" + p)
+    assert(p.contains("row_number"), "rank-arithmetic median expected\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
