@@ -37,7 +37,7 @@ object DataQueries10 {
     * training loop is engine- and partition-order-exact: squared distances
     * are sums of (xq-cq)^2 <= 64 * (2e7)^2 ~ 2.6e16 per vector — Long-safe.
     */
-  private def kmQuant(s: SparkSession, dir: String): DataFrame =
+  private[queries] def kmQuant(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
         .as("xq"))
@@ -57,7 +57,7 @@ object DataQueries10 {
     * codes. One shared sub-distance relation feeds both the code argmin and
     * the 256-row broadcast distance tables.
     */
-  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def pqAdc(s: SparkSession, dir: String): DataFrame = {
     val sub = kmQuant(s, dir)
       .select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, slice(xq, m*8+1, 8) AS sv))")).as("s"))
@@ -80,7 +80,7 @@ object DataQueries10 {
   /** Exact integer distances from every corpus vector to each of the 8
     * probe queries (the ground-truth side of d94/d95).
     */
-  private def pqExact(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def pqExact(s: SparkSession, dir: String): DataFrame = {
     val full = kmQuant(s, dir)
     val qfull = full.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("xq").as("qx"))
