@@ -168,9 +168,15 @@ object PromCatalyst {
   /** Left-fold dot product over array<double> — identical accumulation order
     * to `aggregate(zip_with(...))` (bit-identical results) but codegen'd
     * (Catalyst higher-order functions are interpreted).
+    *
+    * Precondition: equal-length non-null arrays (every caller in this repo
+    * compares fixed-dimension vectors). Guarded on min(len) so a length
+    * mismatch reads in-bounds; extra elements on the longer side are
+    * ignored, mirroring neither-side-preferred truncation rather than an
+    * out-of-bounds read.
     */
   def vecDot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0d
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -181,14 +187,69 @@ object PromCatalyst {
     * — value-identical to `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
     * 0L, +)` (Long addition is order-free mod 2^64) but codegen'd; this is
     * the inner loop of the k-means/IVF/PQ/silhouette family, which the
-    * interpreted higher-order form dominates.
+    * interpreted higher-order form dominates. Same equal-length
+    * precondition and min(len) guard as [[vecDot]].
     */
   def vecSqDistQ(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
     acc
+  }
+
+  /** Apply a trained BPE merge list (entries `"a b"`, training order) to
+    * whitespace-tokenized text: per word, symbols start as characters and
+    * each merge runs one greedy left-to-right fuse pass — seed the
+    * accumulator with the first symbol, fuse when (tail == a && next == b)
+    * — exactly the trainer's fold semantics (DataQueries9.mergePair), so
+    * encode(text) under the trained merges reproduces the training loop's
+    * final symbol state. Word token streams concatenate in document order;
+    * empty words (doubled spaces) are skipped like the trainer's
+    * length >= 1 filter. One compiled pass per (word, merge) — the
+    * codegen'd kernel sibling of [[nextFitBins]].
+    */
+  def applyMerges(s: UTF8String, merges: ArrayData): ArrayData = {
+    val nM = merges.numElements()
+    val ma = new Array[String](nM)
+    val mb = new Array[String](nM)
+    var k = 0
+    while (k < nM) {
+      val m = merges.getUTF8String(k).toString
+      val sp = m.indexOf(' ')
+      ma(k) = m.substring(0, sp)
+      mb(k) = m.substring(sp + 1)
+      k += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val words = s.toString.split(' ')
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms: Array[String] = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+        k = 0
+        while (k < nM) {
+          if (syms.length >= 2) {
+            val buf = scala.collection.mutable.ArrayBuffer[String](syms(0))
+            var i = 1
+            while (i < syms.length) {
+              val x = syms(i)
+              if (buf(buf.length - 1) == ma(k) && x == mb(k))
+                buf(buf.length - 1) = ma(k) + mb(k)
+              else buf += x
+              i += 1
+            }
+            syms = buf.toArray
+          }
+          k += 1
+        }
+        var i = 0
+        while (i < syms.length) { out += UTF8String.fromString(syms(i)); i += 1 }
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   // --- prompb wire codec ----------------------------------------------------

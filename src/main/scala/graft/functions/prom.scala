@@ -139,6 +139,15 @@ object prom {
     invoke(ArrayType(LongType, containsNull = false), "ngramG",
       Seq(expr(text), Literal(n)))
 
+  /** Apply a trained BPE merge list (array of `"a b"` entries, training
+    * order) to whitespace-tokenized text; returns the post-merge token
+    * stream in document order (the trainer's greedy left-to-right fold per
+    * merge — see [[graft.operators.BpeTokenizer]]).
+    */
+  def apply_merges(text: Column, merges: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "applyMerges",
+      Seq(expr(text), expr(merges)))
+
   /** Codegen'd left-fold dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))

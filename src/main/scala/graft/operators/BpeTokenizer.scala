@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public BPE ENCODE surface — the apply side of the d76 training loop
+  * (Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+  * Units"): given a trained merge list, turn text into its post-merge token
+  * stream and then into dense token-id arrays, the form a sequence-packing
+  * stage ([[SequencePacking]]) and a training-data writer consume. Closes
+  * train (d76) -> encode (here) -> pack (d42-d47).
+  *
+  * Scale shape: encoding is one codegen'd kernel pass per document
+  * (`prom.apply_merges` — no per-merge corpus scans, no joins); the merge
+  * list is a tiny broadcast literal (vocab-bounded, collected once by the
+  * trainer's driver loop). Id assignment shuffles only (token, count)
+  * rollup rows: the vocabulary table is corpus-derived but VOCABULARY-sized,
+  * so its one global rank window is the d74/d76 bounded-driver-loop
+  * discipline applied to a window instead of a collect.
+  */
+object BpeTokenizer {
+
+  /** Encode `textCol` under `merges` (entries `"a b"`, training order).
+    * Output: `(idCol, tokens array<string>, n_tok)` — one row per input
+    * row; token order is document order.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val m = array(merges.map(lit): _*)
+    docs.select(col(idCol),
+        graft.functions.prom.apply_merges(col(textCol), m).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+  }
+
+  /** Dense token-id vocabulary over an [[encode]] result: one row per
+    * distinct post-merge token with `tid` = its 1-based rank in lexical
+    * order (deterministic across engines and partitionings). The rank
+    * window is global but runs on the VOCAB table, never the corpus.
+    */
+  def vocabulary(encoded: DataFrame): DataFrame = {
+    val v = encoded.select(explode(col("tokens")).as("token")).distinct()
+    v.withColumn("tid",
+      row_number().over(Window.orderBy(col("token"))).cast("long"))
+  }
+
+  /** Token-id arrays: each document's `tokens` mapped through `vocab`
+    * (an id table shaped like [[vocabulary]]'s output). Unknown tokens —
+    * possible when the vocab was built on a different corpus — map to 0L
+    * (the reserved unk id; ranks start at 1). Output:
+    * `(idCol, n_tok, ids array<long>)`.
+    *
+    * The per-token join shuffles (doc, pos, token) rows against the
+    * vocab-sized id table (AQE broadcasts it when it fits); reassembly is
+    * one sorted collect bounded by document length.
+    */
+  def withTokenIds(encoded: DataFrame, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val pos = encoded.select(col(idCol).as("__id"), col("n_tok"),
+      posexplode(col("tokens")).as(Seq("__p", "token")))
+    pos.join(vocab, Seq("token"), "left")
+      .groupBy(col("__id"), col("n_tok"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"),
+          coalesce(col("tid"), lit(0L)).as("tid")))),
+        x => x.getField("tid")).as("ids"))
+      .select(col("__id").as(idCol), col("n_tok"), col("ids"))
+  }
+}

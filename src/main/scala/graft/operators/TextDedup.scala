@@ -579,6 +579,57 @@ object TextDedup {
           .cast("long").as("dup_frac_q6"))
   }
 
+  /** Span-level dedup APPLY — [[dupSpanCoverage]]'s measurement turned into
+    * the transformation Lee et al. actually run: rebuild each document's
+    * text with every word position removed that sits inside a `gramN`-gram
+    * occurring in at least `minDf` DISTINCT documents. Cross-document
+    * boilerplate (headers, licenses, syndicated passages) disappears from
+    * every copy; document-unique content is untouched.
+    *
+    * Scale shape (the d64 pricing): document frequency rides the per-doc
+    * distinct kernel (`shingle_g`, one rollup of 8-byte hashes); the
+    * positional fan-out (`ngram_g` + posexplode -> covered positions) is
+    * priced on MATCHED spans only, never the corpus; the rebuild is one
+    * anti-join of word positions against covered positions plus a per-doc
+    * sorted collect (bounded by document length, the same bound
+    * [[filterLines]] relies on). No corpus-sized broadcast anywhere.
+    *
+    * Output: `(idCol, n_tok, n_cut, textCol)` — one row per input doc;
+    * docs shorter than `gramN` words pass through unchanged; a fully
+    * duplicated doc comes back with empty text and `n_cut = n_tok`.
+    */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 5, minDf: Int = 2): DataFrame = {
+    require(gramN >= 1, s"gramN must be positive, got $gramN")
+    require(minDf >= 2, s"minDf below 2 would cut every word, got $minDf")
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      graft.functions.prom.ngram_g(col(textCol), gramN).as("__gs"))
+    val pos = base.select(col("__id"), posexplode(col("__gs")).as(Seq("__i", "__g")))
+    val dup = docs
+      .select(explode(graft.functions.prom.shingle_g(col(textCol), gramN)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val cut = pos.join(dup, Seq("__g"))
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + lit(gramN - 1))).as("__p"))
+      .distinct()
+    val words = base.select(col("__id"),
+      posexplode(split(col("__text"), " ")).as(Seq("__p", "__w")))
+    val kept = words.join(cut, Seq("__id", "__p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__w")))),
+          x => x.getField("__w"))).as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col("__id"),
+        size(split(col("__text"), " ")).cast("long").as("n_tok"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tok"),
+        (col("n_tok") - coalesce(col("__n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("__kept"), lit("")).as(textCol))
+  }
+
   /** Pick each near-dup cluster's best member — the curation rule production
     * pipelines use instead of keep-min-id: the canonical copy should be the
     * highest-QUALITY one (longest text, best LM score, ...), ties to the

@@ -188,12 +188,77 @@ object DataQueries16 {
           coalesce(col("hits_raw"), lit(0L)).as("hits_raw"),
           coalesce(col("hits_res"), lit(0L)).as("hits_res"))
         .orderBy("qid")
+    }),
+
+    // span-level dedup APPLY (Lee et al.'s actual cut — d64 measures the
+    // footprint, d122 picks the span length, this REMOVES the spans):
+    // every word inside a 5-gram occurring in >= 2 distinct documents is
+    // cut and the text rebuilt from what survives, via the public
+    // TextDedup.cutDupSpans. Output carries the rebuilt text as md5 +
+    // length (the d22 precedent for text-shaped results). Priced on
+    // matched spans only — the d64 shape with one extra anti-join +
+    // per-doc bounded reassembly.
+    "d136_cut_spans" -> ((s, dir) =>
+      graft.operators.TextDedup.cutDupSpans(docs(s, dir), "doc_id", "text", 5, 2)
+        .select(col("doc_id"), col("n_tok"), col("n_cut"),
+          md5(col("text")).as("kept_md5"),
+          length(col("text")).cast("long").as("kept_len"))
+        .orderBy("doc_id")),
+
+    // BPE ENCODE — the missing apply half of the d76 train loop: the
+    // trained 5-merge list (one memoized driver run shared with d76/d80)
+    // encodes every document into its post-merge token stream via ONE
+    // codegen'd kernel pass (no per-merge corpus scans), tokens map to
+    // dense ids through the lexical-rank vocabulary, and the id arrays
+    // cross the oracle as md5 of the comma-joined sequence. Closes
+    // train -> encode -> pack: d137's n_tok is exactly what
+    // SequencePacking bins (composition pinned in Wave7Spec).
+    "d137_bpe_ids" -> ((s, dir) => {
+      val merges = DataQueries9.bpeRun(s, dir)._1.map(_._2)
+      val enc = graft.operators.BpeTokenizer.encode(docs(s, dir), "doc_id", "text", merges)
+      val vocab = graft.operators.BpeTokenizer.vocabulary(enc)
+      graft.operators.BpeTokenizer.withTokenIds(enc, "doc_id", vocab)
+        .select(col("doc_id"), col("n_tok"),
+          md5(concat_ws(",", transform(col("ids"), x => x.cast("string")))).as("ids_md5"))
+        .orderBy("doc_id")
     })
   )
 
   /** Shared integer-d2 fold for the oracle SQL. */
   private def sqlD2(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN generate_series(1, len($a))]), (acc, el) -> acc + el)"
+
+  /** d137's oracle: the d76 unrolled training CTEs (same merges), then the
+    * per-document encode chain — one list_reduce merge pass per round over
+    * the (doc, word) stream, identical fold order to the kernel — vocab by
+    * lexical rank, ids in (word, symbol) document order.
+    */
+  private def bpeIdsOracle: String = {
+    val rounds = (1 to DataQueries9.BpeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, wpos, list_reduce([[x] FOR x IN syms],
+         |    (acc, xs) -> CASE WHEN acc[-1] = t.a AND xs[1] = t.b
+         |      THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+         |      ELSE list_append(acc, xs[1]) END) AS syms
+         |  FROM e${r - 1}, t$r t)""".stripMargin
+    }
+    DataQueries9.bpeCtes + ",\n" +
+      """wp AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |e0 AS (SELECT doc_id, i AS wpos,
+        |    [substr(w[i], j, 1) FOR j IN generate_series(1, length(w[i]))] AS syms
+        |  FROM wp WHERE length(w[i]) >= 1),
+        |""".stripMargin +
+      rounds.mkString(",\n") + ",\n" +
+      s"""sy AS (SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS spos, syms
+         |  FROM e${DataQueries9.BpeRounds}),
+         |sy2 AS (SELECT doc_id, wpos, spos, syms[spos] AS sym FROM sy),
+         |vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+         |  FROM (SELECT DISTINCT sym FROM sy2)),
+         |ids AS (SELECT s.doc_id, s.wpos, s.spos, v.tid FROM sy2 s JOIN vocab v USING (sym))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  md5(string_agg(tid::VARCHAR, ',' ORDER BY wpos, spos)) AS ids_md5
+         |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "d134_banded_decon" ->
@@ -264,6 +329,27 @@ object DataQueries16 {
         |SELECT ks.qid, ks.k, CAST(COALESCE(hr.n, 0) AS BIGINT) AS hits_raw,
         |  CAST(COALESCE(hs.n, 0) AS BIGINT) AS hits_res
         |FROM ks LEFT JOIN hr USING (qid) LEFT JOIN hs USING (qid)
-        |ORDER BY ks.qid""".stripMargin)
+        |ORDER BY ks.qid""".stripMargin),
+
+    "d136_cut_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM d WHERE len(w) >= 5),
+        |shg AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g FROM ix),
+        |df AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM shg) GROUP BY g HAVING count(*) >= 2),
+        |hit AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT shg.doc_id, unnest(generate_series(shg.i, shg.i + 4)) AS p FROM shg JOIN df USING (g))),
+        |wt AS (SELECT doc_id, p, w[p] AS wd FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM d)),
+        |kept AS (SELECT wt.doc_id, string_agg(wt.wd, ' ' ORDER BY wt.p) AS kt,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM wt LEFT JOIN hit ON wt.doc_id = hit.doc_id AND wt.p = hit.p
+        |  WHERE hit.p IS NULL GROUP BY wt.doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tok,
+        |  CAST(len(d.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut,
+        |  md5(COALESCE(kept.kt, '')) AS kept_md5,
+        |  CAST(length(COALESCE(kept.kt, '')) AS BIGINT) AS kept_len
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "d137_bpe_ids" -> bpeIdsOracle
   )
 }

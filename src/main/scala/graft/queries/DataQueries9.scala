@@ -57,6 +57,32 @@ object DataQueries9 {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** One memoized training run per (session, dir) — the driver-side twin
+    * of the ivfAssigned/clustersMemo discipline: d76, d80 and the d137
+    * encode all read the same trained merges, and the result is a few
+    * dozen DRIVER-side scalars (no cached RDDs to leak), so the memo is
+    * bounded by construction. Stopped sessions are purged on access.
+    */
+  private val bpeMemoMax = 8
+  private val bpeMemo = // access-order = LRU iteration order
+    new java.util.LinkedHashMap[(SparkSession, String),
+      (Seq[(Long, String, Long)], Seq[(Long, Long)])](16, 0.75f, true)
+
+  private[queries] def bpeRun(s: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], Seq[(Long, Long)]) =
+    bpeMemo.synchronized {
+      bpeMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(bpeMemo.get((s, dir))).getOrElse {
+        val r = bpeRunOnce(s, dir)
+        bpeMemo.put((s, dir), r)
+        if (bpeMemo.size > bpeMemoMax) {
+          val it = bpeMemo.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        r
+      }
+    }
+
   /** Run the BPE training loop once: per round the argmax pair (the merge)
     * and, after applying it, the corpus token total Σ wc·|syms| — the
     * single number the compression curve (d80) reads. Totals double as the
@@ -64,7 +90,7 @@ object DataQueries9 {
     * the previous round unpersists, so lineage never recomputes from the
     * corpus scan.
     */
-  private def bpeRun(s: SparkSession, dir: String)
+  private def bpeRunOnce(s: SparkSession, dir: String)
       : (Seq[(Long, String, Long)], Seq[(Long, Long)]) = {
     def total(df: DataFrame): Long =
       df.agg(sum(col("wc") * size(col("syms")))).collect()(0).getLong(0)
@@ -415,7 +441,7 @@ object DataQueries9 {
     * argmax CTE, and a list_reduce merge CTE (init = first symbol, identical
     * fold order to the Spark kernel).
     */
-  private def bpeCtes: String = {
+  private[queries] def bpeCtes: String = {
     val base =
       """w0 AS (SELECT [substr(w, i, 1) FOR i IN generate_series(1, length(w))] AS syms,
         |         CAST(count(*) AS BIGINT) AS wc

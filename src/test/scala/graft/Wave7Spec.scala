@@ -47,6 +47,84 @@ class Wave7Spec extends AnyFunSuite {
     assert(rows.count(_.getBoolean(2)) > 0)
   }
 
+  test("cutDupSpans equals brute-force span removal on a crafted corpus") {
+    val s = spark
+    import s.implicits._
+    // docs 0/1 share the 6-word run "a b c d e f" (two 5-grams, df=2);
+    // doc 2 is unique; doc 3 is shorter than a 5-gram and passes through
+    val corpus = Seq(
+      (0L, "a b c d e f x y z w v u"),
+      (1L, "p q r s t a b c d e f m n o k"),
+      (2L, "zz yy xx ww vv uu tt ss rr qq"),
+      (3L, "one two three")).toDF("doc_id", "text")
+    val got = operators.TextDedup.cutDupSpans(corpus, "doc_id", "text", 5, 2)
+      .select("doc_id", "n_tok", "n_cut", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // brute force: a word is cut iff some 5-gram covering it occurs in
+    // >= 2 distinct documents
+    val words = Map(0L -> "a b c d e f x y z w v u", 1L -> "p q r s t a b c d e f m n o k",
+      2L -> "zz yy xx ww vv uu tt ss rr qq", 3L -> "one two three")
+      .map { case (k, v) => k -> v.split(" ").toSeq }
+    val gramDocs = words.toSeq
+      .flatMap { case (id, w) => w.sliding(5).filter(_.size == 5).map(g => (g.mkString(" "), id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    for ((id, w) <- words) {
+      val dup = (0 to w.size - 5).filter(p =>
+        gramDocs(w.slice(p, p + 5).mkString(" ")) >= 2)
+      val covered = dup.flatMap(p => p until p + 5).toSet
+      val kept = w.zipWithIndex.collect { case (x, i) if !covered(i) => x }
+      val (_, nTok, nCut, text) = got(id)
+      assert(nTok == w.size && nCut == covered.size && text == kept.mkString(" "),
+        s"doc $id: got ($nTok, $nCut, '$text') expected (${w.size}, ${covered.size}, '${kept.mkString(" ")}')")
+    }
+    assert(got(0L)._3 == 6 && got(1L)._3 == 6 && got(2L)._3 == 0 && got(3L)._3 == 0)
+  }
+
+  test("applyMerges kernel reproduces the trainer's mergePair fold") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((0L, "abab aab b ba"), (1L, "bbb  aaa"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val merges = Seq("a b", "ab ab")
+    val viaKernel = operators.BpeTokenizer.encode(corpus, "doc_id", "text", merges)
+      .select(col("doc_id"), col("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    // reference: per word, chars -> the trainer's mergePair column fold,
+    // applied merge-by-merge, concatenated in document order
+    val chars = expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))")
+    val folded = merges.foldLeft(chars) { (c, m) =>
+      val Array(a, b) = m.split(" ", 2)
+      graft.queries.DataQueries9.mergePair(c, a, b)
+    }
+    val viaFold = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("__p", "__w")))
+      .filter(length(col("__w")) >= 1)
+      .select(col("doc_id"), col("__p"), folded.as("syms"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p"), col("syms")))),
+        x => x.getField("syms"))).as("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaKernel == viaFold)
+    assert(viaKernel(0L) == Seq("abab", "a", "ab", "b", "b", "a"))
+  }
+
+  test("encode -> SequencePacking composition: bins respect seqLen on BPE counts") {
+    val enc = operators.BpeTokenizer.encode(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Seq("t h", "th e", "a n"))
+    val packed = operators.SequencePacking
+      .packGreedy(enc, "doc_id", "n_tok", 2048, 8)
+    val docs = enc.count()
+    assert(packed.count() == docs, "every encoded doc packs exactly once")
+    // every multi-doc sequence holds within budget; only a single oversized
+    // doc may exceed it (next-fit gives it a bin of its own)
+    val bad = packed.groupBy("seq")
+      .agg(sum("n_tok").as("fill"), count(lit(1)).as("nd"))
+      .filter(col("fill") > 2048 && col("nd") > 1)
+    assert(bad.count() == 0, "multi-doc sequence over budget")
+  }
+
   test("d135: residual ADC recall@3 >= raw ADC recall@3 at the same code budget") {
     val r = q("d135_residual_pq")
       .agg(sum("hits_raw").cast("long"), sum("hits_res").cast("long"),
