@@ -33,6 +33,9 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
       selected.foreach { case (_, fn) =>
         try run(fn) catch { case _: Throwable => () }
+        // drop the query's ephemeral persists before the next query so the
+        // warmup sweep never accumulates cached blocks across the inventory
+        graft.sources.Caches.release(spark)
       }
     // min of N timed runs per query (default 3): one-shot timings on a busy
     // host swing 2-3x (observed full-suite totals vary ±15% run-to-run); the
@@ -49,6 +52,11 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
+      // released AFTER the rep loop (not per rep): reps intentionally share
+      // the query's own caches like every prior round's numbers; the release
+      // keeps the RUN leak-free (no net cached RDDs once a query's timing is
+      // done — the cross-query memos own their lifecycle separately)
+      graft.sources.Caches.release(spark)
       name -> times.min
     }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }

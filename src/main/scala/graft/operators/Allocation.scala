@@ -25,12 +25,17 @@ object Allocation {
       budget: Long): DataFrame = {
     // |keys|-row table persisted: the total, quota and remainder-rank
     // branches all reuse it
-    val t = weights.select(col(keyCol), col(weightCol).cast("long")).persist()
+    val t = weights.select(col(keyCol), col(weightCol).cast("long")).transform(graft.sources.Caches.ephemeral)
     val tot = t.agg(sum(col(weightCol)).as("__T"))
+    // the budget x weight product runs in DECIMAL(38,0): with token-mass
+    // weights (~1e13 at 100 TB) and a comparable budget the Long product
+    // would silently wrap (non-ANSI); 1e13 * 1e13 = 1e26 fits decimal38
     val base = t.crossJoin(broadcast(tot))
       .select(col(keyCol), col(weightCol),
-        expr(s"($budget * $weightCol) div __T").as("base_alloc"),
-        expr(s"($budget * $weightCol) % __T").as("__rem"))
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * $weightCol) DIV __T AS BIGINT)")
+          .as("base_alloc"),
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * $weightCol) % __T AS BIGINT)")
+          .as("__rem"))
     val leftover = base.agg((lit(budget) - sum(col("base_alloc"))).as("__leftover"))
     base.crossJoin(broadcast(leftover))
       .withColumn("__rr",
@@ -55,16 +60,20 @@ object Allocation {
     */
   def waterfill(avail: DataFrame, keyCol: String, availCol: String,
       budget: Long): DataFrame = {
-    val t = avail.select(col(keyCol), col(availCol).cast("long")).persist()
+    val t = avail.select(col(keyCol), col(availCol).cast("long")).transform(graft.sources.Caches.ephemeral)
     val tot = t.agg(sum(col(availCol)).as("__T"), count(lit(1)).as("__m"))
     val w = Window.orderBy(col(availCol), col(keyCol))
     val o = t.select(col(keyCol), col(availCol),
       row_number().over(w).cast("long").as("__k"),
       sum(col(availCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("__pk"))
+    // avail x remaining-keys in DECIMAL(38,0): with 1e13-token caps and
+    // 1e6 keys the Long product wraps (same failure mode as apportion's
+    // budget x weight). Prefix sums themselves must fit in Long — callers
+    // with > 9e18 total tokens pre-scale units.
     val st = o.crossJoin(broadcast(tot))
       .withColumn("saturated",
-        col(availCol) * (col("__m") - col("__k") + 1) +
-          (col("__pk") - col(availCol)) <= lit(budget))
+        expr(s"CAST($availCol AS DECIMAL(38,0)) * (__m - __k + 1)" +
+          s" + (__pk - $availCol) <= $budget"))
     val lvl = st.agg(
       coalesce(max(when(col("saturated"), col("__k"))), lit(0L)).as("__kstar"),
       coalesce(max(when(col("saturated"), col("__pk"))), lit(0L)).as("__psat"),

@@ -773,7 +773,7 @@ object TextDedup {
     // scan+shingle+distinct subtree re-executes per consumer
     val g = docs.select(col(idCol).as("__id"),
       explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
-      .persist()
+      .transform(graft.sources.Caches.ephemeral)
     val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     val ranked = g.join(dfreq, "g").join(sizes, "__id")

@@ -516,7 +516,7 @@ object DataQueries10 {
       val pairs = DataQueries.minhashPairs(s, dir)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = docs(s, dir).select(col("doc_id"))
       val n = nodes.count()

@@ -64,7 +64,7 @@ object DataQueries11 {
       // drop the token array before persisting: stats and the scorer both
       // re-read this slim (id, dl, tf*) projection instead of re-splitting
       // the corpus per consumer
-      val tfSlim = tf.drop("w").persist()
+      val tfSlim = tf.drop("w").transform(graft.sources.Caches.ephemeral)
       val aggCols = count(lit(1)).cast("double").as("n") +:
         sum(col("dl")).as("sumdl") +:
         terms.indices.map(i =>
@@ -105,7 +105,7 @@ object DataQueries11 {
       // branch; persist the |vecs| x 4 rows or the d2q pass runs twice
       val d = e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cid"), DataQueries10.d2q(col("xq"), col("cq")).as("d2"))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val a = d.groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cell"), col("m.d2").as("a_d2"))
       val b = d.join(a, "vec_id").filter(col("cid") =!= col("cell"))
@@ -130,7 +130,7 @@ object DataQueries11 {
       // ONE signature pass (scan + shingle + 16-min agg), persisted; each
       // config only re-bands the |docs|-row signature table
       val sig = graft.operators.TextDedup
-        .minhashSignatures(docs(s, dir), "doc_id", "text", 3).persist()
+        .minhashSignatures(docs(s, dir), "doc_id", "text", 3).transform(graft.sources.Caches.ephemeral)
       val branches = Seq(2, 4, 8).map { b =>
         val r = 16 / b
         graft.operators.TextDedup
@@ -150,7 +150,7 @@ object DataQueries11 {
     // chains" read that decides whether min-label clustering (d15) or
     // authority ranking (d93) picks representatives.
     "d105_graph_stats" -> ((s, dir) => {
-      val edges = DataQueries.minhashPairs(s, dir).persist()
+      val edges = DataQueries.minhashPairs(s, dir).transform(graft.sources.Caches.ephemeral)
       val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val nn = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"),
@@ -206,7 +206,7 @@ object DataQueries11 {
       // parameter of the closed form, not a column)
       val t = docs(s, dir).groupBy("source")
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val budget = t.agg(sum(col("avail"))).first().getLong(0) * 19L / 20L
       graft.operators.Allocation.waterfill(t, "source", "avail", budget)
         .orderBy("source")
@@ -362,7 +362,7 @@ object DataQueries11 {
         .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
         .select(col("source"), col("i"),
           floor(col("sm").cast("double") * lit(1.0) / col("n")).cast("long").as("cq"))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val p = x.as("a").join(x.as("b"),
           col("a.i") === col("b.i") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -393,8 +393,8 @@ object DataQueries11 {
         .distinct()
       // both gram tables feed two consumers each (bloom bits + exact side,
       // probes + exact side); persist so the scan+shingle runs once per side
-      val ref = grams(_ === "src0").persist()
-      val dump = grams(_ =!= "src0").persist()
+      val ref = grams(_ === "src0").transform(graft.sources.Caches.ephemeral)
+      val dump = grams(_ =!= "src0").transform(graft.sources.Caches.ephemeral)
       val m = 1L << 20
       val mixes = Seq(
         (0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL),

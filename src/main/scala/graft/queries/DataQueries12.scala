@@ -82,7 +82,7 @@ object DataQueries12 {
       val bg = spl.select(col("doc_id"), col("lang"), col("split"),
         explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
       // the bigram stream feeds the train-count rollup AND the val scorer
-      val bgP = bg.persist()
+      val bgP = bg.transform(graft.sources.Caches.ephemeral)
       val counts = bgP.filter(col("split") === "train")
         .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       val perDoc = bgP.filter(col("split") === "val")

@@ -29,7 +29,7 @@ object DataQueries13 {
       val ch = graft.operators.TextChunking
         .chunkFixed(docs(s, dir), "doc_id", "text", 200, 150)
         .select(col("doc_id"), md5(col("chunk")).as("h"))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val df = ch.groupBy(col("h")).agg(count(lit(1)).as("k"))
       val tot = df.agg(sum(col("k")).as("total_chunks"),
         count(lit(1)).as("n_distinct"),
@@ -72,7 +72,7 @@ object DataQueries13 {
         .withTrainValSplit(docs(s, dir), "doc_id")
       val bg = spl.select(col("lang"), col("split"),
         explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val train = bg.filter(col("split") === "train").select(col("bg")).distinct()
       val valB = bg.filter(col("split") === "val")
         .select(col("lang"), col("bg")).distinct()

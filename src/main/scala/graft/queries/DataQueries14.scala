@@ -35,7 +35,7 @@ object DataQueries14 {
       val branches = Seq(3, 5, 8).map { n =>
         val g = docs(s, dir).select(col("doc_id"),
           explode(graft.functions.prom.shingle_g(col("text"), n)).as("g"))
-          .persist()
+          .transform(graft.sources.Caches.ephemeral)
         val dup = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
         val stats = dup.agg(
@@ -123,7 +123,9 @@ object DataQueries14 {
       val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
           col("label").as("truth"))
-      val scored = q.join(broadcast(e), col("vec_id") =!= col("qid"))
+      // stream the corpus, broadcast the 16-row probe set — the bounded
+      // side is the broadcast one (the d126/d133 discipline)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("truth"), col("vec_id"), col("label"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))

@@ -160,7 +160,7 @@ object DataQueries15 {
       val pairs = DataQueries.minhashPairs(s, dir)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
+        .transform(graft.sources.Caches.ephemeral)
       val nodes = edges.select(col("src").as("node")).distinct()
       var labels = nodes.select(col("node"), col("node").as("lab"))
       for (_ <- 1 to 3) {

@@ -200,6 +200,16 @@ class Wave6Spec extends AnyFunSuite {
       val un = wf.filter(!_.getAs[Boolean]("saturated")).map(_.getAs[Long]("alloc"))
       if (un.nonEmpty) assert(un.max - un.min <= 1L, s"trial $trial level")
     }
+    // 100 TB-magnitude inputs: budget * weight ~ 1e13 * 1e13 = 1e26 wraps
+    // a Long product 10^7-fold — the DECIMAL(38,0) routing must keep the
+    // exact-sum property (this case failed before that fix)
+    val big = Seq(("a", 7_000_000_000_000L), ("b", 3_000_000_000_000L),
+      ("c", 1_234_567_890_123L)).toDF("k", "w")
+    val bigBudget = 5_000_000_000_000L
+    val bp = operators.Allocation.apportion(big, "k", "w", bigBudget).collect()
+    assert(bp.map(_.getAs[Long]("alloc")).sum == bigBudget, "decimal apportion")
+    val bw = operators.Allocation.waterfill(big, "k", "w", bigBudget).collect()
+    assert(bw.map(_.getAs[Long]("alloc")).sum == bigBudget, "decimal waterfill")
   }
 
   test("d116 MMR: step 1 is the relevance argmax; scores never exceed pure relevance") {
@@ -253,12 +263,16 @@ class Wave6Spec extends AnyFunSuite {
     }
   }
 
-  test("d122 dup-length profile: longer grams never duplicate more") {
+  test("d122 dup-length profile: longer grams never touch more documents") {
     val rows = q("d122_dup_length_profile").collect().sortBy(_.getAs[Long]("gram_n"))
-    // a duplicated 8-gram implies duplicated 5-grams inside it, etc. —
-    // instance mass is non-increasing in gram length
-    val inst = rows.map(_.getAs[Long]("dup_instances"))
-    assert(inst.zip(inst.tail).forall { case (a, b) => b <= a })
+    // the PROVABLE monotone direction: every 5-sub-gram of a cross-doc
+    // duplicated 8-gram occurs in the same >= 2 docs, so a doc touched at
+    // gram length 8 is touched at 5 (and 5 at 3). dup_instances is NOT
+    // strictly monotone under per-doc shingle dedup (two distinct
+    // duplicated 8-grams can collapse onto one shared 5-gram), so it is
+    // not asserted here — the sf0.01 oracle hash pins its exact values.
+    val touched = rows.map(_.getAs[Long]("docs_touched"))
+    assert(touched.zip(touched.tail).forall { case (a, b) => b <= a })
     rows.foreach(r =>
       assert(r.getAs[Long]("dup_instances") >= 2 * r.getAs[Long]("n_dup_grams")
         || r.getAs[Long]("n_dup_grams") == 0L))
