@@ -44,6 +44,15 @@ object BpeTokenizer {
       row_number().over(Window.orderBy(col("token"))).cast("long"))
   }
 
+  /** The [[vocabulary]] table collected to a driver map — VOCABULARY-sized
+    * by construction (the d74/Heaps'-law bound: prune or cap upstream if a
+    * corpus's raw vocab outgrows driver memory), for stream-side literal
+    * id resolution ([[graft.streaming.StreamOps.encodeBpe]]).
+    */
+  def vocabularyMap(vocab: DataFrame): Map[String, Long] =
+    vocab.select(col("token"), col("tid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Token-id arrays: each document's `tokens` mapped through `vocab`
     * (an id table shaped like [[vocabulary]]'s output). Unknown tokens —
     * possible when the vocab was built on a different corpus — map to 0L

@@ -86,6 +86,52 @@ object Multimodal {
     }
   }
 
+  final case class AudioTrim(
+      doc_id: Long,
+      n_frames: Long,
+      n_silent: Long,
+      first_keep: Long,
+      last_keep: Long,
+      kept_frames: Long)
+
+  /** Audio silence-trim plan: the media payload read as PCM-ish frames of
+    * `frameLen` bytes (last frame may be partial), per-frame energy = sum
+    * of unsigned byte values, a frame is SILENT when its energy falls
+    * below `threshold`, and the trim keeps [first, last] non-silent
+    * frames (the leading/trailing-silence cut every speech pipeline runs
+    * before feature extraction). The energy computation stands in for a
+    * real decoder (same STUB contract as [[extractFeatures]]: swap the
+    * byte-sum for decoded PCM RMS and nothing else changes); the typed
+    * mapPartitions shape — one codec per partition, bounded per-item
+    * output, exact integer energies — is the production plumbing.
+    * first_keep/last_keep are -1 when every frame is silent.
+    */
+  def audioTrimPlan(ds: Dataset[MediaItem], frameLen: Int = 64,
+      threshold: Long = 6000L): Dataset[AudioTrim] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new FakeCodec
+      val _ = codec // real impl: codec.decodePcm(m)
+      it.map { m =>
+        val n = m.media.length
+        val nFrames = (n + frameLen - 1) / frameLen
+        var first = -1L; var last = -1L; var silent = 0L
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * frameLen
+          val end = math.min(i + frameLen, n)
+          while (i < end) { e += (m.media(i) & 0xff).toLong; i += 1 }
+          if (e < threshold) silent += 1
+          else { if (first < 0) first = f.toLong; last = f.toLong }
+          f += 1
+        }
+        AudioTrim(m.doc_id, nFrames.toLong, silent, first, last,
+          if (first < 0) 0L else last - first + 1L)
+      }
+    }
+  }
+
   /** documents -> media table (binary payload + mime from source). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._

@@ -182,6 +182,132 @@ object DataQueries17 {
           expr("n_out * 1000000 DIV n").as("out_rate_q6"))
         .orderBy("source")
     })
+  ) ++ Map[String, Q](
+    // DoReMi-style one-round mixture reweight (Xie et al. 2023, the
+    // multiplicative-weights shape): each source's "excess loss" proxy is
+    // the corpus-mean bigram familiarity minus its own (d28's integer
+    // score — sources whose text the corpus LM finds LESS familiar carry
+    // more headroom and get UPWEIGHTED), and the token-mass prior is
+    // multiplied by exp(excess). Per-row doubles appear ONLY on the
+    // |sources|-row table (d53's pow precedent: the q6 floor absorbs
+    // last-ulp exp skew); the renormalization runs on the ALREADY
+    // QUANTIZED integer weights, so the final shares are exact integer
+    // divisions. The bigram join is d28's hash shuffle; the *1e6
+    // products route through DECIMAL(38,0) (token-mass magnitudes wrap
+    // Long — the Allocation precedent).
+    "d139_doremi_reweight" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("source"),
+          explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
+        .transform(graft.sources.Caches.ephemeral)
+      val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      val perSrc = bg.join(counts, "bg").groupBy(col("source"))
+        .agg(count(lit(1)).as("nbg"), sum(col("n")).as("ssum"))
+      val tok = docs(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+      val all = Window.partitionBy(lit(0))
+      perSrc.join(tok, "source")
+        .withColumn("score_q6",
+          expr("CAST(CAST(ssum AS DECIMAL(38,0)) * 1000000 DIV nbg AS BIGINT)"))
+        .withColumn("ssum_tot", sum(col("ssum")).over(all))
+        .withColumn("nbg_tot", sum(col("nbg")).over(all))
+        .withColumn("tok_tot", sum(col("tokens")).over(all))
+        .withColumn("corp_q6",
+          expr("CAST(CAST(ssum_tot AS DECIMAL(38,0)) * 1000000 DIV nbg_tot AS BIGINT)"))
+        .withColumn("excess_q6", col("corp_q6") - col("score_q6"))
+        .withColumn("w_q6",
+          floor(col("tokens").cast("double") / col("tok_tot").cast("double")
+            * exp(col("excess_q6").cast("double") / lit(1000000.0))
+            * lit(1000000.0)).cast("long"))
+        .withColumn("old_share_q6",
+          expr("CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tok_tot AS BIGINT)"))
+        .withColumn("w_tot", sum(col("w_q6")).over(all))
+        .withColumn("new_share_q6",
+          expr("CAST(CAST(w_q6 AS DECIMAL(38,0)) * 1000000 DIV w_tot AS BIGINT)"))
+        .select(col("source"), col("tokens"), col("score_q6"), col("excess_q6"),
+          col("old_share_q6"), col("w_q6"), col("new_share_q6"))
+        .orderBy("source")
+    }),
+
+    // token-budget epoch plan — the two public Allocation rules composed
+    // into the read a training run actually consumes: a 1.7×-corpus token
+    // budget is (a) apportioned by DOC mass (Hamilton — so epochs vary
+    // with a source's average doc length) and (b) water-filled under
+    // 2-epoch caps (cap = 2·tokens — the "upsample small sources to at
+    // most 2 epochs" rule), each converted to per-source epochs as an
+    // exact q6 integer division. One corpus rollup to the |sources|-row
+    // table; the budget scalar is a one-row collect (the d108 precedent);
+    // everything else runs on bounded tables inside the Allocation APIs.
+    "d143_epoch_plan" -> ((s, dir) => {
+      val t = docs(s, dir).groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"),
+          count(lit(1)).as("n_docs"))
+        .transform(graft.sources.Caches.ephemeral)
+      val budget = t.agg(sum(col("tok"))).first().getLong(0) * 17L / 10L
+      val prop = graft.operators.Allocation
+        .apportion(t.select(col("source"), col("n_docs")), "source", "n_docs", budget)
+        .select(col("source"), col("alloc").as("alloc_prop"))
+      val wf = graft.operators.Allocation
+        .waterfill(t.select(col("source"), (col("tok") * 2).as("cap")),
+          "source", "cap", budget)
+        .select(col("source"), col("alloc").as("alloc_wf"))
+      t.join(prop, "source").join(wf, "source")
+        .select(col("source"), col("tok").as("tokens"), col("n_docs"),
+          col("alloc_prop"),
+          expr("CAST(CAST(alloc_prop AS DECIMAL(38,0)) * 1000000 DIV tok AS BIGINT)")
+            .as("epochs_prop_q6"),
+          col("alloc_wf"),
+          expr("CAST(CAST(alloc_wf AS DECIMAL(38,0)) * 1000000 DIV tok AS BIGINT)")
+            .as("epochs_wf_q6"))
+        .orderBy("source")
+    }),
+
+    // within-document repetition runs — the positional complement of d38's
+    // duplicate-word fractions and d60's entropy: 5-gram positions whose
+    // gram recurs IN THE SAME document, grouped into maximal consecutive
+    // runs (gaps-and-islands on p − row_number) — the degenerate-loop
+    // detector for generation artifacts and boilerplate scaffolds
+    // (a doc with max_run ≈ n_grams is one long repeated block; scattered
+    // singleton islands are natural phrase reuse). Every window is
+    // partitioned by doc (doc-bounded, the d81 discipline); nothing
+    // crosses documents at all — the whole query is embarrassingly
+    // parallel over docs at any corpus size.
+    "d144_intradoc_runs" -> ((s, dir) => {
+      val pg = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', slice(ws, i + 1, 5)))"))
+          .as(Seq("p", "g")))
+        .transform(graft.sources.Caches.ephemeral)
+      val wc = Window.partitionBy(col("doc_id"), col("g"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val isl = pg.withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("cnt") >= 2)
+        .withColumn("isl", col("p") - row_number().over(wd))
+      val perIsl = isl.groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).as("run"))
+      val repAgg = perIsl.groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("n_rep_pos"), count(lit(1)).as("n_islands"),
+          max(col("run")).as("max_run"))
+      pg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(repAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_rep_pos"), lit(0L)).as("n_rep_pos"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy("doc_id")
+    }),
+
+    // audio silence-trim plan through the multimodal stub-codec path:
+    // frames of 64 payload bytes, exact integer energies, threshold
+    // trim — the typed mapPartitions plumbing (one codec per partition)
+    // with the STUB byte-sum standing in for decoded PCM RMS.
+    "m06_audio_trim" -> ((s, dir) =>
+      graft.operators.Multimodal.audioTrimPlan(
+        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,6 +397,100 @@ object DataQueries17 {
         |SELECT med.source, med.n, med.med2, mad.mad4, outc.n_out,
         |  CAST(outc.n_out * 1000000 // med.n AS BIGINT) AS out_rate_q6
         |FROM med JOIN mad USING (source) JOIN outc USING (source)
-        |ORDER BY med.source""".stripMargin
+        |ORDER BY med.source""".stripMargin,
+
+    "d139_doremi_reweight" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT source, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM w WHERE len(w) >= 2),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bg),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS nbg, CAST(sum(n) AS BIGINT) AS ssum
+        |  FROM bg JOIN c USING (bg) GROUP BY source),
+        |tk AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS tokens FROM w GROUP BY source),
+        |j AS (SELECT ps.source, ps.nbg, ps.ssum, tk.tokens,
+        |    CAST(CAST(ps.ssum AS HUGEINT) * 1000000 // ps.nbg AS BIGINT) AS score_q6,
+        |    sum(ps.ssum) OVER () AS ssum_tot, sum(ps.nbg) OVER () AS nbg_tot,
+        |    sum(tk.tokens) OVER () AS tok_tot
+        |  FROM ps JOIN tk USING (source)),
+        |x AS (SELECT *,
+        |    CAST(CAST(ssum_tot AS HUGEINT) * 1000000 // nbg_tot AS BIGINT) AS corp_q6
+        |  FROM j),
+        |y AS (SELECT *, corp_q6 - score_q6 AS excess_q6,
+        |    CAST(floor(CAST(tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE)
+        |      * exp(CAST(corp_q6 - score_q6 AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS w_q6,
+        |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tok_tot AS BIGINT) AS old_share_q6
+        |  FROM x),
+        |z AS (SELECT *, sum(w_q6) OVER () AS w_tot FROM y)
+        |SELECT source, tokens, score_q6, excess_q6, old_share_q6, w_q6,
+        |  CAST(CAST(w_q6 AS HUGEINT) * 1000000 // w_tot AS BIGINT) AS new_share_q6
+        |FROM z ORDER BY source""".stripMargin,
+
+    "d143_epoch_plan" ->
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+        |tt AS (SELECT sum(tok) AS T, sum(n_docs) AS D, count(*) AS m FROM t),
+        |bu AS (SELECT T * 17 // 10 AS B, D, m FROM tt),
+        |base AS (SELECT source, tok, n_docs, (B * n_docs) // D AS basea, (B * n_docs) % D AS rem
+        |  FROM t CROSS JOIN bu),
+        |lr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+        |    (SELECT (SELECT B FROM bu) - sum(basea) FROM base) AS leftover FROM base),
+        |prop AS (SELECT source, basea + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc_prop FROM lr),
+        |c AS (SELECT source, 2 * tok AS cap FROM t),
+        |o AS (SELECT source, cap, row_number() OVER (ORDER BY cap, source) AS k,
+        |    sum(cap) OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+        |  FROM c),
+        |sst AS (SELECT o.*, bu.m, bu.B, (cap * (bu.m - k + 1) + (pk - cap)) <= bu.B AS sat
+        |  FROM o CROSS JOIN bu),
+        |agg AS (SELECT max(CASE WHEN sat THEN k ELSE 0 END) AS kstar,
+        |    max(CASE WHEN sat THEN pk ELSE 0 END) AS psat FROM sst),
+        |lvl AS (SELECT kstar, psat,
+        |    ((SELECT B FROM bu) - psat) // ((SELECT m FROM bu) - kstar) AS baseb,
+        |    ((SELECT B FROM bu) - psat) % ((SELECT m FROM bu) - kstar) AS extra FROM agg),
+        |wf AS (SELECT sst.source,
+        |    CASE WHEN sst.sat THEN sst.cap
+        |         ELSE lvl.baseb + CASE WHEN sst.k - lvl.kstar <= lvl.extra THEN 1 ELSE 0 END END AS alloc_wf
+        |  FROM sst CROSS JOIN lvl)
+        |SELECT t.source, t.tok AS tokens, t.n_docs,
+        |  CAST(prop.alloc_prop AS BIGINT) AS alloc_prop,
+        |  CAST(CAST(prop.alloc_prop AS HUGEINT) * 1000000 // t.tok AS BIGINT) AS epochs_prop_q6,
+        |  CAST(wf.alloc_wf AS BIGINT) AS alloc_wf,
+        |  CAST(CAST(wf.alloc_wf AS HUGEINT) * 1000000 // t.tok AS BIGINT) AS epochs_wf_q6
+        |FROM t JOIN prop USING (source) JOIN wf USING (source)
+        |ORDER BY t.source""".stripMargin,
+
+    "d144_intradoc_runs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |pg AS (SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM d)),
+        |rep AS (SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM pg),
+        |r2 AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |  FROM rep WHERE cnt >= 2),
+        |pi AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS run FROM r2 GROUP BY doc_id, isl),
+        |ra AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_rep_pos,
+        |    CAST(count(*) AS BIGINT) AS n_islands, CAST(max(run) AS BIGINT) AS max_run
+        |  FROM pi GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_grams, COALESCE(ra.n_rep_pos, 0) AS n_rep_pos,
+        |  COALESCE(ra.n_islands, 0) AS n_islands, COALESCE(ra.max_run, 0) AS max_run
+        |FROM tot LEFT JOIN ra USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+
+    "m06_audio_trim" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS n,
+        |    [CAST(ord(c) AS BIGINT) FOR c IN [substr(text, i, 1) FOR i IN generate_series(1, strlen(text))]] AS codes
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, codes, unnest(generate_series(0, (n + 63) // 64 - 1)) AS f FROM m),
+        |en AS (SELECT doc_id, f,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      codes[CAST(f * 64 + 1 AS INTEGER):CAST(least(f * 64 + 64, n) AS INTEGER)]),
+        |      (a, b) -> a + b) AS e
+        |  FROM fr),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN e < 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |    CAST(COALESCE(min(CASE WHEN e >= 6000 THEN f END), -1) AS BIGINT) AS first_keep,
+        |    CAST(COALESCE(max(CASE WHEN e >= 6000 THEN f END), -1) AS BIGINT) AS last_keep
+        |  FROM en GROUP BY doc_id)
+        |SELECT doc_id, n_frames, n_silent, first_keep, last_keep,
+        |  CAST(CASE WHEN first_keep < 0 THEN 0 ELSE last_keep - first_keep + 1 END AS BIGINT) AS kept_frames
+        |FROM st ORDER BY doc_id""".stripMargin
   )
 }

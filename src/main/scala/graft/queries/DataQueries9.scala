@@ -68,7 +68,7 @@ object DataQueries9 {
     new java.util.LinkedHashMap[(SparkSession, String),
       (Seq[(Long, String, Long)], Seq[(Long, Long)])](16, 0.75f, true)
 
-  private[queries] def bpeRun(s: SparkSession, dir: String)
+  private[graft] def bpeRun(s: SparkSession, dir: String)
       : (Seq[(Long, String, Long)], Seq[(Long, Long)]) =
     bpeMemo.synchronized {
       bpeMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)

@@ -112,6 +112,30 @@ object StreamOps {
   def repetitionStats(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withRepetitionStats(df, textCol)
 
+  /** Streaming BPE encode (the streaming twin of d137): the trained merge
+    * list applied by the same codegen'd kernel pass as the batch
+    * [[graft.operators.BpeTokenizer.encode]], token ids resolved through a
+    * LITERAL vocabulary map (vocab-bounded — the
+    * `BpeTokenizer.vocabularyMap` collect the trainer already pays) so the
+    * whole operator is one stateless narrow projection: no joins, no
+    * aggregation state, identical ids on a batch corpus and a live stream.
+    * Unknown tokens map to 0 (the batch path's reserved unk id).
+    * Output: `(idCol, n_tok, ids)` — the exact [[withTokenIds]] shape a
+    * downstream packing stage consumes.
+    */
+  def encodeBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], vocab: Map[String, Long]): DataFrame = {
+    val m = array(merges.map(lit): _*)
+    val ks = vocab.keys.toSeq.sorted
+    val vmap = map_from_arrays(
+      array(ks.map(lit): _*), array(ks.map(k => lit(vocab(k))): _*))
+    df.select(col(idCol),
+        graft.functions.prom.apply_merges(col(textCol), m).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tok"),
+        transform(col("__toks"),
+          t => coalesce(element_at(vmap, t), lit(0L))).as("ids"))
+  }
+
   /** Streaming language router (the streaming twin of d05): the shared
     * TextQuality.withLangId narrow map — no state, no shuffle; a live
     * ingest splits by `pred` exactly as the batch query would.
