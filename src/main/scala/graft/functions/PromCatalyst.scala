@@ -252,6 +252,49 @@ object PromCatalyst {
     new GenericArrayData(out.toArray)
   }
 
+  /** Greedy longest-match-first subword tokenize (the WordPiece/maximal-
+    * munch rule, Wu et al. 2016): each whitespace word is consumed left to
+    * right by the LONGEST lexicon piece matching at the cursor; a position
+    * no piece matches emits its single character (never fires when the
+    * lexicon contains every corpus character, which the trainer
+    * guarantees — see BpeTokenizer.wordpieceLexicon). One O(|word| ·
+    * maxPieceLen) pass per row; the lexicon set is rebuilt per row from
+    * the literal array (the applyMerges precedent — a production impl
+    * memoizes the compiled lexicon per task).
+    */
+  def wordpiece(s: UTF8String, pieces: ArrayData): ArrayData = {
+    val n = pieces.numElements()
+    val set = new java.util.HashSet[String](n * 2)
+    var maxL = 1
+    var k = 0
+    while (k < n) {
+      val p = pieces.getUTF8String(k).toString
+      set.add(p)
+      if (p.length > maxL) maxL = p.length
+      k += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val words = s.toString.split(' ')
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxL, w.length - pos)
+        var hit = 1
+        var found = false
+        while (l >= 1 && !found) {
+          if (set.contains(w.substring(pos, pos + l))) { hit = l; found = true }
+          l -= 1
+        }
+        out += UTF8String.fromString(w.substring(pos, pos + hit))
+        pos += hit
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // --- prompb wire codec ----------------------------------------------------
 
   /** arg: array<struct<labels array<struct<name,value>>, samples array<struct<value,timestamp>>>>

@@ -148,6 +148,14 @@ object prom {
     invoke(ArrayType(StringType, containsNull = false), "applyMerges",
       Seq(expr(text), expr(merges)))
 
+  /** Greedy longest-match-first (WordPiece-style) subword tokenize against
+    * a literal lexicon array; unmatched positions pass through as single
+    * characters (see [[graft.functions.PromCatalyst.wordpiece]]).
+    */
+  def wordpiece(text: Column, pieces: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "wordpiece",
+      Seq(expr(text), expr(pieces)))
+
   /** Codegen'd left-fold dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     invoke(DoubleType, "vecDot", Seq(expr(a), expr(b)))

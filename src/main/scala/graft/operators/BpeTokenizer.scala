@@ -44,6 +44,45 @@ object BpeTokenizer {
       row_number().over(Window.orderBy(col("token"))).cast("long"))
   }
 
+  /** Train a WordPiece-style lexicon: every distinct single character of
+    * the corpus's words (so greedy matching can never strand a position)
+    * plus the `topK` most frequent multi-character substrings of length
+    * 2..`maxPieceLen` (ties by piece, the corpus-count analog of d70's
+    * first-merge rule). Substring fan-out is a narrow per-word transform;
+    * the count rollup is two-phase; the top-K is a bounded TakeOrdered
+    * (the d74 prune discipline) — the returned Seq is lexicon-sized and
+    * sorted, ready to broadcast as the [[wordpieceEncode]] literal.
+    */
+  def wordpieceLexicon(docs: DataFrame, textCol: String,
+      topK: Int = 32, maxPieceLen: Int = 4): Seq[String] = {
+    val words = docs
+      .select(explode(expr(s"filter(split($textCol, ' '), x -> length(x) >= 1)")).as("w"))
+    val chars = words
+      .select(explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .distinct()
+    val multi = words
+      .select(explode(flatten(array((2 to maxPieceLen).map(l => expr(
+        s"CASE WHEN length(w) >= $l THEN transform(sequence(1, length(w) - $l + 1), i -> substring(w, i, $l)) ELSE array() END")): _*)))
+        .as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(topK)
+      .select(col("p"))
+    chars.union(multi).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Encode `textCol` by greedy longest-match against `lexicon` (one
+    * codegen'd kernel pass per row — the WordPiece apply half, beside the
+    * BPE [[encode]]). Output: `(idCol, tokens array<string>, n_tok)`.
+    */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[String]): DataFrame = {
+    val lex = array(lexicon.map(lit): _*)
+    docs.select(col(idCol),
+        graft.functions.prom.wordpiece(col(textCol), lex).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+  }
+
   /** The [[vocabulary]] table collected to a driver map — VOCABULARY-sized
     * by construction (the d74/Heaps'-law bound: prune or cap upstream if a
     * corpus's raw vocab outgrows driver memory), for stream-side literal

@@ -299,6 +299,76 @@ object DataQueries17 {
         .orderBy("doc_id")
     }),
 
+    // WordPiece-style greedy longest-match tokenization — the third
+    // tokenizer-family member (d76 trains BPE merges, d137 applies them;
+    // this is the maximal-munch alternative real vocabularies ship):
+    // lexicon = every corpus character + the top-32 most frequent 2..4
+    // char substrings (bounded TakeOrdered prune, d70's count-argmax
+    // frame), applied by ONE codegen'd kernel pass per document
+    // (`prom.wordpiece` — O(|word|·maxPieceLen), no joins, no per-piece
+    // corpus scans). The lexicon is a vocab-bounded collect broadcast as
+    // a literal (the d76 merge-list discipline). The oracle re-trains the
+    // identical lexicon and replays the greedy rule as a recursive CTE.
+    "d145_wordpiece" -> ((s, dir) => {
+      val lex = graft.operators.BpeTokenizer
+        .wordpieceLexicon(docs(s, dir), "text", 32, 4)
+      graft.operators.BpeTokenizer
+        .wordpieceEncode(docs(s, dir), "doc_id", "text", lex)
+        .select(col("doc_id"), col("n_tok"),
+          md5(concat_ws(",", col("tokens"))).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // held-out Kneser-Ney document scoring — the read d138 exists to
+    // serve: train-split KN statistics (d33's hash-window split, so the
+    // model never sees a val doc) score VAL documents as negative
+    // log-likelihoods — the REAL perplexity filter (d28/d117 rank by raw
+    // counts; this is calibrated probability mass, with KN's backoff
+    // doing actual work on unseen events: unseen pair → discounted +
+    // continuation mass, unseen left context → pure continuation
+    // P(w2) = N1r/Ntot, probability floored at 1e-9). Each bigram's
+    // ln(p) is floor-quantized to q6 PER ROW before the per-doc sum
+    // (d57/d90's ln-ulp argument), so the document score is an exact
+    // integer. Joins run against vocab²-bounded count tables on word
+    // keys (AQE broadcasts them when they fit); the val side is 1/20 of
+    // the corpus by construction.
+    "d146_kn_docscore" -> ((s, dir) => {
+      val spl = graft.operators.Sampling.withTrainValSplit(docs(s, dir), "doc_id")
+      val bg = spl
+        .select(col("doc_id"), col("split"), expr(wordsExpr).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("split"), col("p.w1"), col("p.w2"))
+        .transform(graft.sources.Caches.ephemeral)
+      val c12 = bg.filter(col("split") === "train")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .transform(graft.sources.Caches.ephemeral)
+      val c1 = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val n1r = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val nt = c12.agg(count(lit(1)).as("ntot"))
+      bg.filter(col("split") === "val")
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(n1r, Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .withColumn("p_q9", greatest(lit(1L), expr(
+          """CASE WHEN c1 IS NULL
+            |  THEN CAST(CAST(COALESCE(n1r, 0) AS DECIMAL(38,0)) * 1000000000 DIV ntot AS BIGINT)
+            |  ELSE CAST((CAST(GREATEST(4 * COALESCE(c12, 0) - 3, 0) AS DECIMAL(38,0)) * ntot * 1000000000
+            |    + CAST(3 AS DECIMAL(38,0)) * n1f * COALESCE(n1r, 0) * 1000000000)
+            |    DIV (CAST(4 AS DECIMAL(38,0)) * c1 * ntot) AS BIGINT) END""".stripMargin)))
+        .withColumn("t_q6",
+          floor(log(col("p_q9").cast("double") / lit(1000000000.0)) * lit(1000000.0))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nbg"), (-sum(col("t_q6"))).as("nll_q6"))
+        .withColumn("mean_nll_q6", expr("nll_q6 DIV nbg"))
+        .orderBy("doc_id")
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -473,6 +543,60 @@ object DataQueries17 {
         |SELECT tot.doc_id, tot.n_grams, COALESCE(ra.n_rep_pos, 0) AS n_rep_pos,
         |  COALESCE(ra.n_islands, 0) AS n_islands, COALESCE(ra.max_run, 0) AS max_run
         |FROM tot LEFT JOIN ra USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+
+    "d145_wordpiece" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wp AS (SELECT doc_id, i AS wpos, w[i] AS word
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w)
+        |  WHERE length(w[i]) >= 1),
+        |ch AS (SELECT DISTINCT unnest([substr(word, j, 1) FOR j IN generate_series(1, length(word))]) AS p FROM wp),
+        |mp AS (SELECT unnest([substr(word, i, l) FOR i IN generate_series(1, length(word) - l + 1)]) AS p
+        |  FROM wp CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) WHERE length(word) >= l),
+        |top AS (SELECT p FROM (SELECT p, count(*) AS n FROM mp GROUP BY p ORDER BY n DESC, p LIMIT 32)),
+        |lex AS (SELECT DISTINCT p FROM (SELECT p FROM ch UNION ALL SELECT p FROM top)),
+        |walk(doc_id, wpos, word, pos, toks) AS (
+        |  SELECT doc_id, wpos, word, 1, CAST([] AS VARCHAR[]) FROM wp
+        |  UNION ALL
+        |  SELECT doc_id, wpos, word,
+        |    pos + COALESCE((SELECT max(length(p)) FROM lex WHERE p = substr(word, pos, length(p))), 1),
+        |    list_append(toks, COALESCE((SELECT max_by(p, length(p)) FROM lex WHERE p = substr(word, pos, length(p))), substr(word, pos, 1)))
+        |  FROM walk WHERE pos <= length(word))
+        |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+        |  md5(string_agg(array_to_string(toks, ','), ',' ORDER BY wpos)) AS toks_md5
+        |FROM walk WHERE pos > length(word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d146_kn_docscore" ->
+      """WITH spl AS (SELECT doc_id, text,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 5)) AS BIGINT) % 20 = 0
+        |      THEN 'val' ELSE 'train' END AS split
+        |  FROM documents),
+        |w AS (SELECT doc_id, split, list_filter(string_split(text, ' '), x -> length(x) >= 1) AS w FROM spl),
+        |u AS (SELECT doc_id, split, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, split, w[i] AS w1, w[i+1] AS w2 FROM u),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f FROM c12 GROUP BY w1),
+        |n1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM c12 GROUP BY w2),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c12),
+        |sc AS (SELECT v.doc_id,
+        |    greatest(1, CASE WHEN c1.c1 IS NULL
+        |      THEN CAST(CAST(COALESCE(n1r.n1r, 0) AS HUGEINT) * 1000000000 // nt.ntot AS BIGINT)
+        |      ELSE CAST((CAST(greatest(4 * COALESCE(c12.c12, 0) - 3, 0) AS HUGEINT) * nt.ntot * 1000000000
+        |        + CAST(3 AS HUGEINT) * c1.n1f * COALESCE(n1r.n1r, 0) * 1000000000)
+        |        // (CAST(4 AS HUGEINT) * c1.c1 * nt.ntot) AS BIGINT) END) AS p_q9
+        |  FROM bg v
+        |  LEFT JOIN c12 ON v.w1 = c12.w1 AND v.w2 = c12.w2
+        |  LEFT JOIN c1 ON v.w1 = c1.w1
+        |  LEFT JOIN n1r ON v.w2 = n1r.w2
+        |  CROSS JOIN nt
+        |  WHERE v.split = 'val'),
+        |t AS (SELECT doc_id,
+        |    CAST(floor(ln(CAST(p_q9 AS DOUBLE) / 1000000000.0) * 1000000.0) AS BIGINT) AS t_q6
+        |  FROM sc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS nbg,
+        |  CAST(-sum(t_q6) AS BIGINT) AS nll_q6,
+        |  CAST((-sum(t_q6)) // count(*) AS BIGINT) AS mean_nll_q6
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m06_audio_trim" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS n,

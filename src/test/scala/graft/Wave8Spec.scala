@@ -136,6 +136,34 @@ class Wave8Spec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece kernel replays greedy longest-match incl. the char fallback") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq("a", "b", "c", "ab", "abc", "bc") // note: no "d" — fallback path
+    val corpus = Seq((1L, "abcab dabc b"), (2L, "abab")).toDF("id", "text")
+    val got = graft.operators.BpeTokenizer
+      .wordpieceEncode(corpus, "id", "text", lex)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    // abcab -> abc, ab; dabc -> d (fallback), abc; b -> b; abab -> ab, ab
+    assert(got.toList == List(
+      (1L, List("abc", "ab", "d", "abc", "b")),
+      (2L, List("ab", "ab"))))
+  }
+
+  test("d146 KN doc scores cover exactly the val split with positive mass") {
+    val spl = graft.operators.Sampling.withTrainValSplit(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id")
+    val nVal = spl.filter(col("split") === "val").count()
+    val rows = q("d146_kn_docscore")
+      .select("nbg", "nll_q6", "mean_nll_q6").collect()
+    assert(rows.length == nVal, "every val doc must be scored")
+    rows.foreach { r =>
+      assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+      assert(r.getLong(2) == r.getLong(1) / r.getLong(0))
+    }
+  }
+
   test("streaming BPE encode emits batch-identical ids") {
     val s = spark
     import s.implicits._
