@@ -369,6 +369,35 @@ object DataQueries17 {
         .orderBy("doc_id")
     }),
 
+    // tokenizer fertility head-to-head — the evaluation that closes the
+    // tokenizer trio (d76 BPE train, d137/d145 the two apply algorithms,
+    // d128 whitespace fertility): per language, characters-per-token for
+    // the 5-merge BPE vocabulary vs the 32-piece WordPiece lexicon, from
+    // ONE narrow corpus pass (both kernels run side by side in the same
+    // projection — no joins, no second scan) + one |langs|-row rollup.
+    // The read that picks a tokenizer family for a multilingual budget:
+    // higher chars/token = cheaper sequences for that language.
+    "d147_tokenizer_fertility" -> ((s, dir) => {
+      val merges = DataQueries9.bpeRun(s, dir)._1.map(_._2)
+      val mlit = array(merges.map(lit): _*)
+      val lex = graft.operators.BpeTokenizer
+        .wordpieceLexicon(docs(s, dir), "text", 32, 4)
+      val llit = array(lex.map(lit): _*)
+      docs(s, dir).select(col("lang"), col("n_chars"),
+          size(expr(wordsExpr)).cast("long").as("nw"),
+          size(graft.functions.prom.apply_merges(col("text"), mlit)).cast("long").as("nb"),
+          size(graft.functions.prom.wordpiece(col("text"), llit)).cast("long").as("nwp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"),
+          sum(col("nwp")).as("n_wp"))
+        .withColumn("chars_per_bpe_q6",
+          expr("CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 DIV n_bpe AS BIGINT)"))
+        .withColumn("chars_per_wp_q6",
+          expr("CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 DIV n_wp AS BIGINT)"))
+        .orderBy("lang")
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -380,7 +409,54 @@ object DataQueries17 {
         .orderBy("doc_id"))
   )
 
+  /** d147's oracle: the d76 unrolled BPE CTEs + d137's per-word encode
+    * chain for BPE token counts, the d145 lexicon + recursive greedy walk
+    * (counting only — no token lists) for WordPiece counts, rolled up per
+    * language with the same integer fertility divisions.
+    */
+  private def fertilityOracle: String = {
+    val rounds = (1 to DataQueries9.BpeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, wpos, list_reduce([[x] FOR x IN syms],
+         |    (acc, xs) -> CASE WHEN acc[-1] = t.a AND xs[1] = t.b
+         |      THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+         |      ELSE list_append(acc, xs[1]) END) AS syms
+         |  FROM e${r - 1}, t$r t)""".stripMargin
+    }
+    "WITH RECURSIVE " + DataQueries9.bpeCtes.stripPrefix("WITH ") + ",\n" +
+      """wpx AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |wpw AS (SELECT doc_id, i AS wpos, w[i] AS word FROM wpx WHERE length(w[i]) >= 1),
+        |e0 AS (SELECT doc_id, wpos, [substr(word, j, 1) FOR j IN generate_series(1, length(word))] AS syms FROM wpw),
+        |""".stripMargin +
+      rounds.mkString(",\n") + ",\n" +
+      s"""bp AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS nb FROM e${DataQueries9.BpeRounds} GROUP BY doc_id),
+         |ch AS (SELECT DISTINCT unnest([substr(word, j, 1) FOR j IN generate_series(1, length(word))]) AS p FROM wpw),
+         |mpx AS (SELECT unnest([substr(word, i2, l) FOR i2 IN generate_series(1, length(word) - l + 1)]) AS p
+         |  FROM wpw CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) WHERE length(word) >= l),
+         |topp AS (SELECT p FROM (SELECT p, count(*) AS n FROM mpx GROUP BY p ORDER BY n DESC, p LIMIT 32)),
+         |lex AS (SELECT DISTINCT p FROM (SELECT p FROM ch UNION ALL SELECT p FROM topp)),
+         |walk(doc_id, wpos, word, pos, ntk) AS (
+         |  SELECT doc_id, wpos, word, 1, 0 FROM wpw
+         |  UNION ALL
+         |  SELECT doc_id, wpos, word,
+         |    pos + COALESCE((SELECT max(length(p)) FROM lex WHERE p = substr(word, pos, length(p))), 1),
+         |    ntk + 1
+         |  FROM walk WHERE pos <= length(word)),
+         |wt AS (SELECT doc_id, CAST(sum(ntk) AS BIGINT) AS nwp FROM walk WHERE pos > length(word) GROUP BY doc_id),
+         |base AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 1)) AS BIGINT) AS nw
+         |  FROM documents),
+         |j AS (SELECT b.lang, b.n_chars, b.nw, bp.nb, wt.nwp
+         |  FROM base b JOIN bp USING (doc_id) JOIN wt USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(nb) AS BIGINT) AS n_bpe, CAST(sum(nwp) AS BIGINT) AS n_wp,
+         |  CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // sum(nb) AS BIGINT) AS chars_per_bpe_q6,
+         |  CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // sum(nwp) AS BIGINT) AS chars_per_wp_q6
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d147_tokenizer_fertility" -> fertilityOracle,
     "d138_kneser_ney" ->
       """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> length(x) >= 1) AS w FROM documents),
         |u AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 2),

@@ -123,6 +123,15 @@ object StreamOps {
     * Output: `(idCol, n_tok, ids)` — the exact [[withTokenIds]] shape a
     * downstream packing stage consumes.
     */
+  /** Streaming WordPiece encode (d145's twin): the batch
+    * [[graft.operators.BpeTokenizer.wordpieceEncode]] IS already a
+    * stateless narrow kernel projection, so the stream twin delegates to
+    * it verbatim — same trained literal lexicon, batch-identical tokens.
+    */
+  def encodeWordpiece(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[String]): DataFrame =
+    graft.operators.BpeTokenizer.wordpieceEncode(df, idCol, textCol, lexicon)
+
   def encodeBpe(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String], vocab: Map[String, Long]): DataFrame = {
     val m = array(merges.map(lit): _*)

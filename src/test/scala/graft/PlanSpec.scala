@@ -423,6 +423,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d138: KN marginal joins run AFTER the bounded top-20 prune, as broadcasts") {
+    val p = plan("d138_kneser_ney")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "the top-20 must be a bounded TakeOrdered before any marginal join\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "post-prune marginal joins must broadcast the 20-row side\n" + p)
+  }
+
+  test("d142: median/MAD windows are partitioned by source over the bounded length table") {
+    val p = plan("d142_mad_outliers")
+    assert(p.contains("windowspecdefinition(source"),
+      "rank-arithmetic windows must partition by source (never one global sort)\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct-length table must be the persisted multi-consumer input\n" + p)
+  }
+
+  test("d144: every shuffle is doc-keyed — nothing ever crosses documents") {
+    val p = plan("d144_intradoc_runs")
+    val exchanges = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("doc_id")),
+      s"non-doc-keyed exchange found: $exchanges\n$p")
+  }
+
+  test("d145: wordpiece encode is one narrow kernel projection over the scan") {
+    val p = plan("d145_wordpiece")
+    assert(p.contains("static_invoke(graft.functions.PromCatalyst.wordpiece"),
+      "encode must be the codegen'd kernel call\n" + p)
+    assert(!p.contains("Join"), "the encode plan must be join-free\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the encode plan must not shuffle (output sort excepted)\n" + p)
+  }
+
   test("q13: exact median is rank arithmetic — no unmergeable Percentile buffer") {
     val p = plan("q13_sketches")
     assert(!p.contains("percentile(") && !p.contains("Percentile"),

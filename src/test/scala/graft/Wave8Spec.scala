@@ -164,6 +164,30 @@ class Wave8Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming WordPiece encode emits batch-identical tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents").limit(20)
+    val lex = graft.operators.BpeTokenizer.wordpieceLexicon(docs, "text", 16, 4)
+    val batch = graft.operators.BpeTokenizer
+      .wordpieceEncode(docs, "doc_id", "text", lex)
+      .select(col("doc_id"), col("n_tok"), col("tokens"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.StreamOps.encodeWordpiece(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", lex)
+    val query = out.writeStream.format("memory").queryName("wp_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("wp_stream_out")
+      val mismatch = batch.as("b").join(streamed.as("s"), Seq("doc_id"))
+        .filter(col("b.n_tok") =!= col("s.n_tok") ||
+          col("b.tokens") =!= col("s.tokens")).count()
+      assert(streamed.count() == batch.count() && mismatch == 0)
+    } finally query.stop()
+  }
+
   test("streaming BPE encode emits batch-identical ids") {
     val s = spark
     import s.implicits._
