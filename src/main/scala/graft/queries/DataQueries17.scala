@@ -24,6 +24,10 @@ object DataQueries17 {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column = graft.functions.prom.vec_dot(a, b)
 
   /** Non-empty word array of `text` (d79's tokenization). */
   private val wordsExpr = "filter(split(text, ' '), x -> length(x) >= 1)"
@@ -398,6 +402,88 @@ object DataQueries17 {
         .orderBy("lang")
     }),
 
+    // rendezvous (highest-random-weight) hashing reshard audit — the
+    // elastic-scaling complement of d99's static shard balance: every doc
+    // picks argmax_s h(doc, s) over the shard set, and growing 8 → 9
+    // shards provably moves ONLY docs whose new shard WINS the argmax
+    // (expected 1/9 of the corpus, each moving TO the new shard — the
+    // minimal-disruption property consistent hashing exists for, vs mod-N
+    // resharding which moves ~8/9). Entirely narrow: the per-doc argmax
+    // is an array_max over a 9-element literal-range transform (h = the
+    // repo-wide 60-bit md5 window on doc:shard), then one |shards|-row
+    // rollup; zero joins, zero extra shuffles at any corpus size.
+    "d148_rendezvous_reshard" -> ((s, dir) => {
+      def shardOf(m: Int) = expr(
+        s"""array_max(transform(sequence(0, ${m - 1}), s -> struct(
+           |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,
+           |  CAST(s AS BIGINT) AS s))).s""".stripMargin)
+      docs(s, dir)
+        .select(col("doc_id"), shardOf(8).as("shard8"), shardOf(9).as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L)).as("n_moved"))
+        .select(col("shard8").as("shard"), col("n_docs"), col("n_moved"),
+          expr("n_moved * 1000000 DIV n_docs").as("moved_rate_q6"))
+        .orderBy("shard")
+    }),
+
+    // hard-negative mining for contrastive training (the in-batch-negatives
+    // upgrade every embedding-model pipeline runs): per probe query, the 3
+    // highest-cosine vectors with a DIFFERENT ground-truth label — near the
+    // query but semantically wrong, exactly the negatives that sharpen a
+    // contrastive loss. The bounded probe set is the broadcast side (the
+    // d125/d126 discipline); at 100 TB the corpus side routes through the
+    // IVF cells first (d55's chain) and this exact pass is the recall
+    // baseline. Cosines are the bit-identical fold kernel, ranks tie-break
+    // on vec_id.
+    "d149_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("label").as("qlabel"))
+      val scored = e.join(broadcast(q),
+          col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * lit(1000000.0))
+            .cast("long").as("cos_q6"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_q6").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id").as("neg_id"),
+          col("label").cast("long").as("neg_label"), col("cos_q6"))
+        .orderBy("qid", "rank")
+    }),
+
+    // label-noise suspects by kNN disagreement (the confident-learning
+    // read): a vector whose 3 nearest same-cell neighbors majority-vote a
+    // DIFFERENT label than its own is flagged — mislabeled points sit in
+    // the wrong neighborhood. Neighborhoods come from the shared persisted
+    // IVF assignment (d10/d55's cells), so candidate pairs are the cell
+    // EQUIJOIN — Σ|cell|² work, never corpus², and never a broadcast of
+    // anything corpus-sized (the d56 SemDeDup discipline). Votes tie-break
+    // to the smallest label; output is the suspect list only.
+    "d150_label_noise" -> ((s, dir) => {
+      val a = DataQueries2.ivfAssigned(s, dir)
+        .join(embs(s, dir).select(col("vec_id").as("id"), col("label")), "id")
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.cell") === col("y.cell") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("vid"), col("x.label").as("own"),
+          col("y.id").as("nid"), col("y.label").as("nlabel"),
+          (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("nid"))
+      val top3 = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      val votes = top3.groupBy(col("vid"), col("own"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy(col("vid")).orderBy(col("votes").desc, col("nlabel"))
+      votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1 && col("nlabel") =!= col("own"))
+        .select(col("vid").as("vec_id"), col("own").cast("long").as("label"),
+          col("nlabel").cast("long").as("pred"), col("votes"))
+        .orderBy("vec_id")
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -457,6 +543,56 @@ object DataQueries17 {
 
   val oracles: Map[String, String] = Map(
     "d147_tokenizer_fertility" -> fertilityOracle,
+
+    "d148_rendezvous_reshard" ->
+      """WITH s9 AS (SELECT doc_id, s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s)),
+        |a8 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard8 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |    FROM s9 WHERE s < 8) WHERE rn = 1),
+        |a9 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard9 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |    FROM s9) WHERE rn = 1)
+        |SELECT a8.shard8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS moved_rate_q6
+        |FROM a8 JOIN a9 USING (doc_id) GROUP BY a8.shard8 ORDER BY shard""".stripMargin,
+
+    "d149_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlabel FROM e WHERE vec_id >= 8 AND vec_id < 16),
+        |sc AS (SELECT q.qid, e.vec_id, e.label,
+        |    CAST(floor(list_reduce(list_prepend(0.0::DOUBLE, [q.qv[i] * e.v[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (q.qn * e.nrm) * 1000000.0) AS BIGINT) AS cos_q6
+        |  FROM q JOIN e ON e.vec_id <> q.qid AND e.label <> q.qlabel)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id AS neg_id,
+        |  CAST(label AS BIGINT) AS neg_label, cos_q6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "d150_label_noise" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, e.v, e.nrm, e.label, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, nrm, label, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |pr AS (SELECT x.vec_id AS vid, x.label AS own, y.vec_id AS nid, y.label AS nlabel,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))]), (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+        |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |top3 AS (SELECT vid, own, nlabel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rn FROM pr)
+        |  WHERE rn <= 3),
+        |votes AS (SELECT vid, own, nlabel, CAST(count(*) AS BIGINT) AS votes FROM top3 GROUP BY vid, own, nlabel)
+        |SELECT vid AS vec_id, CAST(own AS BIGINT) AS label, CAST(nlabel AS BIGINT) AS pred, votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY votes DESC, nlabel) AS vr FROM votes)
+        |WHERE vr = 1 AND nlabel <> own ORDER BY vec_id""".stripMargin,
     "d138_kneser_ney" ->
       """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> length(x) >= 1) AS w FROM documents),
         |u AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 2),

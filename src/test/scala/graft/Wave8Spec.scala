@@ -164,6 +164,48 @@ class Wave8Spec extends AnyFunSuite {
     }
   }
 
+  test("d148 rendezvous property: growing 8->9 moves docs ONLY to the new shard") {
+    // recompute both assignments and pin consistent hashing's defining
+    // minimal-disruption guarantee (a doc moves iff shard 8 wins its argmax)
+    def shardOf(m: Int) = expr(
+      s"""array_max(transform(sequence(0, ${m - 1}), s -> struct(
+         |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,
+         |  CAST(s AS BIGINT) AS s))).s""".stripMargin)
+    val a = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shardOf(8).as("s8"), shardOf(9).as("s9"))
+    assert(a.filter(col("s8") =!= col("s9") && col("s9") =!= 8).count() == 0,
+      "every moved doc must land on the NEW shard")
+    val moved = a.filter(col("s8") =!= col("s9")).count()
+    val total = a.count()
+    // expected 1/9 of the corpus; allow a generous band for a 500-doc sample
+    assert(moved > 0 && moved < total / 4, s"moved $moved of $total")
+    // and the query's aggregate must match the per-doc recompute
+    val q148 = q("d148_rendezvous_reshard")
+      .agg(sum(col("n_moved")), sum(col("n_docs"))).collect().head
+    assert(q148.getLong(0) == moved && q148.getLong(1) == total)
+  }
+
+  test("d149 hard negatives never share the probe's label") {
+    val s = spark
+    import s.implicits._
+    val lbl = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"))
+    val bad = q("d149_hard_negatives").join(lbl, "qid")
+      .filter(col("neg_label") === col("qlabel")).count()
+    assert(bad == 0)
+    val perQ = q("d149_hard_negatives").groupBy("qid").count().collect()
+    assert(perQ.length == 8 && perQ.forall(_.getLong(1) == 3L))
+  }
+
+  test("d150 suspects disagree with their own label by a real majority") {
+    val rows = q("d150_label_noise").select("label", "pred", "votes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L)
+    }
+  }
+
   test("streaming WordPiece encode emits batch-identical tokens") {
     val s = spark
     import s.implicits._
