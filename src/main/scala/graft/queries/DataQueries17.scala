@@ -32,6 +32,30 @@ object DataQueries17 {
   /** Non-empty word array of `text` (d79's tokenization). */
   private val wordsExpr = "filter(split(text, ' '), x -> length(x) >= 1)"
 
+  /** One memoized WordPiece lexicon per (session, dir) — the bpeRun memo
+    * discipline: d145 and d147 read the same trained lexicon, the result
+    * is ~60 driver-side strings (no cached RDDs), and stopped sessions
+    * purge on access.
+    */
+  private val lexMemoMax = 8
+  private val lexMemo = // access-order = LRU iteration order
+    new java.util.LinkedHashMap[(SparkSession, String), Seq[String]](16, 0.75f, true)
+
+  private def wpLexicon(s: SparkSession, dir: String): Seq[String] =
+    lexMemo.synchronized {
+      lexMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(lexMemo.get((s, dir))).getOrElse {
+        val r = graft.operators.BpeTokenizer
+          .wordpieceLexicon(docs(s, dir), "text", 32, 4)
+        lexMemo.put((s, dir), r)
+        if (lexMemo.size > lexMemoMax) {
+          val it = lexMemo.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        r
+      }
+    }
+
   val queries: Map[String, Q] = Map[String, Q](
     // interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
     // Chen & Goodman 1998) for the top-20 bigrams — the real smoothed-LM
@@ -314,8 +338,7 @@ object DataQueries17 {
     // a literal (the d76 merge-list discipline). The oracle re-trains the
     // identical lexicon and replays the greedy rule as a recursive CTE.
     "d145_wordpiece" -> ((s, dir) => {
-      val lex = graft.operators.BpeTokenizer
-        .wordpieceLexicon(docs(s, dir), "text", 32, 4)
+      val lex = wpLexicon(s, dir)
       graft.operators.BpeTokenizer
         .wordpieceEncode(docs(s, dir), "doc_id", "text", lex)
         .select(col("doc_id"), col("n_tok"),
@@ -384,9 +407,7 @@ object DataQueries17 {
     "d147_tokenizer_fertility" -> ((s, dir) => {
       val merges = DataQueries9.bpeRun(s, dir)._1.map(_._2)
       val mlit = array(merges.map(lit): _*)
-      val lex = graft.operators.BpeTokenizer
-        .wordpieceLexicon(docs(s, dir), "text", 32, 4)
-      val llit = array(lex.map(lit): _*)
+      val llit = array(wpLexicon(s, dir).map(lit): _*)
       docs(s, dir).select(col("lang"), col("n_chars"),
           size(expr(wordsExpr)).cast("long").as("nw"),
           size(graft.functions.prom.apply_merges(col("text"), mlit)).cast("long").as("nb"),
