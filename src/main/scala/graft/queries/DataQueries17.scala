@@ -505,6 +505,60 @@ object DataQueries17 {
         .orderBy("vec_id")
     }),
 
+    // packing attention-contamination histogram — the cost side of the
+    // d43 packing choice d44's efficiency report doesn't show: without
+    // per-doc attention masking, every token pair that shares a sequence
+    // but not a document cross-attends. Per docs-per-sequence band:
+    // sequence count, token mass, and the exact cross-document attention
+    // pair count Σ(S² − Σdᵢ²)/2 — the number that decides whether the
+    // packer needs a block-diagonal mask. Rides the same packGreedy
+    // output as d43 (one per-seq rollup + one bounded histogram rollup;
+    // S ≤ seqLen so the squares never overflow).
+    "d151_pack_xdoc" -> ((s, dir) => {
+      val packed = graft.operators.SequencePacking
+        .packGreedy(docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 256, 8)
+      packed.groupBy(col("seq"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("st"),
+          sum(col("n_tok") * col("n_tok")).as("s2"))
+        .groupBy(col("nd").as("docs_per_seq"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("st")).as("n_tokens"),
+          sum((col("st") * col("st") - col("s2")) / lit(2)).cast("long")
+            .as("xattn_pairs"))
+        .orderBy("docs_per_seq")
+    }),
+
+    // does span-level dedup actually kill the signal it targets? The
+    // before/after audit of d136's cut: cross-document repeated distinct
+    // 5-gram density (d54's read) measured on the original corpus and on
+    // the cutDupSpans-rebuilt corpus, side by side in one row. Honest by
+    // construction: cutting can CREATE new grams (words across a cut
+    // become adjacent), so the drop is measured, not assumed (Wave8Spec
+    // pins rep_after < rep_before). Two gram passes + two df rollups —
+    // the d54 shape twice, priced like any gram audit.
+    "d152_cut_effect" -> ((s, dir) => {
+      def repStats(d: DataFrame, grams: String, rep: String): DataFrame = {
+        val dg = d.select(col("doc_id"),
+          explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
+        val df = dg.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        dg.join(df, "g")
+          .agg(count(lit(1)).as(grams),
+            sum(when(col("__df") >= 2, 1L).otherwise(0L)).as(rep))
+      }
+      val before = repStats(docs(s, dir), "grams_before", "rep_before")
+      val after = repStats(
+        graft.operators.TextDedup.cutDupSpans(docs(s, dir), "doc_id", "text", 5, 2)
+          .select(col("doc_id"), col("text")),
+        "grams_after", "rep_after")
+      before.crossJoin(after)
+        .select(col("grams_before"), col("rep_before"),
+          col("grams_after"), col("rep_after"),
+          expr("rep_before * 1000000 DIV grams_before").as("rep_frac_before_q6"),
+          expr("rep_after * 1000000 DIV grams_after").as("rep_frac_after_q6"))
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -579,6 +633,56 @@ object DataQueries17 {
         |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
         |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS moved_rate_q6
         |FROM a8 JOIN a9 USING (doc_id) GROUP BY a8.shard8 ORDER BY shard""".stripMargin,
+
+    "d151_pack_xdoc" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, doc_id % 8 AS shard FROM documents),
+        |n AS (SELECT doc_id, n_tok, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM b),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.fill + n.n_tok ELSE n.n_tok END AS fill,
+        |    CASE WHEN r.fill + n.n_tok <= 256 THEN r.bin ELSE r.bin + 1 END AS bin
+        |  FROM r JOIN n ON n.shard = r.shard AND n.rn = r.rn + 1
+        |),
+        |t AS (SELECT shard, max(bin) + 1 AS nseq FROM r GROUP BY shard),
+        |bs AS (SELECT shard, COALESCE(sum(nseq) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t),
+        |ps AS (SELECT bs.base + r.bin AS seq, r.doc_id, r.n_tok FROM r JOIN bs USING (shard)),
+        |agg AS (SELECT seq, CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_tok) AS BIGINT) AS st,
+        |    CAST(sum(n_tok * n_tok) AS BIGINT) AS s2 FROM ps GROUP BY seq)
+        |SELECT nd AS docs_per_seq, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(st) AS BIGINT) AS n_tokens,
+        |  CAST(sum((st * st - s2) // 2) AS BIGINT) AS xattn_pairs
+        |FROM agg GROUP BY nd ORDER BY docs_per_seq""".stripMargin,
+
+    "d152_cut_effect" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM d WHERE len(w) >= 5),
+        |shg AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g FROM ix),
+        |bdg AS (SELECT DISTINCT doc_id, g FROM shg),
+        |bdf AS (SELECT g, count(*) AS df FROM bdg GROUP BY g),
+        |bst AS (SELECT CAST(count(*) AS BIGINT) AS grams_before,
+        |    CAST(sum(CASE WHEN bdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rep_before
+        |  FROM bdg JOIN bdf USING (g)),
+        |cdf AS (SELECT g FROM bdf WHERE df >= 2),
+        |hit AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT shg.doc_id, unnest(generate_series(shg.i, shg.i + 4)) AS p FROM shg JOIN cdf USING (g))),
+        |wt AS (SELECT doc_id, p, w[p] AS wd FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM d)),
+        |kept AS (SELECT wt.doc_id, string_agg(wt.wd, ' ' ORDER BY wt.p) AS kt
+        |  FROM wt LEFT JOIN hit ON wt.doc_id = hit.doc_id AND wt.p = hit.p
+        |  WHERE hit.p IS NULL GROUP BY wt.doc_id),
+        |ka AS (SELECT doc_id, string_split(kt, ' ') AS w FROM kept),
+        |aix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM ka WHERE len(w) >= 5),
+        |adg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g FROM aix),
+        |adf AS (SELECT g, count(*) AS df FROM adg GROUP BY g),
+        |ast AS (SELECT CAST(count(*) AS BIGINT) AS grams_after,
+        |    CAST(sum(CASE WHEN adf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rep_after
+        |  FROM adg JOIN adf USING (g))
+        |SELECT bst.grams_before, bst.rep_before, ast.grams_after, ast.rep_after,
+        |  CAST(bst.rep_before * 1000000 // bst.grams_before AS BIGINT) AS rep_frac_before_q6,
+        |  CAST(ast.rep_after * 1000000 // ast.grams_after AS BIGINT) AS rep_frac_after_q6
+        |FROM bst CROSS JOIN ast""".stripMargin,
 
     "d149_hard_negatives" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v, label,

@@ -206,6 +206,27 @@ class Wave8Spec extends AnyFunSuite {
     }
   }
 
+  test("d151 histogram partitions the corpus; single-doc sequences cross-attend nothing") {
+    val rows = q("d151_pack_xdoc")
+      .select("docs_per_seq", "n_seqs", "n_tokens", "xattn_pairs").collect()
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum(col("n")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == d, "token mass must partition the corpus")
+    rows.foreach { r =>
+      if (r.getLong(0) == 1L) assert(r.getLong(3) == 0L,
+        "a single-doc sequence has no cross-doc pairs")
+      else assert(r.getLong(3) > 0L)
+    }
+  }
+
+  test("d152: span cutting measurably reduces the cross-doc repeated-gram density") {
+    val r = q("d152_cut_effect")
+      .select("rep_frac_before_q6", "rep_frac_after_q6").collect().head
+    assert(r.getLong(1) < r.getLong(0),
+      s"cutDupSpans must reduce the d54 signal: $r")
+  }
+
   test("streaming WordPiece encode emits batch-identical tokens") {
     val s = spark
     import s.implicits._
