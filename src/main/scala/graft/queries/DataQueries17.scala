@@ -559,6 +559,104 @@ object DataQueries17 {
           expr("rep_after * 1000000 DIV grams_after").as("rep_frac_after_q6"))
     }),
 
+    // k-center coreset seeds by greedy farthest-point traversal (Gonzalez
+    // 1985 — the 2-approximation every diverse-subset/eval-set selection
+    // uses, and k-means++'s deterministic cousin): start from the
+    // smallest id, then 3 rounds of "the vector farthest from the
+    // selected set joins it". The d76/d89 bounded-driver-loop discipline:
+    // per round one narrow min-distance pass against the ≤4-center
+    // broadcast and ONE one-row argmax collect; distances are exact
+    // integers on q6 components (the d89 kernel), so the unrolled oracle
+    // vouches for every round. Output: selection order with each pick's
+    // distance-to-set (the coverage-radius curve).
+    "d153_kcenter_coreset" -> ((s, dir) => {
+      import s.implicits._
+      val e = DataQueries10.kmQuant(s, dir).transform(graft.sources.Caches.ephemeral)
+      val d2 = (a: Column, b: Column) => graft.functions.prom.vec_sqdist_q(a, b)
+      val first = e.agg(min(col("vec_id"))).first().getLong(0)
+      var picks = Vector((0L, first, 0L))
+      while (picks.length < 4) {
+        val cents = e.filter(col("vec_id").isin(picks.map(_._2): _*))
+          .select(col("vec_id").as("cid"), col("xq").as("cq"))
+        val far = e.join(broadcast(cents))
+          .select(col("vec_id"), d2(col("xq"), col("cq")).as("dd"))
+          .groupBy(col("vec_id")).agg(min(col("dd")).as("dmin"))
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("neg"))).as("m"))
+          .select((-col("m.neg")).as("vec_id"), col("m.dmin").as("dmin"))
+          .first()
+        picks = picks :+ ((picks.length.toLong, far.getLong(0), far.getLong(1)))
+      }
+      picks.toDF("round", "vec_id", "d2_to_set").orderBy("round")
+    }),
+
+    // exact ROC-AUC of the d79 hashed classifier against the deployed d39
+    // rule label — the standard threshold-free eval behind d140's binned
+    // calibration: AUC = P(score_pos > score_neg) with the tie convention
+    // counted EXACTLY as 2U = 2·#{pos>neg} + #{pos=neg} (so no float
+    // midranks exist at all), via one groupBy(score) rollup and one
+    // cumulative window over the distinct-score table. The np·nn
+    // denominator runs in DECIMAL(38,0) (corpus-squared wraps Long). At
+    // 100 TB the distinct-score table is bounded by binning first (d140's
+    // bins); this exact pass is its audit baseline.
+    "d154_classifier_auc" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), expr(wordsExpr).as("ws"))
+        .select(col("doc_id"),
+          expr(
+            """aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc +
+              |  ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64)
+              |    * 2654435761 % 1000 - 500))""".stripMargin).as("score"))
+      val rules = graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
+        .select(col("doc_id"), col("keep"))
+      val byScore = scored.join(rules, "doc_id")
+        .groupBy(col("score"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("nps"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("nns"))
+      val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("nn_below", coalesce(sum(col("nns")).over(w), lit(0L)))
+        .agg(sum(col("nps")).as("np"), sum(col("nns")).as("nn"),
+          sum(col("nps") * (lit(2) * col("nn_below") + col("nns"))).as("u2"))
+        .select(col("np"), col("nn"), col("u2"),
+          expr("CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 DIV (2 * CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)")
+            .as("auc_q6"))
+    }),
+
+    // Spearman rank correlation between the two deployed quality signals
+    // (d79's hashed-classifier score and d28's bigram-familiarity score)
+    // — the "do my filters agree or am I double-counting one signal"
+    // read behind composing filters at 100 TB. Ranks are deterministic
+    // integers (tie-break on doc_id, both engines), Σd² is an exact
+    // integer, and ρ is published as 1e6 − 6e6·Σd²/(n(n²−1)) with the
+    // subtrahend a POSITIVE floor division (so no negative-division
+    // truncation skew can cross engines); n(n²−1) runs in DECIMAL.
+    "d155_score_spearman" -> ((s, dir) => {
+      val a = docs(s, dir)
+        .select(col("doc_id"), expr(wordsExpr).as("ws"))
+        .select(col("doc_id"),
+          expr(
+            """aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc +
+              |  ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64)
+              |    * 2654435761 % 1000 - 500))""".stripMargin).as("sa"))
+      val bg = docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
+      val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      val b = bg.join(counts, "bg").groupBy(col("doc_id"))
+        .agg(expr("CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)").as("sb"))
+      val wa = Window.orderBy(col("sa"), col("doc_id"))
+      val wb = Window.orderBy(col("sb"), col("doc_id"))
+      a.join(b, "doc_id")
+        .withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          (lit(1000000L) - expr(
+            """CAST(CAST(6 AS DECIMAL(38,0)) * sum_d2 * 1000000
+              |  DIV (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)""".stripMargin))
+            .as("rho_q6"))
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -616,8 +714,90 @@ object DataQueries17 {
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Exact integer squared distance fold for the oracle SQL (the
+    * DataQueries16 helper, repeated here for the d153 unroll).
+    */
+  private def sqlD2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN generate_series(1, len($a))]), (acc, el) -> acc + el)"
+
+  /** d153's oracle: the greedy farthest-point loop unrolled — round r's
+    * running min-distance table feeds round r+1's argmax, each argmax a
+    * row_number pick with the (dmin DESC, vec_id) tie-break the Spark
+    * max-struct uses.
+    */
+  private def kcenterOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) s"m1" else s"m$r"
+      s"""p$r AS (SELECT vec_id, dmin FROM (
+         |    SELECT *, row_number() OVER (ORDER BY dmin DESC, vec_id) AS rn FROM m$r) WHERE rn = 1),
+         |c$r AS (SELECT e.vec_id AS id, e.xq FROM e JOIN p$r ON e.vec_id = p$r.vec_id)""".stripMargin +
+        (if (r < 3)
+          s""",
+             |m${r + 1} AS (SELECT m$r.vec_id, least(m$r.dmin, ${sqlD2("e.xq", "c.xq")}) AS dmin
+             |  FROM m$r JOIN e ON e.vec_id = m$r.vec_id, c$r c)""".stripMargin
+         else "")
+    }
+    s"""WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xq FROM embeddings),
+       |c0 AS (SELECT vec_id AS id, xq FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |m1 AS (SELECT e.vec_id, ${sqlD2("e.xq", "c.xq")} AS dmin FROM e, c0 c),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS round, (SELECT id FROM c0) AS vec_id, CAST(0 AS BIGINT) AS d2_to_set
+       |UNION ALL SELECT CAST(1 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM p1
+       |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM p2
+       |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM p3
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d147_tokenizer_fertility" -> fertilityOracle,
+    "d153_kcenter_coreset" -> kcenterOracle,
+
+    "d154_classifier_auc" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [ (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 64) * 2654435761 % 1000 - 500
+        |        FOR x IN list_filter(string_split(text, ' '), x -> length(x) >= 1) ]),
+        |      (acc, v) -> acc + v) AS BIGINT) AS score
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, len(w) AS n_words,
+        |  list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS sum_wlen,
+        |  len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS stop_hits
+        |FROM w),
+        |rk AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND stop_hits >= 2) AS keep FROM b),
+        |j AS (SELECT sc.score, rk.keep FROM sc JOIN rk USING (doc_id)),
+        |bys AS (SELECT score, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nps,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nns FROM j GROUP BY score),
+        |cw AS (SELECT *, COALESCE(sum(nns) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below FROM bys)
+        |SELECT CAST(sum(nps) AS BIGINT) AS np, CAST(sum(nns) AS BIGINT) AS nn,
+        |  CAST(sum(nps * (2 * nn_below + nns)) AS BIGINT) AS u2,
+        |  CAST(CAST(sum(nps * (2 * nn_below + nns)) AS HUGEINT) * 1000000
+        |    // (2 * CAST(sum(nps) AS HUGEINT) * sum(nns)) AS BIGINT) AS auc_q6
+        |FROM cw""".stripMargin,
+
+    "d155_score_spearman" ->
+      """WITH sa AS (SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [ (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 64) * 2654435761 % 1000 - 500
+        |        FOR x IN list_filter(string_split(text, ' '), x -> length(x) >= 1) ]),
+        |      (acc, v) -> acc + v) AS BIGINT) AS sa
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM w),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bg),
+        |sb AS (SELECT doc_id, CAST(CAST(sum(n) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS sb
+        |  FROM bg JOIN c USING (bg) GROUP BY doc_id),
+        |r AS (SELECT sa.doc_id,
+        |    CAST(row_number() OVER (ORDER BY sa.sa, sa.doc_id) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (ORDER BY sb.sb, sa.doc_id) AS BIGINT) AS rb
+        |  FROM sa JOIN sb USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+        |  CAST(1000000 - CAST(CAST(6 AS HUGEINT) * sum((ra - rb) * (ra - rb)) * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT) AS BIGINT) AS rho_q6
+        |FROM r""".stripMargin,
 
     "d148_rendezvous_reshard" ->
       """WITH s9 AS (SELECT doc_id, s,

@@ -227,6 +227,30 @@ class Wave8Spec extends AnyFunSuite {
       s"cutDupSpans must reduce the d54 signal: $r")
   }
 
+  test("d153 farthest-point picks have non-increasing coverage radius") {
+    val rows = q("d153_kcenter_coreset").orderBy("round")
+      .select("round", "vec_id", "d2_to_set").collect()
+    assert(rows.length == 4 && rows.map(_.getLong(1)).distinct.length == 4)
+    val radii = rows.drop(1).map(_.getLong(2))
+    assert(radii.forall(_ > 0L))
+    assert(radii.sliding(2).forall(p => p(0) >= p(1)),
+      s"greedy farthest-point radii must be non-increasing: ${radii.toList}")
+  }
+
+  test("d154 AUC is a proper probability with exact tie accounting") {
+    val r = q("d154_classifier_auc").collect().head
+    val (np, nn, u2, auc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(np > 0 && nn > 0)
+    assert(u2 >= 0 && u2 <= 2 * np * nn, "2U is bounded by twice the pair count")
+    assert(auc >= 0L && auc <= 1000000L)
+  }
+
+  test("d155 Spearman rho lies in [-1, 1]") {
+    val r = q("d155_score_spearman").collect().head
+    assert(r.getLong(0) > 0)
+    assert(math.abs(r.getLong(2)) <= 1000000L)
+  }
+
   test("streaming WordPiece encode emits batch-identical tokens") {
     val s = spark
     import s.implicits._
