@@ -657,6 +657,41 @@ object DataQueries17 {
             .as("rho_q6"))
     }),
 
+    // k-core peel of the near-dup candidate graph — the graph family's
+    // fourth member (d15 components = membership, d93 PageRank =
+    // authority, d130 LPA = communities; the 2-core separates DENSE
+    // duplicate cliques from chance chains and stringy false-positive
+    // paths, which is what decides whether cluster-level dedup can trust
+    // min-id representatives). Three synchronous peel rounds in ONE
+    // composed plan (the d93 Pregel shape — per round a degree rollup, a
+    // deg>=2 filter, two semi-joins; per-round edge tables persisted
+    // once; only the three 1-row stat aggregates ever reach the output),
+    // reporting nodes/edges surviving and nodes dropped per round —
+    // n_dropped hitting 0 certifies convergence to the true 2-core.
+    "d156_kcore_peel" -> ((s, dir) => {
+      var cur = DataQueries.minhashPairs(s, dir).select(col("a"), col("b"))
+        .transform(graft.sources.Caches.ephemeral)
+      var out: DataFrame = null
+      for (r <- 1 to 3) {
+        val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .transform(graft.sources.Caches.ephemeral)
+        val keep = deg.filter(col("d") >= 2).select(col("n"))
+        val nxt = cur
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .transform(graft.sources.Caches.ephemeral)
+        val row = keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(nxt.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(deg.agg(count(lit(1)).as("__tot")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"),
+            (col("__tot") - col("n_nodes")).as("n_dropped"))
+        out = if (out == null) row else out.unionAll(row)
+        cur = nxt
+      }
+      out.orderBy("round")
+    }),
+
     // audio silence-trim plan through the multimodal stub-codec path:
     // frames of 64 payload bytes, exact integer energies, threshold
     // trim — the typed mapPartitions plumbing (one codec per partition)
@@ -751,6 +786,27 @@ object DataQueries17 {
   val oracles: Map[String, String] = Map(
     "d147_tokenizer_fertility" -> fertilityOracle,
     "d153_kcenter_coreset" -> kcenterOracle,
+
+    "d156_kcore_peel" ->
+      ("WITH " + DataQueries.minhashPairsCte + """,
+        |e0 AS (SELECT a, b FROM pairs),
+        |d1 AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 2),
+        |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN k1 x ON e0.a = x.n JOIN k1 y ON e0.b = y.n),
+        |d2 AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 2),
+        |e2 AS (SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.n JOIN k2 y ON e1.b = y.n),
+        |d3 AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 2),
+        |e3 AS (SELECT e2.a, e2.b FROM e2 JOIN k3 x ON e2.a = x.n JOIN k3 y ON e2.b = y.n)
+        |SELECT CAST(1 AS BIGINT) AS round, (SELECT CAST(count(*) AS BIGINT) FROM k1) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1) - (SELECT count(*) FROM k1) AS n_dropped
+        |UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2),
+        |  (SELECT count(*) FROM d2) - (SELECT count(*) FROM k2)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3),
+        |  (SELECT count(*) FROM d3) - (SELECT count(*) FROM k3)
+        |ORDER BY round""".stripMargin),
 
     "d154_classifier_auc" ->
       """WITH sc AS (SELECT doc_id,

@@ -123,6 +123,19 @@ object StreamOps {
     * Output: `(idCol, n_tok, ids)` — the exact [[withTokenIds]] shape a
     * downstream packing stage consumes.
     */
+  /** Streaming rendezvous router (d148's twin): per-row highest-random-
+    * weight shard assignment over `shards` buckets — the elastic stream
+    * router whose defining property (adding a shard moves keys ONLY to
+    * the new shard) d148 audits in batch. One narrow argmax over a
+    * literal range per row: no state, no shuffle, batch-identical
+    * assignments on a live stream.
+    */
+  def rendezvousRoute(df: DataFrame, idCol: String, shards: Int): DataFrame =
+    df.withColumn("shard", expr(
+      s"""array_max(transform(sequence(0, ${shards - 1}), s -> struct(
+         |  CAST(conv(substring(md5(concat(CAST($idCol AS STRING), ':', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,
+         |  CAST(s AS BIGINT) AS s))).s""".stripMargin))
+
   /** Streaming WordPiece encode (d145's twin): the batch
     * [[graft.operators.BpeTokenizer.wordpieceEncode]] IS already a
     * stateless narrow kernel projection, so the stream twin delegates to

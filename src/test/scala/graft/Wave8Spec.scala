@@ -251,6 +251,45 @@ class Wave8Spec extends AnyFunSuite {
     assert(math.abs(r.getLong(2)) <= 1000000L)
   }
 
+  test("d156 peel monotonicity: surviving sets shrink and round 3 certifies the 2-core") {
+    val rows = q("d156_kcore_peel").orderBy("round")
+      .select("round", "n_nodes", "n_edges", "n_dropped").collect()
+    assert(rows.length == 3)
+    rows.sliding(2).foreach { p =>
+      assert(p(1).getLong(1) <= p(0).getLong(1) && p(1).getLong(2) <= p(0).getLong(2),
+        "peeling can only shrink the graph")
+    }
+    rows.foreach { r =>
+      // every survivor has degree >= 2, so edges >= nodes (handshake bound)
+      assert(r.getLong(2) >= r.getLong(1) || r.getLong(1) == 0L)
+    }
+  }
+
+  test("streaming rendezvous router emits batch-identical shards") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).limit(50)
+    val batch = graft.streaming.StreamOps
+      .rendezvousRoute(docs, "doc_id", 8)
+      .select(col("doc_id"), col("shard").as("bshard"))
+    val ms = MemoryStream[Long](spark)
+    val out = graft.streaming.StreamOps
+      .rendezvousRoute(ms.toDF().toDF("doc_id"), "doc_id", 8)
+    val query = out.writeStream.format("memory").queryName("hrw_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.as[Long].collect().toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("hrw_stream_out")
+      val mismatch = batch.join(streamed, "doc_id")
+        .filter(col("bshard") =!= col("shard")).count()
+      assert(streamed.count() == 50 && mismatch == 0)
+      assert(streamed.agg(min(col("shard")), max(col("shard"))).collect()
+        .forall(r => r.getLong(0) >= 0 && r.getLong(1) <= 7))
+    } finally query.stop()
+  }
+
   test("streaming WordPiece encode emits batch-identical tokens") {
     val s = spark
     import s.implicits._
