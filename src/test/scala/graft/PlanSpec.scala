@@ -455,6 +455,14 @@ class PlanSpec extends AnyFunSuite {
       "the encode plan must not shuffle (output sort excepted)\n" + p)
   }
 
+  test("d150: candidate pairs are the cell equijoin with top-k pushed below the shuffle") {
+    val p = plan("d150_label_noise")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=3 filter must push a partial top-k below the exchange\n" + p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r.findFirstIn(p).isDefined,
+      "neighbor candidates must join on the IVF cell key\n" + p)
+  }
+
   test("q13: exact median is rank arithmetic — no unmergeable Percentile buffer") {
     val p = plan("q13_sketches")
     assert(!p.contains("percentile(") && !p.contains("Percentile"),
