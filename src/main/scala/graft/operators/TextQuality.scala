@@ -84,4 +84,34 @@ object TextQuality {
           .when(col("h_es") >= col("h_fr"), "es")
           .otherwise("fr"))
   }
+
+  /** First-failing-rule attribution for the composed filter cascade — the
+    * [[withQualityRules]] gates in their deployed order plus the Gopher
+    * repetition gate (dup-word fraction > 25% as the integer predicate
+    * 4·(n_words − n_distinct) > n_words). Adds `rule_order` (1..4 = first
+    * failed rule, 5 = pass) and `first_fail`. A pure narrow map like every
+    * TextQuality stage (zero shuffle, batch/stream-twin contract held), so
+    * the waterfall rollup downstream is the only exchange at any corpus
+    * size. This is the kill-attribution read pipeline reports publish
+    * (which rule removes what), as opposed to d112's leave-one-out
+    * ablation (what each rule removes that no other rule would).
+    */
+  val WaterfallRules: Seq[String] =
+    Seq("r1_word_count", "r2_word_len", "r3_stopword", "r4_repetition", "pass")
+
+  def withFilterWaterfall(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = Stopwords, minStopHits: Int = 2): DataFrame =
+    withQualityRules(df, textCol, minWords, maxWords, stopwords, minStopHits)
+      .withColumn("n_distinct_words",
+        size(array_distinct(split(col(textCol), " "))).cast("long"))
+      .withColumn("rule_order",
+        when(col("n_words") < minWords || col("n_words") > maxWords, 1L)
+          .when(col("n_words") * 3 > col("sum_word_len") ||
+            col("sum_word_len") > col("n_words") * 10, 2L)
+          .when(col("stop_hits") < minStopHits, 3L)
+          .when((col("n_words") - col("n_distinct_words")) * 4 > col("n_words"), 4L)
+          .otherwise(5L))
+      .withColumn("first_fail",
+        element_at(array(WaterfallRules.map(lit): _*), col("rule_order").cast("int")))
 }

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Wave 15 (round 13) — storage-cost, shuffle-quality, and eval-rigor
+  * audits a 100 TB pipeline runs around its core operators: the
+  * inverted-index compression bill (d157), embedding-space drift across
+  * arrival shards (d158), the Johnson-Lindenstrauss distortion audit
+  * behind every projection-based ANN shortcut (d159), first-failing-rule
+  * waterfall attribution for the deployed filter cascade (d160), block
+  * jackknife error bars on corpus metrics (d161), and the
+  * source-composition uniformity of hash sharding (d162).
+  *
+  * Numeric discipline as established: integer counts everywhere, products
+  * routed through DECIMAL(38,0) where corpus-scale magnitudes would wrap
+  * Long, doubles only at the final sqrt/cosine step on bounded tables
+  * (the d04/d53 precedent), and every published rational floor-quantized
+  * from positive integers so truncation-direction can't cross engines.
+  *
+  * New disjoint md5 windows on doc_id (repo registry: 1-8 sample, 9-13
+  * strat, 14-18 mix, 19-26 A-ES): 27-29 = jackknife block, 30-32 = d162
+  * position shard.
+  */
+object DataQueries18 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** ±1 plane weights w(p, d) — EXACTLY the srpSignatures derivation
+    * (md5 of "p_d", first nibble parity), so d159's oracle reuses the
+    * d24/d37 pd-CTE formula.
+    */
+  private def planeTable(s: SparkSession, planes: Int, dims: Int): DataFrame =
+    s.range(planes).select(col("id").as("p"))
+      .crossJoin(s.range(dims).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
+          .otherwise(-1L).as("w"))
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // inverted-index storage bill: delta-gap + varint cost of the d25
+    // posting lists, rolled up by document-frequency band (band = bit
+    // length of df, the d20 power-of-two convention). Postings sorted by
+    // doc id delta-encode to gap bit-cost length(bin(gap)) and varint
+    // cost ceil(bits/7) — the Lucene/PforDelta storage model, priced
+    // exactly and compared against raw 8-byte postings. Scale: the gap
+    // stream is a partition-by-term SORT (spills — never a collect_list
+    // buffer, which would hold a stopword's corpus-sized posting list in
+    // one aggregation buffer), the per-term rollup reuses the window's
+    // term partitioning (no second shuffle), and the band rollup is
+    // ≤64 rows. At 100 TB posting lists are built per index segment
+    // exactly like this (doc-id-sorted within a shard), so the per-term
+    // sort is segment-local and the bill rolls up by sum — the shape is
+    // the production shape.
+    "d157_postings_cost" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"),
+          col("doc_id"))
+      val wLag = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val gaps = dt
+        .withColumn("gap", coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(wLag), col("doc_id") + 1))
+        .withColumn("bits", length(bin(col("gap"))).cast("long"))
+      val perTerm = gaps.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("bits")).as("dbits"),
+          sum(expr("(bits + 6) DIV 7")).as("vbytes"))
+      perTerm
+        .groupBy(length(bin(col("df"))).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+          sum(col("dbits")).as("delta_bits"), sum(col("vbytes")).as("varint_bytes"),
+          (sum(col("df")) * 8).as("raw_bytes"))
+        .withColumn("saving_q6",
+          expr("CAST(CAST(raw_bytes - varint_bytes AS DECIMAL(38,0)) * 1000000 DIV raw_bytes AS BIGINT)"))
+        .orderBy("band")
+    }),
+
+    // embedding-space drift across the 4 deterministic arrival shards
+    // (d141's shard convention): per-shard centroid vs the global
+    // centroid, and vs the PREVIOUS shard — the "did the crawl's
+    // embedding distribution move" monitor behind retraining routers and
+    // refreshing IVF centroids. Cosine is scale-invariant, so shard SUM
+    // vectors stand in for means and no division ever happens on the
+    // corpus side; components integer-quantized BEFORE the sum (the
+    // srpSignatures discipline — accumulation-order-free), dot/norm
+    // products on the bounded |shards|×dims table in DECIMAL(38,0)
+    // (corpus-scale sums wrap Long when multiplied), one IEEE
+    // sqrt/divide per shard row at the end. One corpus pass, everything
+    // after it bounded.
+    "d158_embed_drift" -> ((s, dir) => {
+      val ex = embs(s, dir)
+        .select((col("vec_id") % 4).as("shard"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("shard"), col("d").cast("long").as("d"),
+          floor(col("x").cast("double") * 1000000.0).cast("long").as("xq"))
+      val sh = ex.groupBy(col("shard"), col("d")).agg(sum(col("xq")).as("sv"))
+        .transform(graft.sources.Caches.ephemeral)
+      val nv = embs(s, dir).groupBy((col("vec_id") % 4).as("shard"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val gl = sh.groupBy(col("d")).agg(sum(col("sv")).as("gv"))
+      val pv = sh.select((col("shard") + 1).as("shard"), col("d"),
+        col("sv").as("pv"))
+      val a = sh.join(broadcast(gl), "d")
+        .join(pv, Seq("shard", "d"), "left")
+        .groupBy(col("shard"))
+        .agg(sum(dec(col("sv")) * dec(col("gv"))).as("dot_sg"),
+          sum(dec(col("sv")) * dec(col("sv"))).as("ns2"),
+          sum(dec(col("gv")) * dec(col("gv"))).as("ng2"),
+          sum(dec(col("sv")) * dec(col("pv"))).as("dot_sp"),
+          sum(dec(col("pv")) * dec(col("pv"))).as("np2"))
+      a.join(nv, "shard")
+        .select(col("shard"), col("n_vecs"),
+          floor(col("dot_sg").cast("double") /
+            (sqrt(col("ns2").cast("double")) * sqrt(col("ng2").cast("double")))
+            * 1000000.0).cast("long").as("cos_global_q6"),
+          floor(col("dot_sp").cast("double") /
+            (sqrt(col("ns2").cast("double")) * sqrt(col("np2").cast("double")))
+            * 1000000.0).cast("long").as("cos_prev_q6"))
+        .orderBy("shard")
+    }),
+
+    // Johnson-Lindenstrauss distortion audit: the 16-vector probe set
+    // projected to 8 dims through the SAME ±1 md5 planes as the d24/d37
+    // SRP machinery (kept as values, not sign bits), then every probe
+    // pair's projected squared distance compared against its exact
+    // squared distance — ratio_q6 ≈ 1e6 is the JL promise (with ±1
+    // Rademacher weights E[‖y_a − y_b‖²] = k·‖x_a − x_b‖²), and the
+    // observed spread IS the distortion every projection-based shortcut
+    // (SRP bands, d159's own planes) silently relies on. All integer
+    // until the final DECIMAL floor-division; the probe filter is pushed
+    // to the parquet scan and everything downstream is ≤120 rows. The
+    // corpus-wide projection this audits is the identical narrow
+    // explode + broadcast-plane join, priced at |corpus|·dims.
+    "d159_jl_distortion" -> ((s, dir) => {
+      val probe = embs(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          floor(col("x").cast("double") * 1000000.0).cast("long").as("xq"))
+        .transform(graft.sources.Caches.ephemeral)
+      val proj = probe.join(broadcast(planeTable(s, 8, 64)), "d")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("w") * col("xq")).as("y"))
+      val dOrig = probe.select(col("vec_id").as("a"), col("d"), col("xq").as("xa"))
+        .join(probe.select(col("vec_id").as("b"), col("d"), col("xq").as("xb")), "d")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("d_orig"))
+      val dProj = proj.select(col("vec_id").as("a"), col("p"), col("y").as("ya"))
+        .join(proj.select(col("vec_id").as("b"), col("p"), col("y").as("yb")), "p")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d_proj"))
+      dOrig.join(dProj, Seq("a", "b"))
+        .withColumn("ratio_q6",
+          expr("""CASE WHEN d_orig = 0 THEN NULL
+                 |  ELSE CAST(CAST(d_proj AS DECIMAL(38,0)) * 1000000 DIV (8 * d_orig) AS BIGINT) END""".stripMargin))
+        .orderBy("a", "b")
+    }),
+
+    // first-failing-rule waterfall of the deployed filter cascade (the
+    // d39 gates in order + the Gopher repetition gate): every doc
+    // attributed to exactly ONE rule, so kill counts sum to the corpus
+    // and the cumulative-survivor column is the published funnel. The
+    // attribution is a pure TextQuality narrow map (shared verbatim with
+    // the streaming twin StreamOps.filterWaterfall); the only exchange
+    // at any corpus size is the ≤5-row rollup, and the dense 5-row rule
+    // table left-joins the counts so rules that kill nothing still
+    // report 0. d112 answers "what does each rule remove that no other
+    // rule would" (leave-one-out); this answers "who killed each doc"
+    // — the two reads pipelines publish side by side.
+    "d160_filter_waterfall" -> ((s, dir) => {
+      val wf = graft.operators.TextQuality
+        .withFilterWaterfall(docs(s, dir), "text")
+      val counts = wf.groupBy(col("rule_order")).agg(count(lit(1)).as("n"))
+      val rules = s.range(1, 6).select(col("id").as("rule_order"),
+        element_at(array(graft.operators.TextQuality.WaterfallRules.map(lit): _*),
+          col("id").cast("int")).as("rule"))
+      val wCum = Window.orderBy(col("rule_order"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.orderBy(col("rule_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rules.join(counts, Seq("rule_order"), "left")
+        .withColumn("n_docs", coalesce(col("n"), lit(0L)))
+        .withColumn("cum_killed",
+          sum(when(col("rule_order") <= 4, col("n_docs")).otherwise(0L)).over(wCum))
+        .withColumn("survivors",
+          sum(col("n_docs")).over(wTot) -
+            sum(when(col("rule_order") <= 4, col("n_docs")).otherwise(0L)).over(wCum))
+        .select(col("rule_order"), col("rule"), col("n_docs"),
+          col("cum_killed"), col("survivors"))
+        .orderBy("rule_order")
+    }),
+
+    // block-jackknife error bar on a corpus metric (mean words per doc):
+    // 16 deterministic md5 blocks (window 27-29 — disjoint from every
+    // sampling window), leave-one-block-out means from the block SUMS
+    // (never a second corpus pass), jackknife SE from the exact integer
+    // deviation identity Σ(B·m_b − S)² = B·(B·Σm² − S²) — one corpus
+    // rollup to 16 rows, everything after exact DECIMAL arithmetic until
+    // the single IEEE sqrt. This is the error bar that makes A/B corpus
+    // comparisons honest at any scale: the block structure prices
+    // correlation within shards, and the whole audit costs one pass.
+    "d161_jackknife_ci" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        (conv(substring(md5(col("doc_id").cast("string")), 27, 3), 16, 10)
+          .cast("long") % 16).as("blk"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      val blocks = d.groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_b"), sum(col("n_words")).as("t_b"))
+      val tot = blocks.agg(sum(col("n_b")).as("n"), sum(col("t_b")).as("t"),
+        count(lit(1)).as("nblocks"))
+      val m = blocks.crossJoin(broadcast(tot))
+        .select(col("n"), col("t"), col("nblocks"),
+          expr("CAST(CAST(t - t_b AS DECIMAL(38,0)) * 1000000 DIV (n - n_b) AS BIGINT)")
+            .as("m_q6"))
+      m.groupBy(col("n"), col("t"), col("nblocks"))
+        .agg(sum(col("m_q6")).as("s1"),
+          sum(dec(col("m_q6")) * col("m_q6")).as("s2"))
+        .select(col("nblocks").as("n_blocks"), col("n").as("n_docs"),
+          expr("CAST(CAST(t AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)").as("mean_q6"),
+          expr("""CAST(floor(sqrt(CAST(
+                 |  (nblocks - 1) * (CAST(nblocks AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                 |    DIV (CAST(nblocks AS DECIMAL(38,0)) * nblocks)
+                 |  AS DOUBLE))) AS BIGINT)""".stripMargin).as("jk_se_q6"))
+        .withColumn("ci_lo_q6", col("mean_q6") - lit(2) * col("jk_se_q6"))
+        .withColumn("ci_hi_q6", col("mean_q6") + lit(2) * col("jk_se_q6"))
+    }),
+
+    // source-composition uniformity of hash sharding: 16 deterministic
+    // position shards (md5 window 30-32 — the data-loader shard a doc
+    // lands in under an epoch hash-shuffle), each scored by total-
+    // variation distance between its source mix and the corpus mix, plus
+    // its max single-source share. d99 audits LOAD balance (tokens per
+    // shard); this audits COMPOSITION balance — a shard can hold exactly
+    // 1/16 of the tokens and still be 80% one crawl, which is what makes
+    // a training loader's gradient batches drift. Dense |shards|×|sources|
+    // cross (bounded) left-joined with observed counts so missing
+    // (shard, source) cells price their full expected mass; o·N products
+    // in DECIMAL (corpus² wraps Long at scale); TV and max-share are
+    // positive floor divisions.
+    "d162_shard_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        (conv(substring(md5(col("doc_id").cast("string")), 30, 3), 16, 10)
+          .cast("long") % 16).as("shard"),
+        col("source"))
+      val o = d.groupBy(col("shard"), col("source")).agg(count(lit(1)).as("o"))
+        .transform(graft.sources.Caches.ephemeral)
+      val ns = o.groupBy(col("shard")).agg(sum(col("o")).as("n_s"))
+      val cs = o.groupBy(col("source")).agg(sum(col("o")).as("c_src"))
+      val nt = o.agg(sum(col("o")).as("n_tot"))
+      ns.crossJoin(broadcast(cs))
+        .join(o, Seq("shard", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(nt))
+        .groupBy(col("shard"))
+        .agg(max(col("n_s")).as("n_docs"),
+          expr("""CAST(sum(abs(CAST(o AS DECIMAL(38,0)) * n_tot - CAST(n_s AS DECIMAL(38,0)) * c_src)) * 1000000
+                 |  DIV (2 * CAST(max(n_s) AS DECIMAL(38,0)) * max(n_tot)) AS BIGINT)""".stripMargin)
+            .as("tv_q6"),
+          expr("CAST(CAST(max(o) AS DECIMAL(38,0)) * 1000000 DIV max(n_s) AS BIGINT)")
+            .as("max_src_share_q6"))
+        .orderBy("shard")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d157_postings_cost" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |g AS (SELECT term, doc_id,
+        |  COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), doc_id + 1) AS gap FROM dt),
+        |gb AS (SELECT term, length(bin(gap)) AS bits FROM g),
+        |pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(bits) AS BIGINT) AS dbits,
+        |  CAST(sum((bits + 6) // 7) AS BIGINT) AS vbytes FROM gb GROUP BY term)
+        |SELECT CAST(length(bin(df)) AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(df) AS BIGINT) AS n_postings, CAST(sum(dbits) AS BIGINT) AS delta_bits,
+        |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes, CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(CAST(sum(df) * 8 - sum(vbytes) AS HUGEINT) * 1000000 // (sum(df) * 8) AS BIGINT) AS saving_q6
+        |FROM pt GROUP BY band ORDER BY band""".stripMargin,
+
+    "d158_embed_drift" ->
+      """WITH ex AS (SELECT vec_id % 4 AS shard, d,
+        |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d)),
+        |sh AS (SELECT shard, d, CAST(sum(xq) AS BIGINT) AS sv FROM ex GROUP BY shard, d),
+        |nv AS (SELECT vec_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1),
+        |gl AS (SELECT d, CAST(sum(sv) AS BIGINT) AS gv FROM sh GROUP BY d),
+        |j AS (SELECT s.shard, s.sv, g.gv, p.sv AS pv
+        |  FROM sh s JOIN gl g USING (d) LEFT JOIN sh p ON p.shard = s.shard - 1 AND p.d = s.d),
+        |a AS (SELECT shard,
+        |    sum(CAST(sv AS HUGEINT) * gv) AS dot_sg, sum(CAST(sv AS HUGEINT) * sv) AS ns2,
+        |    sum(CAST(gv AS HUGEINT) * gv) AS ng2,
+        |    sum(CAST(sv AS HUGEINT) * pv) AS dot_sp, sum(CAST(pv AS HUGEINT) * pv) AS np2
+        |  FROM j GROUP BY shard)
+        |SELECT a.shard, nv.n_vecs,
+        |  CAST(floor(CAST(dot_sg AS DOUBLE) / (sqrt(CAST(ns2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_global_q6,
+        |  CAST(floor(CAST(dot_sp AS DOUBLE) / (sqrt(CAST(ns2 AS DOUBLE)) * sqrt(CAST(np2 AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_prev_q6
+        |FROM a JOIN nv USING (shard) ORDER BY shard""".stripMargin,
+
+    "d159_jl_distortion" ->
+      """WITH pd AS (SELECT p, d, CASE WHEN (instr('0123456789abcdef', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS w
+        |  FROM generate_series(0, 7) t1(p) CROSS JOIN generate_series(0, 63) t2(d)),
+        |ex AS (SELECT vec_id, d, CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d) WHERE vec_id < 16),
+        |y AS (SELECT vec_id, p, CAST(sum(w * xq) AS BIGINT) AS y FROM ex JOIN pd USING (d) GROUP BY vec_id, p),
+        |dorig AS (SELECT x.vec_id AS a, z.vec_id AS b, CAST(sum((x.xq - z.xq) * (x.xq - z.xq)) AS BIGINT) AS d_orig
+        |  FROM ex x JOIN ex z USING (d) WHERE x.vec_id < z.vec_id GROUP BY x.vec_id, z.vec_id),
+        |dproj AS (SELECT x.vec_id AS a, z.vec_id AS b, CAST(sum((x.y - z.y) * (x.y - z.y)) AS BIGINT) AS d_proj
+        |  FROM y x JOIN y z USING (p) WHERE x.vec_id < z.vec_id GROUP BY x.vec_id, z.vec_id)
+        |SELECT o.a, o.b, o.d_orig, p.d_proj,
+        |  CASE WHEN o.d_orig = 0 THEN NULL
+        |    ELSE CAST(CAST(p.d_proj AS HUGEINT) * 1000000 // (8 * o.d_orig) AS BIGINT) END AS ratio_q6
+        |FROM dorig o JOIN dproj p ON o.a = p.a AND o.b = p.b ORDER BY o.a, o.b""".stripMargin,
+
+    "d160_filter_waterfall" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM w),
+        |f AS (SELECT doc_id, CASE
+        |    WHEN n_words < 50 OR n_words > 100000 THEN 1
+        |    WHEN 3 * n_words > sum_wlen OR sum_wlen > 10 * n_words THEN 2
+        |    WHEN stop_hits < 2 THEN 3
+        |    WHEN 4 * (n_words - n_distinct) > n_words THEN 4
+        |    ELSE 5 END AS rule_order FROM b),
+        |rules AS (SELECT * FROM (VALUES (1, 'r1_word_count'), (2, 'r2_word_len'),
+        |  (3, 'r3_stopword'), (4, 'r4_repetition'), (5, 'pass')) t(rule_order, rule)),
+        |c AS (SELECT rule_order, CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY rule_order)
+        |SELECT CAST(r.rule_order AS BIGINT) AS rule_order, r.rule,
+        |  COALESCE(c.n_docs, 0) AS n_docs,
+        |  CAST(sum(CASE WHEN r.rule_order <= 4 THEN COALESCE(c.n_docs, 0) ELSE 0 END)
+        |    OVER (ORDER BY r.rule_order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_killed,
+        |  CAST(sum(COALESCE(c.n_docs, 0)) OVER ()
+        |    - sum(CASE WHEN r.rule_order <= 4 THEN COALESCE(c.n_docs, 0) ELSE 0 END)
+        |      OVER (ORDER BY r.rule_order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors
+        |FROM rules r LEFT JOIN c USING (rule_order) ORDER BY rule_order""".stripMargin,
+
+    "d161_jackknife_ci" ->
+      """WITH d AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 27, 3)) AS BIGINT) % 16 AS blk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |b AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(n_words) AS BIGINT) AS t_b FROM d GROUP BY blk),
+        |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(t_b) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nblocks FROM b),
+        |m AS (SELECT n, t, nblocks, CAST(CAST(t - t_b AS HUGEINT) * 1000000 // (n - n_b) AS BIGINT) AS m_q6
+        |  FROM b CROSS JOIN tot),
+        |ss AS (SELECT n, t, nblocks, CAST(sum(m_q6) AS BIGINT) AS s1, sum(CAST(m_q6 AS HUGEINT) * m_q6) AS s2
+        |  FROM m GROUP BY n, t, nblocks)
+        |SELECT nblocks AS n_blocks, n AS n_docs,
+        |  CAST(CAST(t AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_q6,
+        |  CAST(floor(sqrt(CAST((nblocks - 1) * (CAST(nblocks AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |    // (CAST(nblocks AS HUGEINT) * nblocks) AS DOUBLE))) AS BIGINT) AS jk_se_q6,
+        |  CAST(CAST(t AS HUGEINT) * 1000000 // n AS BIGINT)
+        |    - 2 * CAST(floor(sqrt(CAST((nblocks - 1) * (CAST(nblocks AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      // (CAST(nblocks AS HUGEINT) * nblocks) AS DOUBLE))) AS BIGINT) AS ci_lo_q6,
+        |  CAST(CAST(t AS HUGEINT) * 1000000 // n AS BIGINT)
+        |    + 2 * CAST(floor(sqrt(CAST((nblocks - 1) * (CAST(nblocks AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |      // (CAST(nblocks AS HUGEINT) * nblocks) AS DOUBLE))) AS BIGINT) AS ci_hi_q6
+        |FROM ss""".stripMargin,
+
+    "d162_shard_mix" ->
+      """WITH d AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 30, 3)) AS BIGINT) % 16 AS shard,
+        |    source FROM documents),
+        |o AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY shard, source),
+        |ns AS (SELECT shard, CAST(sum(o) AS BIGINT) AS n_s FROM o GROUP BY shard),
+        |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_src FROM o GROUP BY source),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM o),
+        |dense AS (SELECT ns.shard, ns.n_s, cs.source, cs.c_src, COALESCE(o.o, 0) AS o
+        |  FROM ns CROSS JOIN cs LEFT JOIN o ON o.shard = ns.shard AND o.source = cs.source)
+        |SELECT shard, max(n_s) AS n_docs,
+        |  CAST(sum(abs(CAST(o AS HUGEINT) * nt.n_tot - CAST(n_s AS HUGEINT) * c_src)) * 1000000
+        |    // (2 * CAST(max(n_s) AS HUGEINT) * max(nt.n_tot)) AS BIGINT) AS tv_q6,
+        |  CAST(CAST(max(o) AS HUGEINT) * 1000000 // max(n_s) AS BIGINT) AS max_src_share_q6
+        |FROM dense CROSS JOIN nt GROUP BY shard ORDER BY shard""".stripMargin
+  )
+}

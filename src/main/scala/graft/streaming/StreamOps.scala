@@ -112,6 +112,15 @@ object StreamOps {
   def repetitionStats(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withRepetitionStats(df, textCol)
 
+  /** Streaming filter-waterfall attribution (d160's twin): each live doc
+    * tagged with the FIRST cascade rule it fails (or `pass`) via the
+    * shared TextQuality narrow map — the per-doc decision is stateless, so
+    * the stream twin is a delegation and a live kill-rate monitor is just
+    * a windowed count over `first_fail`. Batch-identical labels.
+    */
+  def filterWaterfall(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextQuality.withFilterWaterfall(df, textCol)
+
   /** Streaming BPE encode (the streaming twin of d137): the trained merge
     * list applied by the same codegen'd kernel pass as the batch
     * [[graft.operators.BpeTokenizer.encode]], token ids resolved through a

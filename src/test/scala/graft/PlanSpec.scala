@@ -431,6 +431,24 @@ class PlanSpec extends AnyFunSuite {
       "post-prune marginal joins must broadcast the 20-row side\n" + p)
   }
 
+  test("d157: gap window partitions by term and the per-term rollup reuses its exchange") {
+    val p = plan("d157_postings_cost")
+    assert(p.contains("windowspecdefinition(term"),
+      "the delta-gap window must partition by term (a global sort would be the bug)\n" + p)
+    // the groupBy(term) after the window must NOT introduce a second
+    // term exchange: the window's hashpartitioning(term) satisfies it
+    val termEx = "Exchange hashpartitioning\\(term".r.findAllIn(p).length
+    assert(termEx == 1, s"expected exactly one term exchange, found $termEx\n$p")
+  }
+
+  test("d159: the 16-row probe filter reaches the parquet scan; planes broadcast") {
+    val p = plan("d159_jl_distortion")
+    assert(p.contains("LessThan(vec_id,16"),
+      "probe predicate must be pushed to the scan\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 8x64 plane table must broadcast\n" + p)
+  }
+
   test("d142: median/MAD windows are partitioned by source over the bounded length table") {
     val p = plan("d142_mad_outliers")
     assert(p.contains("windowspecdefinition(source"),
