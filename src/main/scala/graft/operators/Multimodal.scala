@@ -132,6 +132,28 @@ object Multimodal {
     }
   }
 
+  final case class MediaEnergy(doc_id: Long, n_bytes: Long, energy: Long)
+
+  /** Per-item total signal energy through the stub codec path (one codec
+    * per partition like [[extractFeatures]]): the fake "energy" is the
+    * unsigned byte sum — a real impl swaps in decoded-PCM/pixel RMS and no
+    * plumbing changes. Exact integers, so shard-level drift rollups (m07)
+    * cross engines without a float in sight.
+    */
+  def energyStats(ds: Dataset[MediaItem]): Dataset[MediaEnergy] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new FakeCodec
+      val _ = codec // real impl: codec.decodePcm(m) / decode pixels
+      it.map { m =>
+        var e = 0L
+        var i = 0
+        while (i < m.media.length) { e += (m.media(i) & 0xff).toLong; i += 1 }
+        MediaEnergy(m.doc_id, m.media.length.toLong, e)
+      }
+    }
+  }
+
   /** documents -> media table (binary payload + mime from source). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._

@@ -268,7 +268,120 @@ object DataQueries18 {
           expr("CAST(CAST(max(o) AS DECIMAL(38,0)) * 1000000 DIV max(n_s) AS BIGINT)")
             .as("max_src_share_q6"))
         .orderBy("shard")
-    })
+    }),
+
+    // cost-optimal short-circuit ordering of the d160 cascade: the EXACT
+    // per-rule evaluation counts of every possible rule order, from the
+    // ≤16-cell joint flag contingency table (one conditional-aggregation
+    // corpus pass — after it the corpus is never touched again). All 24
+    // permutations are enumerated against the 16 cells (384 bounded
+    // rows); cost(π) = Σ_docs (rules actually evaluated under
+    // short-circuit) is exact — no independence assumption, which is
+    // what makes this better than ordering by marginal kill rate when
+    // rules correlate (a doc failing r1 usually also fails r4 here).
+    // The read: how much compute the deployed rule order wastes vs the
+    // optimal one — the filter-ordering decision every cascade tunes.
+    "d163_cascade_order" -> ((s, dir) => {
+      val wf = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
+      val cells = wf.select(
+          (col("n_words") < 50 || col("n_words") > 100000).as("f1"),
+          (col("n_words") * 3 > col("sum_word_len") ||
+            col("sum_word_len") > col("n_words") * 10).as("f2"),
+          (col("stop_hits") < 2).as("f3"),
+          ((col("n_words") - col("n_distinct_words")) * 4 > col("n_words")).as("f4"))
+        .groupBy(col("f1"), col("f2"), col("f3"), col("f4"))
+        .agg(count(lit(1)).as("n"))
+      val r4 = (n: String) => s.range(1, 5).select(col("id").as(n))
+      val perms = r4("a").crossJoin(r4("b")).crossJoin(r4("c")).crossJoin(r4("d"))
+        .filter(col("a") =!= col("b") && col("a") =!= col("c") && col("a") =!= col("d") &&
+          col("b") =!= col("c") && col("b") =!= col("d") && col("c") =!= col("d"))
+      val fa = element_at(array(col("f1"), col("f2"), col("f3"), col("f4")), col("a").cast("int"))
+      val fb = element_at(array(col("f1"), col("f2"), col("f3"), col("f4")), col("b").cast("int"))
+      val fc = element_at(array(col("f1"), col("f2"), col("f3"), col("f4")), col("c").cast("int"))
+      val costs = perms.crossJoin(broadcast(cells))
+        .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+          (lit(1L) + when(!fa, 1L).otherwise(0L) +
+            when(!fa && !fb, 1L).otherwise(0L) +
+            when(!fa && !fb && !fc, 1L).otherwise(0L)).as("evals"))
+        .groupBy(col("a"), col("b"), col("c"), col("d"))
+        .agg(sum(col("n") * col("evals")).as("cost"), sum(col("n")).as("n_docs"))
+      val best = costs.orderBy(col("cost"), col("a"), col("b"), col("c"), col("d"))
+        .limit(1)
+        .select(concat_ws("-", col("a"), col("b"), col("c"), col("d")).as("best_perm"),
+          col("cost").as("best_cost"))
+      costs.filter(col("a") === 1 && col("b") === 2 && col("c") === 3 && col("d") === 4)
+        .select(col("n_docs"), col("cost").as("deployed_cost"))
+        .crossJoin(broadcast(best))
+        .select(col("n_docs"), col("deployed_cost"), col("best_perm"), col("best_cost"),
+          expr("CAST(CAST(deployed_cost - best_cost AS DECIMAL(38,0)) * 1000000 DIV deployed_cost AS BIGINT)")
+            .as("saving_q6"))
+    }),
+
+    // IVF centroid staleness — the refresh decision d158's drift monitor
+    // feeds: per cell, how well the anchor (coarse centroid) still aligns
+    // with ALL its members vs with only the NEWEST arrival shard's
+    // members (vec_id % 4 = 3, the d141 convention). cos(anchor, member
+    // SUM vector) needs no mean and no corpus-side division; the shared
+    // persisted IVF assignment (d10/d55's index) provides cells, member
+    // components are integer-quantized before the one (cell, dim) rollup,
+    // and the DECIMAL dot/norm products run on the bounded |cells|×dims
+    // table. A new-shard cosine visibly below the all-members cosine is
+    // the "retrain the coarse quantizer" signal. One corpus pass beyond
+    // the shared index.
+    "d164_centroid_refresh" -> ((s, dir) => {
+      val qz = embs(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
+          .as("xq"))
+      val m = DataQueries2.ivfAssigned(s, dir).select(col("id"), col("cell"))
+        .join(qz, col("vec_id") === col("id"))
+      val ex = m.select(col("cell"), (col("id") % 4 === 3).as("isnew"),
+        posexplode(col("xq")).as(Seq("d", "v")))
+      val sums = ex.groupBy(col("cell"), col("d"))
+        .agg(sum(col("v")).as("sall"),
+          sum(when(col("isnew"), col("v"))).as("snew"))
+      val counts = m.groupBy(col("cell")).agg(count(lit(1)).as("n_members"),
+        sum(when(col("id") % 4 === 3, 1L).otherwise(0L)).as("n_new"))
+      val anchors = qz.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"), posexplode(col("xq")).as(Seq("d", "aq")))
+      sums.join(anchors, Seq("cell", "d"))
+        .groupBy(col("cell"))
+        .agg(sum(dec(col("sall")) * col("aq")).as("dot_all"),
+          sum(dec(col("sall")) * col("sall")).as("n2_all"),
+          sum(dec(col("aq")) * col("aq")).as("a2"),
+          sum(dec(col("snew")) * col("aq")).as("dot_new"),
+          sum(dec(col("snew")) * col("snew")).as("n2_new"))
+        .join(counts, "cell")
+        .select(col("cell"), col("n_members"), col("n_new"),
+          floor(col("dot_all").cast("double") /
+            (sqrt(col("n2_all").cast("double")) * sqrt(col("a2").cast("double")))
+            * 1000000.0).cast("long").as("cos_anchor_all_q6"),
+          floor(col("dot_new").cast("double") /
+            (sqrt(col("n2_new").cast("double")) * sqrt(col("a2").cast("double")))
+            * 1000000.0).cast("long").as("cos_anchor_new_q6"))
+        .orderBy("cell")
+    }),
+
+    // media energy drift per arrival shard through the stub codec path —
+    // d158's multimodal sibling: per-shard mean signal energy per byte
+    // (fake energy = unsigned byte sum; a real codec swaps in PCM/pixel
+    // RMS with zero plumbing change) as an exact-integer ratio against
+    // the global mean. Typed mapPartitions with one codec per partition
+    // (Multimodal.energyStats), then a 4-row rollup; DECIMAL products
+    // because bytes×energy crosses Long at corpus scale.
+    "m07_mm_drift" -> { (s: SparkSession, dir: String) =>
+      val en = graft.operators.Multimodal.energyStats(
+        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()
+      val sh = en.select((col("doc_id") % 4).as("shard"), col("n_bytes"), col("energy"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("bytes"),
+          sum(col("energy")).as("energy"))
+      val g = sh.agg(sum(col("bytes")).as("gb"), sum(col("energy")).as("ge"))
+      sh.crossJoin(broadcast(g))
+        .select(col("shard"), col("n_items"), col("bytes"), col("energy"),
+          expr("CAST(CAST(energy AS DECIMAL(38,0)) * gb * 1000000 DIV (CAST(bytes AS DECIMAL(38,0)) * ge) AS BIGINT)")
+            .as("drift_q6"))
+        .orderBy("shard")
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,6 +490,78 @@ object DataQueries18 {
         |  CAST(sum(abs(CAST(o AS HUGEINT) * nt.n_tot - CAST(n_s AS HUGEINT) * c_src)) * 1000000
         |    // (2 * CAST(max(n_s) AS HUGEINT) * max(nt.n_tot)) AS BIGINT) AS tv_q6,
         |  CAST(CAST(max(o) AS HUGEINT) * 1000000 // max(n_s) AS BIGINT) AS max_src_share_q6
-        |FROM dense CROSS JOIN nt GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM dense CROSS JOIN nt GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "d163_cascade_order" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM w),
+        |fl AS (SELECT (n_words < 50 OR n_words > 100000) AS f1,
+        |  (3 * n_words > sum_wlen OR sum_wlen > 10 * n_words) AS f2,
+        |  (stop_hits < 2) AS f3,
+        |  (4 * (n_words - n_distinct) > n_words) AS f4 FROM b),
+        |cells AS (SELECT f1, f2, f3, f4, CAST(count(*) AS BIGINT) AS n FROM fl GROUP BY f1, f2, f3, f4),
+        |perms AS (SELECT a, b, c, d FROM generate_series(1, 4) t1(a)
+        |  CROSS JOIN generate_series(1, 4) t2(b) CROSS JOIN generate_series(1, 4) t3(c)
+        |  CROSS JOIN generate_series(1, 4) t4(d)
+        |  WHERE a <> b AND a <> c AND a <> d AND b <> c AND b <> d AND c <> d),
+        |costs AS (SELECT a, b, c, d,
+        |    CAST(sum(n * (1
+        |      + CASE WHEN NOT ([f1, f2, f3, f4])[a] THEN 1 ELSE 0 END
+        |      + CASE WHEN NOT ([f1, f2, f3, f4])[a] AND NOT ([f1, f2, f3, f4])[b] THEN 1 ELSE 0 END
+        |      + CASE WHEN NOT ([f1, f2, f3, f4])[a] AND NOT ([f1, f2, f3, f4])[b] AND NOT ([f1, f2, f3, f4])[c] THEN 1 ELSE 0 END)) AS BIGINT) AS cost,
+        |    CAST(sum(n) AS BIGINT) AS n_docs
+        |  FROM perms CROSS JOIN cells GROUP BY a, b, c, d),
+        |best AS (SELECT a::VARCHAR || '-' || b::VARCHAR || '-' || c::VARCHAR || '-' || d::VARCHAR AS best_perm,
+        |    cost AS best_cost FROM costs ORDER BY cost, a, b, c, d LIMIT 1)
+        |SELECT n_docs, cost AS deployed_cost, best_perm, best_cost,
+        |  CAST(CAST(cost - best_cost AS HUGEINT) * 1000000 // cost AS BIGINT) AS saving_q6
+        |FROM costs CROSS JOIN best WHERE a = 1 AND b = 2 AND c = 3 AND d = 4""".stripMargin,
+
+    "d164_centroid_refresh" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 4),
+        |scoredcells AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, [e.v[i] * c.cv[i] FOR i IN generate_series(1, len(e.v))]), (a, b) -> a + b) / (e.nrm * c.cn) AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+        |  WHERE rn = 1),
+        |qz AS (SELECT vec_id, d, CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) t(d)),
+        |mx AS (SELECT a.vec_id, a.cell, q.d, q.vq, (a.vec_id % 4 = 3) AS isnew
+        |  FROM assigned a JOIN qz q USING (vec_id)),
+        |sums AS (SELECT cell, d, CAST(sum(vq) AS BIGINT) AS sall,
+        |    CAST(sum(CASE WHEN isnew THEN vq END) AS BIGINT) AS snew FROM mx GROUP BY cell, d),
+        |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM assigned GROUP BY cell),
+        |an AS (SELECT vec_id AS cell, d, vq AS aq FROM qz WHERE vec_id < 4),
+        |ag AS (SELECT s.cell,
+        |    sum(CAST(sall AS HUGEINT) * aq) AS dot_all, sum(CAST(sall AS HUGEINT) * sall) AS n2_all,
+        |    sum(CAST(aq AS HUGEINT) * aq) AS a2,
+        |    sum(CAST(snew AS HUGEINT) * aq) AS dot_new, sum(CAST(snew AS HUGEINT) * snew) AS n2_new
+        |  FROM sums s JOIN an USING (cell, d) GROUP BY s.cell)
+        |SELECT ag.cell, cnt.n_members, cnt.n_new,
+        |  CAST(floor(CAST(dot_all AS DOUBLE) / (sqrt(CAST(n2_all AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_anchor_all_q6,
+        |  CAST(floor(CAST(dot_new AS DOUBLE) / (sqrt(CAST(n2_new AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_anchor_new_q6
+        |FROM ag JOIN cnt USING (cell) ORDER BY cell""".stripMargin,
+
+    "m07_mm_drift" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ord(c) AS BIGINT) FOR c IN [substr(text, i, 1) FOR i IN generate_series(1, strlen(text))]]),
+        |    (a, b) -> a + b) AS BIGINT) AS e
+        |  FROM documents),
+        |sh AS (SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(nb) AS BIGINT) AS bytes, CAST(sum(e) AS BIGINT) AS energy FROM m GROUP BY 1),
+        |g AS (SELECT CAST(sum(bytes) AS BIGINT) AS gb, CAST(sum(energy) AS BIGINT) AS ge FROM sh)
+        |SELECT shard, n_items, bytes, energy,
+        |  CAST(CAST(energy AS HUGEINT) * gb * 1000000 // (CAST(bytes AS HUGEINT) * ge) AS BIGINT) AS drift_q6
+        |FROM sh CROSS JOIN g ORDER BY shard""".stripMargin
   )
 }

@@ -121,6 +121,24 @@ object StreamOps {
   def filterWaterfall(df: DataFrame, textCol: String): DataFrame =
     graft.operators.TextQuality.withFilterWaterfall(df, textCol)
 
+  /** Streaming embedding-drift sums (d158's twin): per-shard per-dim
+    * integer component sums — the quantize-before-sum discipline makes the
+    * state MERGEABLE (a long sum per (shard, dim) merges across triggers
+    * and executors like any counter), which is exactly why d158's batch
+    * shape uses sum vectors instead of means. Run in update/complete mode;
+    * the bounded |shards|×dims state is the whole drift monitor, and the
+    * final cosine against a static global centroid is driver-side math on
+    * that bounded table. Batch-identical sums pinned in Wave10Spec.
+    */
+  def embedDriftSums(df: DataFrame, idCol: String, vecCol: String,
+      shards: Int = 4): DataFrame =
+    df.select((col(idCol) % shards).as("shard"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("shard"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("xq"))
+      .groupBy(col("shard"), col("d"))
+      .agg(sum(col("xq")).as("sv"))
+
   /** Streaming BPE encode (the streaming twin of d137): the trained merge
     * list applied by the same codegen'd kernel pass as the batch
     * [[graft.operators.BpeTokenizer.encode]], token ids resolved through a

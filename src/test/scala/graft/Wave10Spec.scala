@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-13 fourth wave (d163/d164/m07) plus the
+  * mergeable streaming drift-sum twin: exact short-circuit cost
+  * accounting, anchor-cosine sanity, energy conservation, and
+  * batch/stream state equality.
+  */
+class Wave10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("d163 exact cascade costs: best <= deployed, both within [n, 4n], and deployed matches the waterfall") {
+    val r = q("d163_cascade_order").collect().head
+    val (n, dep, best) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("deployed_cost"), r.getAs[Long]("best_cost"))
+    assert(best <= dep, "the optimum can never cost more than the deployed order")
+    assert(dep >= n && dep <= 4 * n, s"cost out of [n, 4n]: $r")
+    assert(best >= n, "every doc evaluates at least one rule")
+    val sv = r.getAs[Long]("saving_q6")
+    assert(sv >= 0 && sv < 1000000L)
+    // deployed cost re-derivable from the d160 funnel: docs reaching rule
+    // k = n - killed by rules < k  =>  cost = n + Σ_{k=2..4} (n - cum_{k-1})
+    val wf = q("d160_filter_waterfall").orderBy("rule_order").collect()
+    val cum = wf.map(_.getAs[Long]("cum_killed"))
+    val expected = n + (n - cum(0)) + (n - cum(1)) + (n - cum(2))
+    assert(dep == expected,
+      s"deployed cost $dep != funnel-derived $expected")
+  }
+
+  test("d164 refresh audit: cells partition the corpus and cosines are valid") {
+    val rows = q("d164_centroid_refresh").orderBy("cell").collect()
+    assert(rows.length == 4)
+    val nv = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nv,
+      "every vector must belong to exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_members"))
+      val ca = r.getAs[Long]("cos_anchor_all_q6")
+      assert(ca >= -1000000L && ca <= 1000000L, s"cos out of range: $r")
+      // the anchor is a member of its own cell and every member chose this
+      // anchor as its NEAREST centroid: the sum vector must align with it
+      assert(ca > 0, s"anchor must positively align with its own cell: $r")
+      if (!r.isNullAt(r.fieldIndex("cos_anchor_new_q6"))) {
+        val cn = r.getAs[Long]("cos_anchor_new_q6")
+        assert(cn >= -1000000L && cn <= 1000000L, s"cos out of range: $r")
+      }
+    }
+  }
+
+  test("m07 energy accounting: shard rollups conserve totals and drift straddles 1e6") {
+    val rows = q("m07_mm_drift").orderBy("shard").collect()
+    assert(rows.length == 4)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getAs[Long]("n_items")).sum == docs.count())
+    val totBytes = docs.agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("bytes")).sum == totBytes,
+      "stub codec must see every byte exactly once")
+    val drifts = rows.map(_.getAs[Long]("drift_q6"))
+    // mean-of-ratios brackets the global mean: at least one shard at or
+    // below 1e6 and one at or above (they average to ~1 by construction)
+    assert(drifts.min <= 1000000L && drifts.max >= 1000000L,
+      s"drift ratios must straddle 1e6: ${drifts.mkString(",")}")
+    drifts.foreach(d => assert(d > 500000L && d < 2000000L,
+      s"ASCII byte energies can't drift 2x across hash shards: $d"))
+  }
+
+  test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
+    val s = spark
+    import s.implicits._
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(32)
+    val batch = graft.streaming.StreamOps
+      .embedDriftSums(e, "vec_id", "embedding")
+      .select(col("shard"), col("d"), col("sv").as("bsv"))
+    val data = e.as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val out = graft.streaming.StreamOps
+      .embedDriftSums(ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val query = out.writeStream.format("memory").queryName("drift_stream_out")
+      .outputMode("complete").start()
+    try {
+      // two triggers — the state must MERGE, not overwrite
+      ms.addData(data.take(16))
+      query.processAllAvailable()
+      ms.addData(data.drop(16))
+      query.processAllAvailable()
+      val streamed = spark.table("drift_stream_out")
+      assert(streamed.count() == batch.count())
+      assert(batch.join(streamed, Seq("shard", "d"))
+        .filter(col("bsv") =!= col("sv")).count() == 0,
+        "streamed per-dim sums must be batch-identical after both triggers")
+    } finally query.stop()
+  }
+}
