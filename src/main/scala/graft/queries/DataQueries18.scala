@@ -46,6 +46,62 @@ object DataQueries18 {
           col("d").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1, 1L)
           .otherwise(-1L).as("w"))
 
+  /** Per-doc removal flags for the three dedup stages, computed from the
+    * SHARED machinery each stage already runs: `ex` = exact content-hash
+    * dup (d01's min-keeper rule), `nr` = minhash-cluster non-representative
+    * (the persisted d15/d17 clusters memo; rep == min-label == cluster id),
+    * `sr` = SemDeDup-pruned (d56's rule on the persisted IVF index; docs
+    * without a vector — possible at sf0.1 — are never semantic-removed).
+    * One row per document, every flag exact.
+    */
+  private def dedupFlags(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val ex = d.join(d.groupBy(col("h")).agg(min(col("doc_id")).as("k0")), "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("k0")).as("ex"))
+    val nr = DataQueries3.dedupClusters(s, dir)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster")).as("nr"))
+    val sr = graft.operators.VectorSearch
+      .semanticDedup(DataQueries2.ivfAssigned(s, dir), 0.4)
+      .select(col("id").as("doc_id"), (!col("kept")).as("sr"))
+    ex.join(nr, Seq("doc_id"), "left").join(sr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ex"),
+        coalesce(col("nr"), lit(false)).as("nr"),
+        coalesce(col("sr"), lit(false)).as("sr"))
+  }
+
+  /** DuckDB CTE chain ending in `fl(doc_id, ex, nr, sr)` — the oracle
+    * mirror of [[dedupFlags]], assembled from the proven d01/d40/d56
+    * fragments. Must be prefixed with `WITH RECURSIVE ` (the cluster walk).
+    */
+  private def dedupFlagsCte: String =
+    DataQueries.minhashPairsCte + """,
+      |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS n FROM edges),
+      |walk(n, l) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+      |clusters AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+      |exf AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS ex FROM documents),
+      |nrf AS (SELECT doc_id, doc_id <> cluster AS nr FROM clusters),
+      |ev AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ev WHERE vec_id < 4),
+      |scoredcells AS (SELECT ev.vec_id, ev.v, ev.nrm, c.cid,
+      |    list_reduce(list_prepend(0.0::DOUBLE, [ev.v[i] * c.cv[i] FOR i IN generate_series(1, len(ev.v))]), (a, b) -> a + b) / (ev.nrm * c.cn) AS ccos
+      |  FROM ev CROSS JOIN cents c),
+      |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scoredcells)
+      |  WHERE rn = 1),
+      |dr AS (SELECT DISTINCT y.vec_id AS id
+      |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE list_reduce(list_prepend(0.0::DOUBLE, [x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))]), (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4),
+      |srf AS (SELECT a.vec_id AS doc_id, dr.id IS NOT NULL AS sr FROM assigned a LEFT JOIN dr ON a.vec_id = dr.id),
+      |fl AS (SELECT d.doc_id,
+      |    COALESCE(exf.ex, FALSE) AS ex, COALESCE(nrf.nr, FALSE) AS nr, COALESCE(srf.sr, FALSE) AS sr
+      |  FROM documents d LEFT JOIN exf USING (doc_id) LEFT JOIN nrf USING (doc_id) LEFT JOIN srf USING (doc_id))""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
     // inverted-index storage bill: delta-gap + varint cost of the d25
     // posting lists, rolled up by document-frequency band (band = bit
@@ -381,7 +437,65 @@ object DataQueries18 {
           expr("CAST(CAST(energy AS DECIMAL(38,0)) * gb * 1000000 DIV (CAST(bytes AS DECIMAL(38,0)) * ge) AS BIGINT)")
             .as("drift_q6"))
         .orderBy("shard")
-    }
+    },
+
+    // dedup-stage waterfall — d160's framing applied to the dedup cascade:
+    // every doc attributed to the FIRST stage that removes it (exact
+    // content hash -> MinHash near-dup cluster non-rep -> SemDeDup
+    // semantic prune), so removal counts sum to the corpus and the
+    // funnel is the published "what each dedup layer buys" read (Lee et
+    // al. report exactly this decomposition). All three stage flags come
+    // from machinery that already runs at scale — the d01 hash rollup,
+    // the persisted d15 clusters, the d56 cell-equijoined prune — so the
+    // funnel itself adds one flag join + a 4-row rollup.
+    "d165_dedup_funnel" -> ((s, dir) => {
+      val staged = dedupFlags(s, dir).select(
+        when(col("ex"), 1L).when(col("nr"), 2L).when(col("sr"), 3L)
+          .otherwise(4L).as("stage_order"))
+      val counts = staged.groupBy(col("stage_order")).agg(count(lit(1)).as("n"))
+      val stages = s.range(1, 5).select(col("id").as("stage_order"),
+        element_at(array(lit("exact"), lit("near"), lit("semantic"), lit("keep")),
+          col("id").cast("int")).as("stage"))
+      val wCum = Window.orderBy(col("stage_order"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.orderBy(col("stage_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      stages.join(counts, Seq("stage_order"), "left")
+        .withColumn("n_docs", coalesce(col("n"), lit(0L)))
+        .withColumn("cum_removed",
+          sum(when(col("stage_order") <= 3, col("n_docs")).otherwise(0L)).over(wCum))
+        .withColumn("survivors",
+          sum(col("n_docs")).over(wTot) -
+            sum(when(col("stage_order") <= 3, col("n_docs")).otherwise(0L)).over(wCum))
+        .select(col("stage_order"), col("stage"), col("n_docs"),
+          col("cum_removed"), col("survivors"))
+        .orderBy("stage_order")
+    }),
+
+    // end-to-end token yield per source — the accounting number every
+    // pipeline publishes: raw tokens -> after the d160 filter cascade ->
+    // after all three dedup stages -> after the 64-token truncation cap
+    // (d110's middle cap), plus the final yield fraction. Composes the
+    // deployed operators' DECISIONS (filter pass, dedup keep, truncation
+    // min) without re-running any of their machinery beyond the shared
+    // persisted memos; one flag join + a |sources|-row rollup.
+    "d166_token_yield" -> ((s, dir) => {
+      val wf = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
+        .select(col("doc_id"), col("source"), col("n_words"),
+          (col("rule_order") === 5L).as("pass"))
+      wf.join(dedupFlags(s, dir), "doc_id")
+        .withColumn("ok", !col("ex") && !col("nr") && !col("sr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("raw_tokens"),
+          sum(when(col("pass"), col("n_words")).otherwise(0L)).as("after_filter"),
+          sum(when(col("pass") && col("ok"), col("n_words")).otherwise(0L)).as("after_dedup"),
+          sum(when(col("pass") && col("ok"), least(col("n_words"), lit(64L)))
+            .otherwise(0L)).as("after_trunc"))
+        .withColumn("yield_q6",
+          expr("CAST(CAST(after_trunc AS DECIMAL(38,0)) * 1000000 DIV raw_tokens AS BIGINT)"))
+        .orderBy("source")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,6 +676,44 @@ object DataQueries18 {
         |g AS (SELECT CAST(sum(bytes) AS BIGINT) AS gb, CAST(sum(energy) AS BIGINT) AS ge FROM sh)
         |SELECT shard, n_items, bytes, energy,
         |  CAST(CAST(energy AS HUGEINT) * gb * 1000000 // (CAST(bytes AS HUGEINT) * ge) AS BIGINT) AS drift_q6
-        |FROM sh CROSS JOIN g ORDER BY shard""".stripMargin
+        |FROM sh CROSS JOIN g ORDER BY shard""".stripMargin,
+
+    "d165_dedup_funnel" ->
+      ("WITH RECURSIVE " + dedupFlagsCte + """,
+        |st AS (SELECT CASE WHEN ex THEN 1 WHEN nr THEN 2 WHEN sr THEN 3 ELSE 4 END AS stage_order FROM fl),
+        |stages AS (SELECT * FROM (VALUES (1, 'exact'), (2, 'near'), (3, 'semantic'), (4, 'keep')) t(stage_order, stage)),
+        |c AS (SELECT stage_order, CAST(count(*) AS BIGINT) AS n_docs FROM st GROUP BY stage_order)
+        |SELECT CAST(s.stage_order AS BIGINT) AS stage_order, s.stage,
+        |  COALESCE(c.n_docs, 0) AS n_docs,
+        |  CAST(sum(CASE WHEN s.stage_order <= 3 THEN COALESCE(c.n_docs, 0) ELSE 0 END)
+        |    OVER (ORDER BY s.stage_order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_removed,
+        |  CAST(sum(COALESCE(c.n_docs, 0)) OVER ()
+        |    - sum(CASE WHEN s.stage_order <= 3 THEN COALESCE(c.n_docs, 0) ELSE 0 END)
+        |      OVER (ORDER BY s.stage_order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors
+        |FROM stages s LEFT JOIN c USING (stage_order) ORDER BY stage_order""".stripMargin),
+
+    "d166_token_yield" ->
+      ("WITH RECURSIVE " + dedupFlagsCte + """,
+        |ww AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+        |bb AS (SELECT doc_id, source, CAST(len(wl) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN wl]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(wl), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_distinct(wl)) AS BIGINT) AS n_distinct FROM ww),
+        |pf AS (SELECT doc_id, source, n_words,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND stop_hits >= 2
+        |    AND 4 * (n_words - n_distinct) <= n_words) AS pass FROM bb),
+        |j AS (SELECT pf.source, pf.n_words, pf.pass,
+        |    (NOT fl.ex AND NOT fl.nr AND NOT fl.sr) AS ok
+        |  FROM pf JOIN fl USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN pass THEN n_words ELSE 0 END) AS BIGINT) AS after_filter,
+        |  CAST(sum(CASE WHEN pass AND ok THEN n_words ELSE 0 END) AS BIGINT) AS after_dedup,
+        |  CAST(sum(CASE WHEN pass AND ok THEN least(n_words, 64) ELSE 0 END) AS BIGINT) AS after_trunc,
+        |  CAST(CAST(sum(CASE WHEN pass AND ok THEN least(n_words, 64) ELSE 0 END) AS HUGEINT) * 1000000
+        |    // sum(n_words) AS BIGINT) AS yield_q6
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -77,6 +77,38 @@ class Wave10Spec extends AnyFunSuite {
       s"ASCII byte energies can't drift 2x across hash shards: $d"))
   }
 
+  test("d165 dedup funnel partitions the corpus and stages are ordered") {
+    val rows = q("d165_dedup_funnel").orderBy("stage_order").collect()
+    assert(rows.length == 4)
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "every doc is attributed to exactly one stage (or kept)")
+    val keep = rows.last
+    assert(keep.getAs[String]("stage") == "keep")
+    assert(keep.getAs[Long]("survivors") == keep.getAs[Long]("n_docs"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_removed") <= b.getAs[Long]("cum_removed"))
+    }
+    // near-dups exist at sf0.001 (the d15 candidate graph has ~45 nodes),
+    // so the cascade must remove SOMETHING even when exact dups are absent
+    assert(rows.take(3).map(_.getAs[Long]("n_docs")).sum > 0,
+      "the dedup cascade must remove at least one doc on this fixture")
+  }
+
+  test("d166 yield accounting is monotone: each stage only removes tokens") {
+    val rows = q("d166_token_yield").collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    rows.foreach { r =>
+      val (raw, f, d2, t) = (r.getAs[Long]("raw_tokens"), r.getAs[Long]("after_filter"),
+        r.getAs[Long]("after_dedup"), r.getAs[Long]("after_trunc"))
+      assert(f <= raw && d2 <= f && t <= d2, s"stage tokens must be non-increasing: $r")
+      val y = r.getAs[Long]("yield_q6")
+      assert(y >= 0 && y <= 1000000L, s"yield fraction in [0,1]: $r")
+    }
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
