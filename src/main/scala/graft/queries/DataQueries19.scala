@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Wave 16 (round 13) — the evaluation tail: an honest retrieval eval
+  * (query and target halves disjoint, unlike echo-style self-retrieval),
+  * inter-signal agreement (Cohen's kappa between the two deployed quality
+  * filters), and language-purity / code-switch profiling on the router's
+  * own evidence.
+  */
+object DataQueries19 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // half-doc retrieval headroom: every doc is INDEXED by its first
+    // half, QUERIED by its second half (16 probes), scored by
+    // idf-weighted term overlap — retrieval with query ≠ target text,
+    // the honest framing (scoring a doc against its own words is an echo
+    // test). The published number is each probe's SELF-RANK among the
+    // candidates, which measures whether the corpus retains enough
+    // intra-document coherence for attribution at all: on this
+    // boilerplate-heavy corpus self-rank is ~uniform (38..422 of 500 at
+    // sf0.001) — the duplication that d54/d165 quantify is exactly what
+    // destroys attribution, and THIS query is the eval that would catch
+    // it on a real corpus before shipping a retrieval index. idf is
+    // ln-quantized q6 per TERM before any cross-row sum (the d57 ulp
+    // discipline); self-rank is computed by comparing each candidate
+    // score against the probe's own score (a bounded 16-row broadcast) —
+    // never a window over the corpus-sized candidate set.
+    "d167_retrieval_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val idx = d.select(col("doc_id"),
+          explode(array_distinct(expr("slice(w, 1, size(w) div 2)"))).as("term"))
+        .transform(graft.sources.Caches.ephemeral)
+      val nt = d.agg(count(lit(1)).as("n"))
+      val idf = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nt))
+        .select(col("term"),
+          floor(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * lit(1000000.0))
+            .cast("long").as("idf_q6"))
+      val q = d.filter(col("doc_id") < 16)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(
+            expr("slice(w, size(w) div 2 + 1, size(w) - size(w) div 2)"))).as("term"))
+      val scored = broadcast(q).join(idf, "term").join(idx, "term")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("idf_q6")).as("score"))
+        .transform(graft.sources.Caches.ephemeral)
+      val self = scored.filter(col("qid") === col("doc_id"))
+        .select(col("qid"), col("score").as("self_score"))
+      scored.join(broadcast(self), "qid")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_cands"),
+          (sum(when(col("score") > col("self_score") ||
+            (col("score") === col("self_score") && col("doc_id") < col("qid")), 1L)
+            .otherwise(0L)) + 1L).as("self_rank"),
+          max(col("self_score")).as("self_score"))
+        .withColumn("hit", col("self_rank") === 1L)
+        .orderBy("qid")
+    }),
+
+    // Cohen's kappa between the two deployed quality signals — the d39
+    // rule filter and the d79 hashed classifier (keep = score >= 0):
+    // chance-corrected agreement from the exact 2×2 contingency table,
+    // kappa = (N·(a+d) − [(a+b)(a+c) + (c+d)(b+d)]) / (N² − [...]).
+    // d140 calibrates the classifier AGAINST the rules and d154 ranks it;
+    // kappa answers the orthogonal question "are these two filters even
+    // measuring the same thing" — the gate before letting one replace the
+    // other. One narrow two-signal pass, a one-row rollup, exact integer
+    // num/den published beside the floor-quantized ratio (ints here are
+    // < 2^53 so the IEEE division is exact-input; at larger N the ratio
+    // routes through DECIMAL like every other corpus² product).
+    "d168_kappa_agreement" -> ((s, dir) => {
+      val two = graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
+        .select(col("doc_id"), col("keep").as("rk"))
+        .join(docs(s, dir)
+          .select(col("doc_id"),
+            (expr(
+              """aggregate(filter(split(text, ' '), w -> length(w) >= 1), CAST(0 AS BIGINT), (acc, w) -> acc +
+                |  ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64)
+                |    * 2654435761 % 1000 - 500))""".stripMargin) >= 0L).as("ck")),
+          "doc_id")
+      two.agg(
+          sum(when(col("rk") && col("ck"), 1L).otherwise(0L)).as("n_both_keep"),
+          sum(when(col("rk") && !col("ck"), 1L).otherwise(0L)).as("n_rule_only"),
+          sum(when(!col("rk") && col("ck"), 1L).otherwise(0L)).as("n_clf_only"),
+          sum(when(!col("rk") && !col("ck"), 1L).otherwise(0L)).as("n_both_drop"),
+          count(lit(1)).as("n"))
+        .withColumn("kappa_q6", expr(
+          """CASE WHEN n * n = (n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+            |    + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop) THEN NULL
+            |  ELSE CAST(floor(1000000.0
+            |    * (n * (n_both_keep + n_both_drop)
+            |       - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+            |          + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))
+            |    / (n * n
+            |       - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+            |          + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END""".stripMargin))
+    }),
+
+    // language purity / code-switch profile on the router's own evidence:
+    // per predicted language, how many docs hit ONLY that language's
+    // stopword lexicon (pure), how many hit several (mixed — the
+    // code-switch suspects a per-doc router mislabels half of), and how
+    // many hit none (the router's blind spot, where `pred` is just the
+    // tie order). mean purity = h_argmax / Σh, floor-quantized per doc
+    // before the per-language sum. One shared TextQuality narrow map +
+    // a ≤4-row rollup; the same evidence columns d05/d120 already read.
+    "d169_lang_purity" -> ((s, dir) => {
+      val l = graft.operators.TextQuality.withLangId(docs(s, dir), "text")
+        .withColumn("tot", col("h_en") + col("h_de") + col("h_es") + col("h_fr"))
+        .withColumn("hm", greatest(col("h_en"), col("h_de"), col("h_es"), col("h_fr")))
+      l.groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tot") === 0, 1L).otherwise(0L)).as("n_nohit"),
+          sum(when(col("tot") > 0 && col("hm") === col("tot"), 1L).otherwise(0L)).as("n_pure"),
+          sum(when(col("tot") > 0 && col("hm") < col("tot"), 1L).otherwise(0L)).as("n_mixed"),
+          sum(when(col("tot") > 0, expr("(hm * 1000000) DIV tot")).otherwise(0L)).as("purity_sum_q6"))
+        .withColumn("mean_purity_q6", expr(
+          "CASE WHEN n_docs - n_nohit > 0 THEN purity_sum_q6 DIV (n_docs - n_nohit) ELSE NULL END"))
+        .orderBy("pred")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d167_retrieval_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, unnest(list_distinct(w[1:len(w) // 2])) AS term FROM d),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |idf AS (SELECT term, CAST(floor(ln((n + 1.0) / (count(*) + 1.0)) * 1000000.0) AS BIGINT) AS idf_q6
+        |  FROM idx CROSS JOIN nt GROUP BY term, n),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(w[len(w) // 2 + 1:len(w)])) AS term
+        |  FROM d WHERE doc_id < 16),
+        |sc AS (SELECT q.qid, i.doc_id, CAST(sum(f.idf_q6) AS BIGINT) AS score
+        |  FROM q JOIN idf f USING (term) JOIN idx i USING (term) GROUP BY q.qid, i.doc_id),
+        |slf AS (SELECT qid, score AS self_score FROM sc WHERE qid = doc_id)
+        |SELECT sc.qid, CAST(count(*) AS BIGINT) AS n_cands,
+        |  CAST(sum(CASE WHEN sc.score > slf.self_score
+        |      OR (sc.score = slf.self_score AND sc.doc_id < sc.qid) THEN 1 ELSE 0 END) + 1 AS BIGINT) AS self_rank,
+        |  CAST(max(slf.self_score) AS BIGINT) AS self_score,
+        |  CAST(sum(CASE WHEN sc.score > slf.self_score
+        |      OR (sc.score = slf.self_score AND sc.doc_id < sc.qid) THEN 1 ELSE 0 END) + 1 AS BIGINT) = 1 AS hit
+        |FROM sc JOIN slf USING (qid) GROUP BY sc.qid ORDER BY sc.qid""".stripMargin,
+
+    "d168_kappa_agreement" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+        |FROM w),
+        |rk AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND stop_hits >= 2) AS rk FROM b),
+        |ck AS (SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [ (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 64) * 2654435761 % 1000 - 500
+        |        FOR x IN list_filter(string_split(text, ' '), x -> length(x) >= 1) ]),
+        |      (acc, v) -> acc + v) AS BIGINT) >= 0 AS ck
+        |  FROM documents),
+        |ct AS (SELECT
+        |    CAST(sum(CASE WHEN rk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+        |    CAST(sum(CASE WHEN rk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+        |    CAST(sum(CASE WHEN NOT rk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+        |    CAST(sum(CASE WHEN NOT rk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM rk JOIN ck USING (doc_id))
+        |SELECT n_both_keep, n_rule_only, n_clf_only, n_both_drop, n,
+        |  CASE WHEN n * n = (n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+        |      + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop) THEN NULL
+        |    ELSE CAST(floor(1000000.0
+        |      * (n * (n_both_keep + n_both_drop)
+        |         - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+        |            + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))
+        |      / (n * n
+        |         - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
+        |            + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END AS kappa_q6
+        |FROM ct""".stripMargin,
+
+    "d169_lang_purity" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_intersect(tok, ['the','a','of','and','to'])) AS BIGINT) AS h_en,
+        |  CAST(len(list_intersect(tok, ['der','die','das','und','ist'])) AS BIGINT) AS h_de,
+        |  CAST(len(list_intersect(tok, ['el','la','de','los','y'])) AS BIGINT) AS h_es,
+        |  CAST(len(list_intersect(tok, ['le','les','et','des','un'])) AS BIGINT) AS h_fr
+        |FROM t),
+        |p AS (SELECT doc_id, h_en + h_de + h_es + h_fr AS tot,
+        |  greatest(h_en, h_de, h_es, h_fr) AS hm,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+        |       WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+        |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred
+        |FROM h)
+        |SELECT pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nohit,
+        |  CAST(sum(CASE WHEN tot > 0 AND hm = tot THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+        |  CAST(sum(CASE WHEN tot > 0 AND hm < tot THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+        |  CAST(sum(CASE WHEN tot > 0 THEN hm * 1000000 // tot ELSE 0 END) AS BIGINT) AS purity_sum_q6,
+        |  CASE WHEN count(*) - sum(CASE WHEN tot = 0 THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(sum(CASE WHEN tot > 0 THEN hm * 1000000 // tot ELSE 0 END)
+        |      // (count(*) - sum(CASE WHEN tot = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    ELSE NULL END AS mean_purity_q6
+        |FROM p GROUP BY pred ORDER BY pred""".stripMargin
+  )
+}

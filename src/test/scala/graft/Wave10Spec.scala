@@ -109,6 +109,48 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("d167 self-rank is well-defined: every probe is its own candidate") {
+    val rows = q("d167_retrieval_eval").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val (rank, nc) = (r.getAs[Long]("self_rank"), r.getAs[Long]("n_cands"))
+      assert(rank >= 1 && rank <= nc, s"self_rank must be a valid rank: $r")
+      assert(r.getAs[Boolean]("hit") == (rank == 1L))
+      // a doc's halves always share the corpus-common unigrams, so the
+      // probe must score itself (self_score defined and > 0)
+      assert(r.getAs[Long]("self_score") > 0, s"probe must be its own candidate: $r")
+    }
+  }
+
+  test("d168 kappa contingency partitions the corpus and kappa is bounded") {
+    val r = q("d168_kappa_agreement").collect().head
+    val parts = Seq("n_both_keep", "n_rule_only", "n_clf_only", "n_both_drop")
+      .map(r.getAs[Long])
+    assert(parts.sum == r.getAs[Long]("n"))
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(r.getAs[Long]("n") == n)
+    if (!r.isNullAt(r.fieldIndex("kappa_q6"))) {
+      val k = r.getAs[Long]("kappa_q6")
+      assert(k >= -1000000L && k <= 1000000L, s"kappa out of [-1,1]: $k")
+    }
+  }
+
+  test("d169 purity classes partition each language's docs") {
+    val rows = q("d169_lang_purity").collect()
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pure") + r.getAs[Long]("n_mixed") +
+        r.getAs[Long]("n_nohit") == r.getAs[Long]("n_docs"),
+        s"pure+mixed+nohit must partition: $r")
+      if (!r.isNullAt(r.fieldIndex("mean_purity_q6"))) {
+        val p = r.getAs[Long]("mean_purity_q6")
+        // argmax/total is at least 1/|langs| and at most 1
+        assert(p >= 250000L && p <= 1000000L, s"mean purity out of [0.25,1]: $r")
+      }
+    }
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
