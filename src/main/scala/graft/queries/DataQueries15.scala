@@ -172,6 +172,11 @@ object DataQueries15 {
           .groupBy(col("node"))
           .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab"))).as("m"))
           .select(col("node"), col("m.lab").as("lab"))
+          // truncate lineage per round (the d15/d156 discipline): the label
+          // table is candidate-graph-sized, and without the checkpoint each
+          // round's plan embeds all prior rounds' joins for Catalyst to
+          // re-optimize (measured ~2.5 s for a 45-node graph at sf0.1)
+          .localCheckpoint()
       }
       labels.select(col("node").as("doc_id"), col("lab").as("community"))
         .orderBy("doc_id")

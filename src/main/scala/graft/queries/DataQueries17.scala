@@ -669,18 +669,28 @@ object DataQueries17 {
     // reporting nodes/edges surviving and nodes dropped per round —
     // n_dropped hitting 0 certifies convergence to the true 2-core.
     "d156_kcore_peel" -> ((s, dir) => {
+      // The peeled graph is tiny (the LSH near-clique candidates), so the
+      // cost driver here is plan DEPTH, not data: left as one composed
+      // tree, round r+1's logical plan embeds every prior round's joins
+      // and Catalyst re-optimizes the whole thing for each action (~7 s/run
+      // measured at sf0.1 for 33 edges). localCheckpoint — the d15
+      // connected-components discipline — truncates lineage each round, so
+      // every round plans against a materialized edge table. On a cluster
+      // the checkpoint is executor-local storage of a candidate-graph-sized
+      // table (orders below the corpus), the same footprint d15 already
+      // commits to.
       var cur = DataQueries.minhashPairs(s, dir).select(col("a"), col("b"))
-        .transform(graft.sources.Caches.ephemeral)
+        .localCheckpoint()
       var out: DataFrame = null
       for (r <- 1 to 3) {
         val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .transform(graft.sources.Caches.ephemeral)
+          .localCheckpoint()
         val keep = deg.filter(col("d") >= 2).select(col("n"))
         val nxt = cur
           .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-          .transform(graft.sources.Caches.ephemeral)
+          .localCheckpoint()
         val row = keep.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(nxt.agg(count(lit(1)).as("n_edges")))
           .crossJoin(deg.agg(count(lit(1)).as("__tot")))

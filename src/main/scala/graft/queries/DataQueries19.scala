@@ -17,6 +17,9 @@ object DataQueries19 {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(38,0)")
+
   val queries: Map[String, Q] = Map[String, Q](
     // half-doc retrieval headroom: every doc is INDEXED by its first
     // half, QUERIED by its second half (16 probes), scored by
@@ -106,6 +109,70 @@ object DataQueries19 {
             |          + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END""".stripMargin))
     }),
 
+    // weak-supervision distillation probe: TRAIN a multinomial Naive
+    // Bayes quality classifier from the d39 rule labels (the standard
+    // bootstrap: rules label, a cheap model generalizes) and measure it
+    // against the UNTRAINED d79 hash baseline on the training labels
+    // (sf0.001: NB 65.4% vs hash 51.6%). Features are the same 64 md5
+    // token buckets d79 hashes into (x_j = doc's tokens in bucket j);
+    // training is ONE (bucket × class) rollup — 64 rows, the bounded-
+    // rollup discipline — with add-1 smoothed log-likelihood ratios
+    // ln((c⁺+1)/(T⁺+64)) − ln((c⁻+1)/(T⁻+64)) floor-quantized q6 per
+    // BUCKET (the d57 ulp discipline: doubles only on the bounded table,
+    // integers across rows), plus a one-row class prior. Scoring is a
+    // broadcast-w pass: sign(Σ x_j·w_j + prior). x·w needs DECIMAL at
+    // corpus scale.
+    "d170_linear_probe" -> ((s, dir) => {
+      val base = graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
+        .select(col("doc_id"),
+          when(col("keep"), 1L).otherwise(-1L).as("y"),
+          expr("filter(split(text, ' '), w -> length(w) >= 1)").as("ws"))
+        .transform(graft.sources.Caches.ephemeral)
+      val xb = base.select(col("doc_id"), col("y"),
+          explode(col("ws")).as("w"))
+        .select(col("doc_id"), col("y"),
+          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64").as("j"))
+        .groupBy(col("doc_id"), col("y"), col("j"))
+        .agg(count(lit(1)).as("x"))
+        .transform(graft.sources.Caches.ephemeral)
+      val cls = xb.groupBy(col("j"))
+        .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("cp"),
+          sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("cn"))
+      val tot = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+      val wTab = cls.crossJoin(broadcast(tot))
+        .select(col("j"),
+          floor((log(col("cp") + 1) - log(col("tp") + 64)
+            - log(col("cn") + 1) + log(col("tn") + 64)) * lit(1000000.0))
+            .cast("long").as("wj"))
+      val prior = base.agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+        .select(floor((log(col("np")) - log(col("nn"))) * lit(1000000.0))
+          .cast("long").as("b0"))
+      val dots = xb.join(broadcast(wTab), "j")
+        .groupBy(col("doc_id"))
+        .agg(sum(dec(col("x")) * col("wj")).as("dot"))
+      // left join so token-less docs still score (dot = 0 -> prior side)
+      val scored = base.select(col("doc_id"), col("y"))
+        .join(dots, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("y"),
+          when(coalesce(col("dot"), lit(0L).cast("decimal(38,0)"))
+            + col("b0") >= 0, 1L).otherwise(-1L).as("probe_pred"))
+      val hash = docs(s, dir).select(col("doc_id"),
+        when(expr(
+          """aggregate(filter(split(text, ' '), w -> length(w) >= 1), CAST(0 AS BIGINT), (acc, w) -> acc +
+            |  ((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64)
+            |    * 2654435761 % 1000 - 500))""".stripMargin) >= 0L, 1L).otherwise(-1L)
+          .as("hash_pred"))
+      scored.join(hash, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("probe_pred") === col("y"), 1L).otherwise(0L)).as("n_probe_correct"),
+          sum(when(col("hash_pred") === col("y"), 1L).otherwise(0L)).as("n_hash_correct"))
+        .withColumn("acc_probe_q6", expr("n_probe_correct * 1000000 DIV n_docs"))
+        .withColumn("acc_hash_q6", expr("n_hash_correct * 1000000 DIV n_docs"))
+    }),
+
     // language purity / code-switch profile on the router's own evidence:
     // per predicted language, how many docs hit ONLY that language's
     // stopword lexicon (pure), how many hit several (mixed — the
@@ -184,6 +251,45 @@ object DataQueries19 {
         |         - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
         |            + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END AS kappa_q6
         |FROM ct""".stripMargin,
+
+    "d170_linear_probe" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+        |FROM w),
+        |lab AS (SELECT doc_id, CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND stop_hits >= 2 THEN 1 ELSE -1 END AS y FROM b),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) >= 1)) AS t
+        |  FROM documents),
+        |xb AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS j,
+        |    CAST(count(*) AS BIGINT) AS x FROM tok GROUP BY doc_id, j),
+        |cls AS (SELECT j, sum(CASE WHEN l.y = 1 THEN x.x ELSE 0 END) AS cp,
+        |    sum(CASE WHEN l.y = -1 THEN x.x ELSE 0 END) AS cn
+        |  FROM xb x JOIN lab l USING (doc_id) GROUP BY j),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cls),
+        |wt AS (SELECT j, CAST(floor((ln(cp + 1) - ln(tp + 64) - ln(cn + 1) + ln(tn + 64)) * 1000000.0) AS BIGINT) AS wj
+        |  FROM cls, tot),
+        |pri AS (SELECT CAST(floor((ln(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+        |    - ln(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END))) * 1000000.0) AS BIGINT) AS b0 FROM lab),
+        |dots AS (SELECT x.doc_id, sum(CAST(x.x AS HUGEINT) * w2.wj) AS dot
+        |  FROM xb x JOIN wt w2 USING (j) GROUP BY x.doc_id),
+        |pp AS (SELECT l.doc_id, l.y,
+        |    CASE WHEN COALESCE(d.dot, 0) + p.b0 >= 0 THEN 1 ELSE -1 END AS probe_pred
+        |  FROM lab l LEFT JOIN dots d USING (doc_id) CROSS JOIN pri p),
+        |hp AS (SELECT doc_id,
+        |    CASE WHEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [ (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 64) * 2654435761 % 1000 - 500
+        |        FOR x IN list_filter(string_split(text, ' '), x -> length(x) >= 1) ]),
+        |      (acc, v) -> acc + v) AS BIGINT) >= 0 THEN 1 ELSE -1 END AS hash_pred
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_correct,
+        |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_hash_correct,
+        |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_probe_q6,
+        |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_hash_q6
+        |FROM pp JOIN hp USING (doc_id)""".stripMargin,
 
     "d169_lang_purity" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents),

@@ -449,6 +449,21 @@ class PlanSpec extends AnyFunSuite {
       "the 8x64 plane table must broadcast\n" + p)
   }
 
+  test("d167: self-rank comes from a broadcast compare, never a candidate-set window") {
+    val p = plan("d167_retrieval_eval")
+    assert(!p.contains("windowspecdefinition"),
+      "self-rank must be a broadcast-join count, not a rank window over candidates\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16-row probe/self sides must broadcast\n" + p)
+  }
+
+  test("d164/d165: the shared IVF/cluster memos are reused from cache") {
+    assert(plan("d164_centroid_refresh").contains("InMemoryTableScan"),
+      "d164 must read the persisted IVF assignment, not recompute it")
+    assert(plan("d165_dedup_funnel").contains("InMemoryTableScan"),
+      "d165 must read the persisted dedup clusters, not recompute them")
+  }
+
   test("d142: median/MAD windows are partitioned by source over the bounded length table") {
     val p = plan("d142_mad_outliers")
     assert(p.contains("windowspecdefinition(source"),

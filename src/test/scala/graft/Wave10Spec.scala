@@ -151,6 +151,21 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("d170 trained probe beats the untrained hash baseline on its training labels") {
+    val r = q("d170_linear_probe").collect().head
+    val n = r.getAs[Long]("n_docs")
+    assert(n == graft.sources.Tables.load(spark, dir, "documents").count())
+    val (pc, hc) = (r.getAs[Long]("n_probe_correct"), r.getAs[Long]("n_hash_correct"))
+    assert(pc <= n && hc <= n)
+    assert(r.getAs[Long]("acc_probe_q6") == pc * 1000000L / n)
+    // the class-conditional contrast is FIT to these labels; the hash
+    // weights are label-blind. The probe must not lose to it, and must
+    // clear the majority-class floor any linear fit reaches.
+    assert(pc >= hc, s"trained probe ($pc) lost to untrained hash ($hc)")
+    assert(r.getAs[Long]("acc_probe_q6") >= 500000L,
+      "fitted linear probe must beat a coin flip on its own training set")
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
