@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -173,6 +174,51 @@ object DataQueries19 {
         .withColumn("acc_hash_q6", expr("n_hash_correct * 1000000 DIV n_docs"))
     }),
 
+    // data-driven truncation-cap solver — d110 prices FIXED caps; this
+    // CHOOSES one: the largest max-seq-len whose post-truncation token
+    // total fits an 80%-of-raw budget, solved in closed form from the
+    // distinct-length histogram (total(c) = Σ_{len≤c} len·cnt +
+    // c·N_{>c}, both cumulative sums over the bounded length table — the
+    // d26/q20 rank-arithmetic discipline, windows never touch the
+    // corpus), then refined to the exact integer cap between two
+    // distinct lengths (cap* = c + (B − total(c)) DIV N_{>c}). The
+    // "pick max-seq-len from data, not folklore" decision every training
+    // config hard-codes.
+    "d171_cap_solver" -> ((s, dir) => {
+      val n = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+      val hist = n.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = hist
+        .withColumn("s_below", sum(col("len") * col("cnt")).over(wCum))
+        .withColumn("n_upto", sum(col("cnt")).over(wCum))
+        .withColumn("raw_tokens", sum(col("len") * col("cnt")).over(wAll))
+        .withColumn("n_docs", sum(col("cnt")).over(wAll))
+        .withColumn("n_above", col("n_docs") - col("n_upto"))
+        .withColumn("budget", expr("(8 * raw_tokens) DIV 10"))
+        .withColumn("total_at",
+          col("s_below") + col("len") * col("n_above"))
+      val best = t.filter(col("total_at") <= col("budget"))
+        .groupBy(col("n_docs"), col("raw_tokens"), col("budget"))
+        .agg(max(struct(col("len").as("c"), col("total_at").as("ta"),
+          col("n_above").as("na"))).as("m"))
+        .select(col("n_docs"), col("raw_tokens"), col("budget"),
+          col("m.c").as("base_cap"), col("m.ta").as("total_at_base"),
+          col("m.na").as("n_above_base"))
+      best.select(col("n_docs"), col("raw_tokens"), col("budget"),
+        col("base_cap"),
+        expr("""CASE WHEN n_above_base > 0
+               |  THEN base_cap + (budget - total_at_base) DIV n_above_base
+               |  ELSE base_cap END""".stripMargin).as("cap"),
+        expr("""CASE WHEN n_above_base > 0
+               |  THEN total_at_base + ((budget - total_at_base) DIV n_above_base) * n_above_base
+               |  ELSE total_at_base END""".stripMargin).as("total_at_cap"),
+        col("n_above_base").as("docs_clipped"))
+    }),
+
     // language purity / code-switch profile on the router's own evidence:
     // per predicted language, how many docs hit ONLY that language's
     // stopword lexicon (pure), how many hit several (mixed — the
@@ -290,6 +336,32 @@ object DataQueries19 {
         |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_probe_q6,
         |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_hash_q6
         |FROM pp JOIN hp USING (doc_id)""".stripMargin,
+
+    "d171_cap_solver" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |hist AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM n GROUP BY len),
+        |t AS (SELECT len, cnt,
+        |    sum(len * cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_below,
+        |    sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_upto,
+        |    sum(len * cnt) OVER () AS raw_tokens,
+        |    sum(cnt) OVER () AS n_docs
+        |  FROM hist),
+        |t2 AS (SELECT *, n_docs - n_upto AS n_above, (8 * raw_tokens) // 10 AS budget,
+        |    s_below + len * (n_docs - n_upto) AS total_at FROM t),
+        |best AS (SELECT n_docs, raw_tokens, budget,
+        |    max_by(len, len) AS base_cap, max_by(total_at, len) AS total_at_base,
+        |    max_by(n_above, len) AS n_above_base
+        |  FROM t2 WHERE total_at <= budget GROUP BY n_docs, raw_tokens, budget)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(raw_tokens AS BIGINT) AS raw_tokens,
+        |  CAST(budget AS BIGINT) AS budget, CAST(base_cap AS BIGINT) AS base_cap,
+        |  CAST(CASE WHEN n_above_base > 0
+        |    THEN base_cap + (budget - total_at_base) // n_above_base
+        |    ELSE base_cap END AS BIGINT) AS cap,
+        |  CAST(CASE WHEN n_above_base > 0
+        |    THEN total_at_base + ((budget - total_at_base) // n_above_base) * n_above_base
+        |    ELSE total_at_base END AS BIGINT) AS total_at_cap,
+        |  CAST(n_above_base AS BIGINT) AS docs_clipped
+        |FROM best""".stripMargin,
 
     "d169_lang_purity" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents),

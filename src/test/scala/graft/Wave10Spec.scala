@@ -166,6 +166,25 @@ class Wave10Spec extends AnyFunSuite {
       "fitted linear probe must beat a coin flip on its own training set")
   }
 
+  test("d171 cap solver: chosen cap fills but never exceeds the budget") {
+    val r = q("d171_cap_solver").collect().head
+    val (raw, b, cap, tot, clipped) = (r.getAs[Long]("raw_tokens"),
+      r.getAs[Long]("budget"), r.getAs[Long]("cap"),
+      r.getAs[Long]("total_at_cap"), r.getAs[Long]("docs_clipped"))
+    assert(b == 8 * raw / 10)
+    assert(tot <= b, s"post-truncation total must fit the budget: $r")
+    assert(cap >= r.getAs[Long]("base_cap"))
+    // maximality: one more token of cap would add n_above tokens; the
+    // refinement must leave less than one per-clipped-doc token of slack
+    if (clipped > 0) assert(b - tot < clipped,
+      s"cap+1 would still fit — solver left budget on the table: $r")
+    // recompute the truncated total directly and compare exactly
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val direct = docs.select(least(size(split(col("text"), " ")).cast("long"), lit(cap)).as("t"))
+      .agg(sum(col("t"))).collect().head.getLong(0)
+    assert(direct == tot, s"closed-form total $tot != direct recompute $direct")
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
