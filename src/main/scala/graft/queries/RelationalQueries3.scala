@@ -231,6 +231,31 @@ object RelationalQueries3 {
     // q6-quantized before the hourly sum, so the carried values are
     // engine-exact; the LOCF window runs over the bounded grid
     // (|types| x |hours|), never the raw stream.
+    // weekly cohort retention matrix — the canonical product-analytics
+    // read at any event-log scale: users cohorted by first-active week,
+    // per (cohort, week-offset) distinct-active counts, retention as an
+    // exact integer fraction of the cohort size. Two shuffles total (a
+    // per-user min rollup, then the (cohort, offset) rollup on the
+    // user-distinct activity); both weeks are Monday-truncated in both
+    // engines and the offset is an exact day-difference DIV 7, so no
+    // calendar arithmetic can diverge. At 100 TB the user rollup is the
+    // only corpus-sized exchange and it partial-aggregates.
+    "q46_retention" -> { (s: SparkSession, dir: String) =>
+      val e = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val act = e.distinct().join(first, "user_id")
+      val coh = first.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+      act.select(col("cw"), expr("datediff(wk, cw) DIV 7").as("week_offset"))
+        .groupBy(col("cw"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(coh, "cw")
+        .select(col("cw").cast("date").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          expr("n_active * 1000000 DIV n_cohort").as("retention_q6"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     "q45_resample_fill" -> { (s: SparkSession, dir: String) =>
       val ev = events(s, dir).select(col("event_type"),
         date_trunc("hour", col("ts")).as("h"),
@@ -372,6 +397,17 @@ object RelationalQueries3 {
         |  CAST(floor(min(pr) * 1000000.0) AS BIGINT) AS min_pr_q6,
         |  CAST(floor(max(cd) * 1000000.0) AS BIGINT) AS max_cd_q6
         |FROM r GROUP BY l_returnflag, q4 ORDER BY l_returnflag, q4""".stripMargin,
+
+    "q46_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+        |coh AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY cw),
+        |r AS (SELECT f.cw, CAST(date_diff('day', f.cw, e.wk) // 7 AS BIGINT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM e JOIN f USING (user_id) GROUP BY f.cw, week_offset)
+        |SELECT CAST(r.cw AS DATE) AS cohort_week, week_offset, n_active, coh.n_cohort,
+        |  CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_q6
+        |FROM r JOIN coh USING (cw) ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q45_resample_fill" ->
       """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h,
