@@ -268,4 +268,35 @@ object StreamOps {
           .as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("bin"), col("n"))
+
+  /** Live token-yield ledger (d166's streaming sibling, composed from the
+    * deployed twins): each arriving doc runs the filter-waterfall narrow
+    * map, is tagged duplicate-vs-new against a STATIC reference corpus by
+    * exact content hash (the d41/dedupAgainstStatic stream-static shape —
+    * no stream state for the dedup decision), and a watermarked
+    * event-time window rolls up the funnel a pipeline dashboard shows
+    * live: docs seen, docs passing the cascade, genuinely-new survivors,
+    * and the token mass each stage kept. Every aggregate is a long sum —
+    * mergeable across triggers and shards like any counter — so the
+    * monitor's state is |windows| rows, nothing corpus-sized.
+    */
+  def liveYield(stream: DataFrame, textCol: String, eventTimeCol: String,
+      delay: String, width: String, reference: DataFrame): DataFrame = {
+    val wf = graft.operators.TextQuality.withFilterWaterfall(stream, textCol)
+      .withColumn("__h", md5(col(textCol)))
+    val ref = reference.select(md5(col(textCol)).as("__h")).distinct()
+      .withColumn("__dup", lit(true))
+    wf.join(ref, Seq("__h"), "left")
+      .withColumn("__pass", col("rule_order") === 5L)
+      .withColumn("__new", col("__pass") && col("__dup").isNull)
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"),
+        sum(col("n_words")).as("raw_tokens"),
+        sum(when(col("__new"), col("n_words")).otherwise(0L)).as("kept_tokens"))
+      .select(col("w.start").as("w_start"), col("n_docs"), col("n_pass"),
+        col("n_new"), col("raw_tokens"), col("kept_tokens"))
+  }
 }

@@ -361,4 +361,39 @@ class StreamOpsSpec extends AnyFunSuite {
         rows.toString)
     } finally q.stop()
   }
+
+  test("live yield ledger: filter + static-dedup funnel counts per window, merged across triggers") {
+    val s = spark
+    import s.implicits._
+    // pass = >= 50 words, word-len band, >= 2 distinct stopwords, low rep
+    val passText = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and"
+    val shortText = "too short the of"
+    val reference = Seq(passText).toDF("text") // known duplicate
+    val ms = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.liveYield(
+      ms.toDF().toDF("et", "text"), "text", "et", "5 seconds", "10 seconds",
+      reference)
+    val q = out.writeStream.format("memory").queryName("yield_out")
+      .outputMode("append").start()
+    try {
+      val freshText = (1 to 60).map(i => s"fresh$i").mkString(" ") + " the of and"
+      ms.addData((ts(1), passText), (ts(2), shortText))
+      q.processAllAvailable()
+      ms.addData((ts(3), freshText)) // same window, second trigger — must merge
+      q.processAllAvailable()
+      ms.addData((ts(30), shortText)) // advance watermark past the window
+      q.processAllAvailable()
+      val r = spark.table("yield_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(r.length == 1, "one merged row per closed window")
+      val row = r.head
+      assert(row.getAs[Long]("n_docs") == 3)
+      // passText and freshText pass the cascade; only freshText is new
+      assert(row.getAs[Long]("n_pass") == 2)
+      assert(row.getAs[Long]("n_new") == 1)
+      assert(row.getAs[Long]("kept_tokens") == 63L)
+      assert(row.getAs[Long]("raw_tokens") ==
+        63L + 63L + shortText.split(" ").length)
+    } finally q.stop()
+  }
 }
