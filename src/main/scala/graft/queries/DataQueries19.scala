@@ -174,6 +174,70 @@ object DataQueries19 {
         .withColumn("acc_hash_q6", expr("n_hash_correct * 1000000 DIV n_docs"))
     }),
 
+    // cross-source duplication matrix: near-dup candidate pairs rolled up
+    // by unordered source pair, with the per-cell rate normalized by the
+    // number of possible cross pairs (n_a·n_b; n·(n−1)/2 on the
+    // diagonal) — the syndication/mirror detector behind "dedup these two
+    // crawls against each other first". d36 reads gram-level overlap and
+    // d131 the same-source fraction; this is the doc-level WHO-duplicates-
+    // WHOM matrix. Pair work is |candidates| (the d02 bucket shuffle paid
+    // once, shared via the pairs subtree), the source join is two hash
+    // equi-joins, and the matrix is |sources|²-bounded. Possible-pair
+    // products run in DECIMAL (corpus² wraps Long).
+    "d172_source_dup_matrix" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val pairs = DataQueries.minhashPairs(s, dir)
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      val n = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(n.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(n.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .withColumn("possible", expr(
+          """CASE WHEN src_a = src_b
+            |  THEN CAST(n_a AS DECIMAL(38,0)) * (n_a - 1) / 2
+            |  ELSE CAST(n_a AS DECIMAL(38,0)) * n_b END""".stripMargin))
+        .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_a"), col("n_b"),
+          expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000000 DIV possible AS BIGINT)")
+            .as("rate_q9"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // over-deletion audit — cluster on RAW LSH candidates (what d15/d17
+    // deploy) vs on VERIFIED edges only (the d32 Levenshtein gate,
+    // 5·dist ≤ maxlen), and count the docs each policy would remove.
+    // Raw-candidate clustering can chain false-positive edges into
+    // super-clusters and delete docs no verified edge touches; this
+    // publishes exactly that over-deletion. Verification prices on
+    // |candidates| (never corpus²); both clusterings run the same public
+    // TextDedup.clusters min-label loop; the summary is a one-row
+    // accounting join.
+    "d173_overdeletion" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("text"))
+      val verified = DataQueries.minhashPairs(s, dir)
+        .join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .withColumn("dup",
+          levenshtein(col("ta"), col("tb")).cast("long") * 5 <=
+            greatest(length(col("ta")), length(col("tb"))).cast("long"))
+        .transform(graft.sources.Caches.ephemeral)
+      val rawRemoved = DataQueries3.dedupClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster"))
+        .agg(count(lit(1)).as("removals_raw"))
+      val verRemoved = graft.operators.TextDedup
+        .clusters(verified.filter(col("dup")).select(col("a"), col("b")))
+        .filter(col("id") =!= col("cluster"))
+        .agg(count(lit(1)).as("removals_verified"))
+      verified.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_verified"))
+        .crossJoin(broadcast(rawRemoved))
+        .crossJoin(broadcast(verRemoved))
+        .withColumn("overdeletion", col("removals_raw") - col("removals_verified"))
+    }),
+
     // data-driven truncation-cap solver — d110 prices FIXED caps; this
     // CHOOSES one: the largest max-seq-len whose post-truncation token
     // total fits an 80%-of-raw budget, solved in closed form from the
@@ -336,6 +400,40 @@ object DataQueries19 {
         |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_probe_q6,
         |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_hash_q6
         |FROM pp JOIN hp USING (doc_id)""".stripMargin,
+
+    "d172_source_dup_matrix" ->
+      (s"WITH ${DataQueries.minhashPairsCte},\n" +
+        """sp AS (SELECT least(da.source, db.source) AS src_a, greatest(da.source, db.source) AS src_b
+          |  FROM pairs p JOIN documents da ON da.doc_id = p.a JOIN documents db ON db.doc_id = p.b),
+          |m AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs FROM sp GROUP BY src_a, src_b),
+          |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
+          |SELECT m.src_a, m.src_b, m.n_pairs, na.n AS n_a, nb.n AS n_b,
+          |  CAST(CAST(m.n_pairs AS HUGEINT) * 1000000000 // (CASE WHEN m.src_a = m.src_b
+          |    THEN CAST(na.n AS HUGEINT) * (na.n - 1) // 2
+          |    ELSE CAST(na.n AS HUGEINT) * nb.n END) AS BIGINT) AS rate_q9
+          |FROM m JOIN n na ON na.source = m.src_a JOIN n nb ON nb.source = m.src_b
+          |ORDER BY m.src_a, m.src_b""".stripMargin),
+
+    "d173_overdeletion" ->
+      ("WITH RECURSIVE " + DataQueries.minhashPairsCte + """,
+        |vp AS (SELECT p.a, p.b,
+        |    (levenshtein(da.text, db.text) * 5 <= greatest(length(da.text), length(db.text))) AS dup
+        |  FROM pairs p JOIN documents da ON da.doc_id = p.a JOIN documents db ON db.doc_id = p.b),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS n FROM edges),
+        |walk(n, l) AS (SELECT n, n FROM nodes UNION SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.n),
+        |clusters AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n),
+        |vedges AS (SELECT a AS u, b AS v FROM vp WHERE dup UNION ALL SELECT b, a FROM vp WHERE dup),
+        |vnodes AS (SELECT DISTINCT u AS n FROM vedges),
+        |vwalk(n, l) AS (SELECT n, n FROM vnodes UNION SELECT e.v, w.l FROM vwalk w JOIN vedges e ON e.u = w.n),
+        |vclusters AS (SELECT n AS doc_id, min(l) AS cluster FROM vwalk GROUP BY n),
+        |rr AS (SELECT CAST(count(*) AS BIGINT) AS removals_raw FROM clusters WHERE doc_id <> cluster),
+        |vr AS (SELECT CAST(count(*) AS BIGINT) AS removals_verified FROM vclusters WHERE doc_id <> cluster),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_verified FROM vp)
+        |SELECT c.n_candidates, c.n_verified, rr.removals_raw, vr.removals_verified,
+        |  rr.removals_raw - vr.removals_verified AS overdeletion
+        |FROM c CROSS JOIN rr CROSS JOIN vr""".stripMargin),
 
     "d171_cap_solver" ->
       """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),

@@ -185,6 +185,32 @@ class Wave10Spec extends AnyFunSuite {
     assert(direct == tot, s"closed-form total $tot != direct recompute $direct")
   }
 
+  test("d172 matrix accounts for every candidate pair with valid rates") {
+    val rows = q("d172_source_dup_matrix").collect()
+    val totalPairs = q("d02_minhash_lsh").count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "every candidate pair lands in exactly one source cell")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"),
+        "cells must be unordered-canonical")
+      val rate = r.getAs[Long]("rate_q9")
+      assert(rate >= 0 && rate <= 1000000000L, s"rate out of [0,1]: $r")
+    }
+  }
+
+  test("d173 verified clustering never removes more than raw clustering") {
+    val r = q("d173_overdeletion").collect().head
+    val (nc, nv) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"))
+    assert(nv <= nc)
+    val (rr, rv) = (r.getAs[Long]("removals_raw"), r.getAs[Long]("removals_verified"))
+    assert(rv <= rr, "verified edges are a subset — components only shrink")
+    assert(r.getAs[Long]("overdeletion") == rr - rv)
+    // cross-query consistency: raw removals == d40's total removable docs
+    val d40 = q("d40_dedup_report").collect()
+    assert(d40.map(_.getAs[Long]("n_removable")).sum == rr,
+      "d173's raw side must agree with the d40 savings report")
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
