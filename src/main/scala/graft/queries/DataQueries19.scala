@@ -283,6 +283,61 @@ object DataQueries19 {
         col("n_above_base").as("docs_clipped"))
     }),
 
+    // domain-transfer eval for the d170 probe: TRAIN the same multinomial
+    // NB on only the even-md5 half of the sources, then report per-source
+    // train accuracy — held-out domains answer "does the distilled probe
+    // transfer, or did it memorize its training domains' vocabulary". The
+    // split is by SOURCE (domain shift), not by doc (which d33 covers and
+    // which overstates transfer when domains share boilerplate). Same
+    // bounded shapes as d170: one (bucket × class) training rollup over
+    // the train half, q6 log-ratios on the 64-row table, a broadcast-w
+    // scoring pass, and a |sources|-row accuracy rollup.
+    "d174_probe_transfer" -> ((s, dir) => {
+      val base = graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("source")), 1, 2), 16, 10).cast("long") % 2 === 0)
+            .as("is_train_domain"),
+          when(col("keep"), 1L).otherwise(-1L).as("y"),
+          expr("filter(split(text, ' '), w -> length(w) >= 1)").as("ws"))
+        .transform(graft.sources.Caches.ephemeral)
+      val xb = base.select(col("doc_id"), col("is_train_domain"), col("y"),
+          explode(col("ws")).as("w"))
+        .select(col("doc_id"), col("is_train_domain"), col("y"),
+          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 64").as("j"))
+        .groupBy(col("doc_id"), col("is_train_domain"), col("y"), col("j"))
+        .agg(count(lit(1)).as("x"))
+        .transform(graft.sources.Caches.ephemeral)
+      val tr = xb.filter(col("is_train_domain"))
+      val cls = tr.groupBy(col("j"))
+        .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("cp"),
+          sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("cn"))
+      val tot = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+      val wTab = cls.crossJoin(broadcast(tot))
+        .select(col("j"),
+          floor((log(col("cp") + 1) - log(col("tp") + 64)
+            - log(col("cn") + 1) + log(col("tn") + 64)) * lit(1000000.0))
+            .cast("long").as("wj"))
+      val prior = base.filter(col("is_train_domain")).agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+        .select(floor((log(col("np")) - log(col("nn"))) * lit(1000000.0))
+          .cast("long").as("b0"))
+      val dots = xb.join(broadcast(wTab), "j")
+        .groupBy(col("doc_id"))
+        .agg(sum(dec(col("x")) * col("wj")).as("dot"))
+      base.select(col("doc_id"), col("source"), col("is_train_domain"), col("y"))
+        .join(dots, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .withColumn("pred",
+          when(coalesce(col("dot"), lit(0L).cast("decimal(38,0)"))
+            + col("b0") >= 0, 1L).otherwise(-1L))
+        .groupBy(col("source"), col("is_train_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_q6", expr("n_correct * 1000000 DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // language purity / code-switch profile on the router's own evidence:
     // per predicted language, how many docs hit ONLY that language's
     // stopword lexicon (pure), how many hit several (mixed — the
@@ -400,6 +455,40 @@ object DataQueries19 {
         |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_probe_q6,
         |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_hash_q6
         |FROM pp JOIN hp USING (doc_id)""".stripMargin,
+
+    "d174_probe_transfer" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+        |FROM w),
+        |lab AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(source), 1, 2)) AS BIGINT) % 2 = 0 AS is_train_domain,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND stop_hits >= 2 THEN 1 ELSE -1 END AS y FROM b),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) >= 1)) AS t
+        |  FROM documents),
+        |xb AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS j,
+        |    CAST(count(*) AS BIGINT) AS x FROM tok GROUP BY doc_id, j),
+        |cls AS (SELECT j, sum(CASE WHEN l.y = 1 THEN x.x ELSE 0 END) AS cp,
+        |    sum(CASE WHEN l.y = -1 THEN x.x ELSE 0 END) AS cn
+        |  FROM xb x JOIN lab l USING (doc_id) WHERE l.is_train_domain GROUP BY j),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cls),
+        |wt AS (SELECT j, CAST(floor((ln(cp + 1) - ln(tp + 64) - ln(cn + 1) + ln(tn + 64)) * 1000000.0) AS BIGINT) AS wj
+        |  FROM cls, tot),
+        |pri AS (SELECT CAST(floor((ln(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+        |    - ln(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END))) * 1000000.0) AS BIGINT) AS b0
+        |  FROM lab WHERE is_train_domain),
+        |dots AS (SELECT x.doc_id, sum(CAST(x.x AS HUGEINT) * w2.wj) AS dot
+        |  FROM xb x JOIN wt w2 USING (j) GROUP BY x.doc_id),
+        |pp AS (SELECT l.source, l.is_train_domain, l.y,
+        |    CASE WHEN COALESCE(d.dot, 0) + p.b0 >= 0 THEN 1 ELSE -1 END AS pred
+        |  FROM lab l LEFT JOIN dots d USING (doc_id) CROSS JOIN pri p)
+        |SELECT source, is_train_domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_q6
+        |FROM pp GROUP BY source, is_train_domain ORDER BY source""".stripMargin,
 
     "d172_source_dup_matrix" ->
       (s"WITH ${DataQueries.minhashPairsCte},\n" +

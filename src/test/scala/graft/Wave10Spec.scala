@@ -211,6 +211,19 @@ class Wave10Spec extends AnyFunSuite {
       "d173's raw side must agree with the d40 savings report")
   }
 
+  test("d174 transfer eval: accuracies valid, both domain halves populated") {
+    val rows = q("d174_probe_transfer").collect()
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    val halves = rows.map(_.getAs[Boolean]("is_train_domain")).toSet
+    assert(halves == Set(true, false), "the md5 source split must produce both halves")
+    rows.foreach { r =>
+      val acc = r.getAs[Long]("acc_q6")
+      assert(acc >= 0 && acc <= 1000000L)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
