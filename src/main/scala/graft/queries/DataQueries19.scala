@@ -238,6 +238,44 @@ object DataQueries19 {
         .withColumn("overdeletion", col("removals_raw") - col("removals_verified"))
     }),
 
+    // rule kill-set overlap matrix — the third leg of the filter-analysis
+    // triptych: d112 measures what each rule UNIQUELY removes (leave-one-
+    // out), d163 prices evaluation ORDER, and this publishes pairwise
+    // Jaccard between the rules' unconditional kill sets — the "are two
+    // rules the same rule" redundancy read that decides which gate to
+    // retire. All ten numbers (4 kill counts + 6 intersections) come from
+    // ONE conditional-aggregation corpus pass (the d112/d163 join-free
+    // shape); the 6-row matrix is a stack over the one-row aggregate.
+    "d175_rule_overlap" -> ((s, dir) => {
+      val f = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
+        .select(
+          (col("n_words") < 50 || col("n_words") > 100000).as("f1"),
+          (col("n_words") * 3 > col("sum_word_len") ||
+            col("sum_word_len") > col("n_words") * 10).as("f2"),
+          (col("stop_hits") < 2).as("f3"),
+          ((col("n_words") - col("n_distinct_words")) * 4 > col("n_words")).as("f4"))
+      def k(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      val a = f.agg(
+        k(col("f1")).as("n1"), k(col("f2")).as("n2"),
+        k(col("f3")).as("n3"), k(col("f4")).as("n4"),
+        k(col("f1") && col("f2")).as("b12"), k(col("f1") && col("f3")).as("b13"),
+        k(col("f1") && col("f4")).as("b14"), k(col("f2") && col("f3")).as("b23"),
+        k(col("f2") && col("f4")).as("b24"), k(col("f3") && col("f4")).as("b34"))
+      a.select(expr(
+          """stack(6,
+            |  'r1_word_count', 'r2_word_len',    n1, n2, b12,
+            |  'r1_word_count', 'r3_stopword',    n1, n3, b13,
+            |  'r1_word_count', 'r4_repetition',  n1, n4, b14,
+            |  'r2_word_len',   'r3_stopword',    n2, n3, b23,
+            |  'r2_word_len',   'r4_repetition',  n2, n4, b24,
+            |  'r3_stopword',   'r4_repetition',  n3, n4, b34)
+            |  AS (rule_a, rule_b, n_a, n_b, n_both)""".stripMargin))
+        .withColumn("jaccard_q6", expr(
+          """CASE WHEN n_a + n_b - n_both = 0 THEN NULL
+            |  ELSE n_both * 1000000 DIV (n_a + n_b - n_both) END""".stripMargin))
+        .orderBy("rule_a", "rule_b")
+    }),
+
     // data-driven truncation-cap solver — d110 prices FIXED caps; this
     // CHOOSES one: the largest max-seq-len whose post-truncation token
     // total fits an 80%-of-raw budget, solved in closed form from the
@@ -455,6 +493,40 @@ object DataQueries19 {
         |  CAST(sum(CASE WHEN probe_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_probe_q6,
         |  CAST(sum(CASE WHEN hash_pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_hash_q6
         |FROM pp JOIN hp USING (doc_id)""".stripMargin,
+
+    "d175_rule_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_reduce(list_prepend(0, [length(x) FOR x IN w]), (acc, el) -> acc + el) AS BIGINT) AS sum_wlen,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM w),
+        |fl AS (SELECT (n_words < 50 OR n_words > 100000) AS f1,
+        |  (3 * n_words > sum_wlen OR sum_wlen > 10 * n_words) AS f2,
+        |  (stop_hits < 2) AS f3,
+        |  (4 * (n_words - n_distinct) > n_words) AS f4 FROM b),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |  CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS b12,
+        |  CAST(sum(CASE WHEN f1 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS b13,
+        |  CAST(sum(CASE WHEN f1 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS b14,
+        |  CAST(sum(CASE WHEN f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS b23,
+        |  CAST(sum(CASE WHEN f2 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS b24,
+        |  CAST(sum(CASE WHEN f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS b34
+        |FROM fl),
+        |m AS (
+        |  SELECT 'r1_word_count' AS rule_a, 'r2_word_len' AS rule_b, n1 AS n_a, n2 AS n_b, b12 AS n_both FROM a
+        |  UNION ALL SELECT 'r1_word_count', 'r3_stopword', n1, n3, b13 FROM a
+        |  UNION ALL SELECT 'r1_word_count', 'r4_repetition', n1, n4, b14 FROM a
+        |  UNION ALL SELECT 'r2_word_len', 'r3_stopword', n2, n3, b23 FROM a
+        |  UNION ALL SELECT 'r2_word_len', 'r4_repetition', n2, n4, b24 FROM a
+        |  UNION ALL SELECT 'r3_stopword', 'r4_repetition', n3, n4, b34 FROM a)
+        |SELECT rule_a, rule_b, n_a, n_b, n_both,
+        |  CASE WHEN n_a + n_b - n_both = 0 THEN NULL
+        |    ELSE CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT) END AS jaccard_q6
+        |FROM m ORDER BY rule_a, rule_b""".stripMargin,
 
     "d174_probe_transfer" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

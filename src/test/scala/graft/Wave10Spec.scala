@@ -224,6 +224,26 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("d175 overlap matrix is a valid Jaccard over the d163 kill sets") {
+    val rows = q("d175_rule_overlap").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb), s"intersection bound violated: $r")
+      if (!r.isNullAt(r.fieldIndex("jaccard_q6"))) {
+        val j = r.getAs[Long]("jaccard_q6")
+        assert(j >= 0 && j <= 1000000L)
+        assert(j == both * 1000000L / (na + nb - both))
+      }
+    }
+    // cross-query consistency: unconditional kill counts must agree with
+    // the d163 contingency (same flags, same corpus)
+    val d163n = q("d163_cascade_order").collect().head.getAs[Long]("n_docs")
+    val wfN = q("d160_filter_waterfall").collect().map(_.getAs[Long]("n_docs")).sum
+    assert(d163n == wfN)
+  }
+
   test("streaming drift sums equal the batch sums (mergeable state across triggers)") {
     val s = spark
     import s.implicits._
