@@ -464,6 +464,20 @@ class PlanSpec extends AnyFunSuite {
       "d165 must read the persisted dedup clusters, not recompute them")
   }
 
+  test("d170: trained weight table broadcasts; corpus scoring join stays partitioned") {
+    val p = plan("d170_linear_probe")
+    assert(p.contains("BroadcastExchange"),
+      "the 64-row NB weight table and one-row prior must broadcast\n" + p)
+    assert(p.contains("SortMergeJoin"),
+      "the doc-id scoring join must remain a partitioned join (never a corpus broadcast)\n" + p)
+  }
+
+  test("d175: the overlap matrix is one join-free pass over the corpus") {
+    val p = plan("d175_rule_overlap")
+    assert(!p.contains("Join"),
+      "ten kill/intersection counts must come from a single conditional aggregation\n" + p)
+  }
+
   test("d142: median/MAD windows are partitioned by source over the bounded length table") {
     val p = plan("d142_mad_outliers")
     assert(p.contains("windowspecdefinition(source"),
