@@ -27,7 +27,7 @@ object ConnectedComponents {
       .filter(u =!= v)
       .select(least(u, v).as("u"), greatest(u, v).as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.sources.Caches.checkpointed)
 
     def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum(hash(u, v).cast("long")), sum(u + v)).first()
@@ -70,7 +70,7 @@ object ConnectedComponents {
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < 64) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = graft.sources.Caches.checkpointed(smallStar(largeStar(e)))
       converged = signature(next) == signature(e)
       e = next
       rounds += 1

@@ -419,14 +419,21 @@ object TextDedup {
     * general graphs with long chains (O(log n) rounds).
     */
   def clusters(candidates: DataFrame,
-      useAlternatingStar: Boolean = false): DataFrame = {
+      useAlternatingStar: Boolean = false,
+      // lineage-truncation seam: within-query callers keep the default
+      // (blocks drained by Caches.release once the query is consumed);
+      // callers that MEMOIZE the result across queries must pass a plain
+      // `_.localCheckpoint()` so release can never drop blocks their
+      // memoized frame still depends on (the dedupClusters contract)
+      checkpoint: DataFrame => DataFrame = graft.sources.Caches.checkpointed)
+      : DataFrame = {
     val edges = candidates.select(col("a").as("u"), col("b").as("v"))
     if (useAlternatingStar) {
       val (assign, _) = ConnectedComponents.alternatingStar(edges)
       assign.select(col("node").as("id"), col("component").as("cluster"))
     } else {
       val sym = edges.unionAll(candidates.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint()
+        .transform(checkpoint)
       val sumOf = (df: DataFrame) => df.agg(sum(col("l"))).first().getLong(0)
       var labels = sym.select(col("u").as("n")).distinct()
         .withColumn("l", col("n")).cache()

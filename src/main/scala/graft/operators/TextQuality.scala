@@ -105,13 +105,18 @@ object TextQuality {
     withQualityRules(df, textCol, minWords, maxWords, stopwords, minStopHits)
       .withColumn("n_distinct_words",
         size(array_distinct(split(col(textCol), " "))).cast("long"))
+      // per-rule UNCONDITIONAL fail flags — the single source of truth for
+      // the thresholds: rule_order/first_fail here and the d163/d175
+      // contingency analyses all derive from these columns, so a threshold
+      // change can never silently diverge the cascade from its analyses
+      .withColumn("f1", col("n_words") < minWords || col("n_words") > maxWords)
+      .withColumn("f2", col("n_words") * 3 > col("sum_word_len") ||
+        col("sum_word_len") > col("n_words") * 10)
+      .withColumn("f3", col("stop_hits") < minStopHits)
+      .withColumn("f4", (col("n_words") - col("n_distinct_words")) * 4 > col("n_words"))
       .withColumn("rule_order",
-        when(col("n_words") < minWords || col("n_words") > maxWords, 1L)
-          .when(col("n_words") * 3 > col("sum_word_len") ||
-            col("sum_word_len") > col("n_words") * 10, 2L)
-          .when(col("stop_hits") < minStopHits, 3L)
-          .when((col("n_words") - col("n_distinct_words")) * 4 > col("n_words"), 4L)
-          .otherwise(5L))
+        when(col("f1"), 1L).when(col("f2"), 2L).when(col("f3"), 3L)
+          .when(col("f4"), 4L).otherwise(5L))
       .withColumn("first_fail",
         element_at(array(WaterfallRules.map(lit): _*), col("rule_order").cast("int")))
 }

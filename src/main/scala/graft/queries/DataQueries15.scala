@@ -176,7 +176,7 @@ object DataQueries15 {
           // table is candidate-graph-sized, and without the checkpoint each
           // round's plan embeds all prior rounds' joins for Catalyst to
           // re-optimize (measured ~2.5 s for a 45-node graph at sf0.1)
-          .localCheckpoint()
+          .transform(graft.sources.Caches.checkpointed)
       }
       labels.select(col("node").as("doc_id"), col("lab").as("community"))
         .orderBy("doc_id")

@@ -630,6 +630,12 @@ object DataQueries17 {
     // integer, and ρ is published as 1e6 − 6e6·Σd²/(n(n²−1)) with the
     // subtrahend a POSITIVE floor division (so no negative-division
     // truncation skew can cross engines); n(n²−1) runs in DECIMAL.
+    // Rank discipline (the q20/d142 shape): rank(score, doc_id) =
+    // (#rows below the score, a cumulative count over the BOUNDED
+    // distinct-score table) + (row_number within the score, a window
+    // PARTITIONED by score). No window ever orders a corpus-sized input
+    // in a single partition — the below-count broadcast is |distinct
+    // scores| rows, the tiebreak window exchanges on the score hash.
     "d155_score_spearman" -> ((s, dir) => {
       val a = docs(s, dir)
         .select(col("doc_id"), expr(wordsExpr).as("ws"))
@@ -643,11 +649,24 @@ object DataQueries17 {
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
       val b = bg.join(counts, "bg").groupBy(col("doc_id"))
         .agg(expr("CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)").as("sb"))
-      val wa = Window.orderBy(col("sa"), col("doc_id"))
-      val wb = Window.orderBy(col("sb"), col("doc_id"))
-      a.join(b, "doc_id")
-        .withColumn("ra", row_number().over(wa).cast("long"))
-        .withColumn("rb", row_number().over(wb).cast("long"))
+      // rank = below-count (distinct-score table) + partitioned tiebreak
+      def ranked(df: DataFrame, score: String, out: String): DataFrame = {
+        val wcum = Window.orderBy(col(score))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val below = df.groupBy(col(score)).agg(count(lit(1)).as("__c"))
+          .withColumn("__below", coalesce(sum(col("__c")).over(wcum), lit(0L)))
+          .select(col(score), col("__below"))
+        val wtie = Window.partitionBy(col(score)).orderBy(col("doc_id"))
+        df.join(broadcast(below), score)
+          .withColumn(out, col("__below") + row_number().over(wtie).cast("long"))
+          .drop("__below")
+      }
+      val j = graft.sources.Caches.ephemeral(a.join(b, "doc_id"))
+      val ra = ranked(j.select(col("doc_id"), col("sa")), "sa", "ra")
+        .select(col("doc_id"), col("ra"))
+      val rb = ranked(j.select(col("doc_id"), col("sb")), "sb", "rb")
+        .select(col("doc_id"), col("rb"))
+      ra.join(rb, "doc_id")
         .agg(count(lit(1)).as("n"),
           sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
         .select(col("n"), col("sum_d2"),
@@ -680,17 +699,17 @@ object DataQueries17 {
       // table (orders below the corpus), the same footprint d15 already
       // commits to.
       var cur = DataQueries.minhashPairs(s, dir).select(col("a"), col("b"))
-        .localCheckpoint()
+        .transform(graft.sources.Caches.checkpointed)
       var out: DataFrame = null
       for (r <- 1 to 3) {
         val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .localCheckpoint()
+          .transform(graft.sources.Caches.checkpointed)
         val keep = deg.filter(col("d") >= 2).select(col("n"))
         val nxt = cur
           .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .transform(graft.sources.Caches.checkpointed)
         val row = keep.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(nxt.agg(count(lit(1)).as("n_edges")))
           .crossJoin(deg.agg(count(lit(1)).as("__tot")))
@@ -1181,10 +1200,14 @@ object DataQueries17 {
         |  CAST((-sum(t_q6)) // count(*) AS BIGINT) AS mean_nll_q6
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // frame energies over UTF-8 BYTE values (hex-pair walk over
+    // encode(text)), matching the Spark side's binary frames for any text,
+    // not only the ASCII fixture corpus (per-character ord() would diverge)
     "m06_audio_trim" ->
-      """WITH m AS (SELECT doc_id, strlen(text) AS n,
-        |    [CAST(ord(c) AS BIGINT) FOR c IN [substr(text, i, 1) FOR i IN generate_series(1, strlen(text))]] AS codes
-        |  FROM documents),
+      """WITH m0 AS (SELECT doc_id, strlen(text) AS n, hex(encode(text)) AS hx FROM documents),
+        |m AS (SELECT doc_id, n,
+        |    [CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) FOR i IN generate_series(1, n)] AS codes
+        |  FROM m0),
         |fr AS (SELECT doc_id, n, codes, unnest(generate_series(0, (n + 63) // 64 - 1)) AS f FROM m),
         |en AS (SELECT doc_id, f,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -338,13 +338,9 @@ object DataQueries18 {
     // The read: how much compute the deployed rule order wastes vs the
     // optimal one — the filter-ordering decision every cascade tunes.
     "d163_cascade_order" -> ((s, dir) => {
-      val wf = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
-      val cells = wf.select(
-          (col("n_words") < 50 || col("n_words") > 100000).as("f1"),
-          (col("n_words") * 3 > col("sum_word_len") ||
-            col("sum_word_len") > col("n_words") * 10).as("f2"),
-          (col("stop_hits") < 2).as("f3"),
-          ((col("n_words") - col("n_distinct_words")) * 4 > col("n_words")).as("f4"))
+      // flags come FROM the waterfall (one source of truth for thresholds)
+      val cells = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
+        .select(col("f1"), col("f2"), col("f3"), col("f4"))
         .groupBy(col("f1"), col("f2"), col("f3"), col("f4"))
         .agg(count(lit(1)).as("n"))
       val r4 = (n: String) => s.range(1, 5).select(col("id").as(n))
@@ -665,12 +661,17 @@ object DataQueries18 {
         |  CAST(floor(CAST(dot_new AS DOUBLE) / (sqrt(CAST(n2_new AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_anchor_new_q6
         |FROM ag JOIN cnt USING (cell) ORDER BY cell""".stripMargin,
 
+    // energy = sum of UTF-8 BYTE values (hex-pair walk over encode(text)),
+    // matching the Spark side's binary byte sum for any text, not only the
+    // ASCII fixture corpus (a per-character ord() sum would diverge there)
     "m07_mm_drift" ->
-      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+      """WITH m0 AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+        |    hex(encode(text)) AS hx FROM documents),
+        |m AS (SELECT doc_id, nb,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    [CAST(ord(c) AS BIGINT) FOR c IN [substr(text, i, 1) FOR i IN generate_series(1, strlen(text))]]),
+        |    [CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) FOR i IN generate_series(1, nb)]),
         |    (a, b) -> a + b) AS BIGINT) AS e
-        |  FROM documents),
+        |  FROM m0),
         |sh AS (SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(nb) AS BIGINT) AS bytes, CAST(sum(e) AS BIGINT) AS energy FROM m GROUP BY 1),
         |g AS (SELECT CAST(sum(bytes) AS BIGINT) AS gb, CAST(sum(energy) AS BIGINT) AS ge FROM sh)

@@ -79,9 +79,13 @@ object DataQueries19 {
     // kappa answers the orthogonal question "are these two filters even
     // measuring the same thing" — the gate before letting one replace the
     // other. One narrow two-signal pass, a one-row rollup, exact integer
-    // num/den published beside the floor-quantized ratio (ints here are
-    // < 2^53 so the IEEE division is exact-input; at larger N the ratio
-    // routes through DECIMAL like every other corpus² product).
+    // num/den published beside the floor-quantized ratio. The n² and
+    // marginal products route through DECIMAL(38,0) (corpus² wraps Long
+    // past ~3e9 docs — the d157/d162 discipline), and the quantization is
+    // an exact integer FLOOR division split by sign (num can be negative;
+    // DIV truncates toward zero, so the negative branch is the
+    // ceil-of-positive identity ⌊−p/q⌋ = −⌈p/q⌉ = −((p+q−1) DIV q) —
+    // engine-agnostic, unlike floor-vs-truncate `//` semantics).
     "d168_kappa_agreement" -> ((s, dir) => {
       val two = graft.operators.TextQuality.withQualityRules(docs(s, dir), "text")
         .select(col("doc_id"), col("keep").as("rk"))
@@ -98,16 +102,17 @@ object DataQueries19 {
           sum(when(!col("rk") && col("ck"), 1L).otherwise(0L)).as("n_clf_only"),
           sum(when(!col("rk") && !col("ck"), 1L).otherwise(0L)).as("n_both_drop"),
           count(lit(1)).as("n"))
+        .withColumn("__e", expr(
+          """CAST(n_both_keep + n_rule_only AS DECIMAL(38,0)) * (n_both_keep + n_clf_only)
+            |  + CAST(n_clf_only + n_both_drop AS DECIMAL(38,0)) * (n_rule_only + n_both_drop)""".stripMargin))
+        .withColumn("__num", expr(
+          "CAST(n AS DECIMAL(38,0)) * (n_both_keep + n_both_drop) - __e"))
+        .withColumn("__den", expr("CAST(n AS DECIMAL(38,0)) * n - __e"))
         .withColumn("kappa_q6", expr(
-          """CASE WHEN n * n = (n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-            |    + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop) THEN NULL
-            |  ELSE CAST(floor(1000000.0
-            |    * (n * (n_both_keep + n_both_drop)
-            |       - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-            |          + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))
-            |    / (n * n
-            |       - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-            |          + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END""".stripMargin))
+          """CASE WHEN __den = 0 THEN NULL
+            |  WHEN __num >= 0 THEN CAST(__num * 1000000 DIV __den AS BIGINT)
+            |  ELSE -CAST(((-__num) * 1000000 + __den - 1) DIV __den AS BIGINT) END""".stripMargin))
+        .drop("__e", "__num", "__den")
     }),
 
     // weak-supervision distillation probe: TRAIN a multinomial Naive
@@ -247,13 +252,9 @@ object DataQueries19 {
     // ONE conditional-aggregation corpus pass (the d112/d163 join-free
     // shape); the 6-row matrix is a stack over the one-row aggregate.
     "d175_rule_overlap" -> ((s, dir) => {
+      // flags come FROM the waterfall (one source of truth for thresholds)
       val f = graft.operators.TextQuality.withFilterWaterfall(docs(s, dir), "text")
-        .select(
-          (col("n_words") < 50 || col("n_words") > 100000).as("f1"),
-          (col("n_words") * 3 > col("sum_word_len") ||
-            col("sum_word_len") > col("n_words") * 10).as("f2"),
-          (col("stop_hits") < 2).as("f3"),
-          ((col("n_words") - col("n_distinct_words")) * 4 > col("n_words")).as("f4"))
+        .select(col("f1"), col("f2"), col("f3"), col("f4"))
       def k(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
       val a = f.agg(
         k(col("f1")).as("n1"), k(col("f2")).as("n2"),
@@ -442,18 +443,20 @@ object DataQueries19 {
         |    CAST(sum(CASE WHEN NOT rk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
         |    CAST(sum(CASE WHEN NOT rk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM rk JOIN ck USING (doc_id))
+        |  FROM rk JOIN ck USING (doc_id)),
+        |x AS (SELECT *,
+        |    CAST(n_both_keep + n_rule_only AS HUGEINT) * (n_both_keep + n_clf_only)
+        |      + CAST(n_clf_only + n_both_drop AS HUGEINT) * (n_rule_only + n_both_drop) AS e
+        |  FROM ct),
+        |y AS (SELECT *,
+        |    CAST(n AS HUGEINT) * (n_both_keep + n_both_drop) - e AS num,
+        |    CAST(n AS HUGEINT) * n - e AS den
+        |  FROM x)
         |SELECT n_both_keep, n_rule_only, n_clf_only, n_both_drop, n,
-        |  CASE WHEN n * n = (n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-        |      + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop) THEN NULL
-        |    ELSE CAST(floor(1000000.0
-        |      * (n * (n_both_keep + n_both_drop)
-        |         - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-        |            + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))
-        |      / (n * n
-        |         - ((n_both_keep + n_rule_only) * (n_both_keep + n_clf_only)
-        |            + (n_clf_only + n_both_drop) * (n_rule_only + n_both_drop)))) AS BIGINT) END AS kappa_q6
-        |FROM ct""".stripMargin,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+        |    ELSE CAST(-(((-num) * 1000000 + den - 1) // den) AS BIGINT) END AS kappa_q6
+        |FROM y""".stripMargin,
 
     "d170_linear_probe" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -54,7 +54,13 @@ object DataQueries3 {
         // propagation with sum-convergence detection — the LSH candidate graph
         // is near-clique (diameter ~2-3), so O(1) rounds; alternatingStar is
         // the O(log n) general-graph path.
-        val df = graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir))
+        // memo-owned lineage: the plain localCheckpoint keeps the loop's
+        // truncation blocks OUT of the Caches.release registry — this frame
+        // outlives any single query, so release must never be able to drop
+        // blocks it still recomputes from (freed via ContextCleaner once
+        // the memo evicts the entry)
+        val df = graft.operators.TextDedup.clusters(DataQueries.minhashPairs(s, dir),
+            checkpoint = _.localCheckpoint())
           .select(col("id").as("doc_id"), col("cluster"))
           .persist()
         clustersMemo.put((s, dir), df)

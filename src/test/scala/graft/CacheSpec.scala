@@ -41,6 +41,31 @@ class CacheSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("iterative-loop checkpoint blocks register and release drains them") {
+    sources.Caches.release(spark)
+    assert(sources.Caches.checkpointCount(spark) == 0)
+    // d156's per-round localCheckpoints route through Caches.checkpointed
+    val out = SparkEntry.queries("d156_kcore_peel")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(sources.Caches.checkpointCount(spark) >= 3,
+      "per-round checkpoints must register for release")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    sources.Caches.release(spark)
+    assert(sources.Caches.checkpointCount(spark) == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore,
+      "release must actually drop the checkpoint storage blocks")
+  }
+
+  test("memoized dedup clusters survive a release (memo owns its lineage)") {
+    // the cross-query memo must NOT depend on release-able checkpoint
+    // blocks: consume it, release, then force recomputation paths again
+    val before = SparkEntry.queries("d15_dedup_clusters")(spark, dir).collect().toSeq
+    sources.Caches.release(spark)
+    val after = SparkEntry.queries("d15_dedup_clusters")(spark, dir).collect().toSeq
+    sources.Caches.release(spark)
+    assert(before == after)
+  }
+
   test("operator-level persists (Allocation, prefixFilterPairs) drain too") {
     val s = spark
     import s.implicits._

@@ -398,6 +398,26 @@ class PlanSpec extends AnyFunSuite {
       "the rank window must exchange on the doc id, not a single partition\n" + p)
   }
 
+  test("d155: rank windows partition by score; no corpus-sized single-partition sort") {
+    val p = plan("d155_score_spearman")
+    // the tiebreak row_number windows must exchange on the score hash —
+    // the r13 verdict's scale-killer was two corpus-sized global sorts here
+    assert(p.contains("hashpartitioning(sa"),
+      "the sa rank window must partition by score\n" + p)
+    assert(p.contains("hashpartitioning(sb"),
+      "the sb rank window must partition by score\n" + p)
+    // the bounded below-count tables join back as broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      "the distinct-score below-count must broadcast\n" + p)
+    // the only unpartitioned windows are the cumulative counts over the
+    // POST-AGGREGATE distinct-score tables (the d154/q20 bounded shape):
+    // every row_number window must carry a partition spec
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(l =>
+      l.contains("windowspecdefinition(sa#") || l.contains("windowspecdefinition(sb#")),
+      "row_number must be score-partitioned\n" + rn.mkString("\n"))
+  }
+
   test("d106/d109: bounded top-k is a TakeOrdered, not a global sort+limit") {
     assert(plan("d106_weighted_sample").contains("TakeOrderedAndProject"),
       "A-ES top-k must be a bounded TakeOrdered")
