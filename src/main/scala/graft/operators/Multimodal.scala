@@ -23,26 +23,132 @@ object Multimodal {
       height: Long,
       frames: Long)
 
+  /** The per-partition decode seam: every media transform instantiates ONE
+    * codec per partition (codec init is expensive in real decoders; never
+    * per-row) and maps rows through it. Implementations must be
+    * constructible on executors (the FACTORY crosses the closure, not the
+    * codec — real codecs hold native/heavy state that must never
+    * serialize).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(m: MediaItem): MediaFeatures
+    def close(): Unit = ()
+  }
+
   /** STUB: deterministic fake decoder standing in for a real codec.
     * A production impl decodes `media` (JPEG/WAV/MP4) here; the fake derives
     * "dimensions" from the payload so outputs are verifiable end-to-end.
     */
-  private final class FakeCodec {
+  final class FakeCodec extends MediaCodec {
     def decode(m: MediaItem): MediaFeatures = {
       val n = m.media.length.toLong
       MediaFeatures(m.doc_id, m.mime, n, n % 640L, (n * 7L) % 480L, n / 100L)
     }
-    def close(): Unit = ()
   }
 
-  /** Decode + feature-extract with one codec instance per partition (codec
-    * init is expensive in real decoders; never per-row).
+  /** REAL codec: decodes the payload with the JDK's built-in `javax.imageio`
+    * readers (PNG/BMP/GIF — no external dependency, works headless). The
+    * m05 claim demonstrated: swapping this for [[FakeCodec]] changes only
+    * the factory argument — the mapPartitions plumbing, schema, and
+    * partitioning are untouched (MultimodalSpec pins it; m08 oracles the
+    * decoded pixels against the generating formula, which only a REAL
+    * lossless decode can satisfy).
     */
-  def extractFeatures(ds: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+  final class ImageIoCodec extends MediaCodec {
+    def decode(m: MediaItem): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+      if (img == null) // undecodable payload -> poison row, the p06 convention
+        MediaFeatures(m.doc_id, m.mime, m.media.length.toLong, -1L, -1L, 0L)
+      else
+        MediaFeatures(m.doc_id, m.mime, m.media.length.toLong,
+          img.getWidth.toLong, img.getHeight.toLong, 1L)
+    }
+  }
+
+  /** Decode + feature-extract with one codec instance per partition. The
+    * default factory is the deterministic stub; pass `() => new
+    * ImageIoCodec` (or any [[MediaCodec]]) to swap in a real decoder — the
+    * plan is identical either way.
+    */
+  def extractFeatures(ds: Dataset[MediaItem],
+      codecFactory: () => MediaCodec = () => new FakeCodec): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val codec = new FakeCodec
+      val codec = codecFactory()
       it.map(codec.decode)
+    }
+  }
+
+  /** Exact per-image channel statistics through a REAL decode: width,
+    * height, and integer channel sums/maxima over the decoded RGB pixels.
+    * One [[ImageIoCodec]]-style reader per partition; all outputs are
+    * exact integers, so a first-principles oracle over the pixel formula
+    * verifies the decode end-to-end (PNG is lossless).
+    */
+  final case class ImageStats(
+      doc_id: Long, width: Long, height: Long, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, max_lum3: Long)
+
+  def imageStats(ds: Dataset[MediaItem]): Dataset[ImageStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // one reader pipeline per partition (the codec-per-partition seam)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+        var (sr, sg, sb, ml) = (0L, 0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val l3 = (r + g + b).toLong // 3x luminance stays integer
+            if (l3 > ml) ml = l3
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(m.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight, sr, sg, sb, ml)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic PNG per document — the m08 fixture path:
+    * geometry and every pixel derive from doc_id alone (the formula below
+    * is the oracle's ground truth), ENCODED with the real `javax.imageio`
+    * PNG writer on the executors. Decoding these back (imageStats) must
+    * reproduce the formula exactly because PNG is lossless — which is what
+    * makes a no-image-library DuckDB oracle possible for a real codec.
+    * Geometry: w = 8 + doc_id % 8, h = 8 + (doc_id * 3) % 8; pixel
+    * channels: r = (7 doc + 31 x + 13 y) % 256, g = (11 doc + 17 x + 29 y)
+    * % 256, b = (5 doc + 23 x + 19 y) % 256.
+    */
+  def pngImagesFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (8 + (id * 3) % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((7 * id + 31 * x + 13 * y) % 256).toInt
+            val g = ((11 * id + 17 * x + 29 * y) % 256).toInt
+            val b = ((5 * id + 23 * x + 19 * y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaItem(id, bos.toByteArray, "image/png")
+      }
     }
   }
 

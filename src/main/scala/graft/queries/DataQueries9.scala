@@ -83,6 +83,100 @@ object DataQueries9 {
       }
     }
 
+  /** Batched-selection BPE training (the r13-ordered production-vocab
+    * path): per round ONE pair rollup, ONE bounded top-K collect
+    * ([[BatchK]] rows — a TakeOrdered, not the corpus), then a
+    * DRIVER-side greedy sweep down the ranked window selecting up to
+    * [[BatchM]] merges whose symbols are pairwise DISJOINT (the standard
+    * batching trick: symbol-disjoint merges commute, so one round's batch
+    * equals applying them sequentially in rank order — which is exactly
+    * how both the in-round apply and the d137 `applyMerges` encode kernel
+    * run them, keeping train/encode parity exact). Rank-1 is always
+    * selected, so every round makes progress; a [[BpeRounds]]-style
+    * per-merge loop would cost one corpus rollup PER MERGE — this costs
+    * one per ~12 merges, which is what makes a 32k-merge production vocab
+    * reachable (rounds ≪ merges, pinned in BpeMergeSpec).
+    */
+  private[graft] val BatchK = 96 // ranked candidate window per round
+  private[graft] val BatchM = 16 // max merges accepted per round
+  private[graft] val BatchRounds = 8
+
+  private val bpeBatchMemo =
+    new java.util.LinkedHashMap[(SparkSession, String),
+      (Seq[(Long, Long, String, Long)], Seq[(Long, Long)])](16, 0.75f, true)
+
+  private[graft] def bpeBatchRun(s: SparkSession, dir: String)
+      : (Seq[(Long, Long, String, Long)], Seq[(Long, Long)]) =
+    bpeBatchMemo.synchronized {
+      bpeBatchMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(bpeBatchMemo.get((s, dir))).getOrElse {
+        val r = bpeBatchRunOnce(s, dir)
+        bpeBatchMemo.put((s, dir), r)
+        if (bpeBatchMemo.size > bpeMemoMax) {
+          val it = bpeBatchMemo.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        r
+      }
+    }
+
+  private def bpeBatchRunOnce(s: SparkSession, dir: String)
+      : (Seq[(Long, Long, String, Long)], Seq[(Long, Long)]) = {
+    def total(df: DataFrame): Long =
+      df.agg(sum(col("wc") * size(col("syms")))).collect()(0).getLong(0)
+    var words = bpeBase(s, dir).persist()
+    val merges = Seq.newBuilder[(Long, Long, String, Long)]
+    val totals = Seq.newBuilder[(Long, Long)]
+    totals += ((0L, total(words)))
+    for (r <- 1 to BatchRounds) {
+      // bounded TakeOrdered collect: the K-row ranked candidate window
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"),
+          col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(BatchK)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      // greedy sweep: accept a candidate iff its symbols are untouched by
+      // every ALREADY-ACCEPTED higher-ranked merge (pairwise disjoint)
+      val sel = Seq.newBuilder[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var taken = 0
+      val it = top.iterator
+      while (taken < BatchM && it.hasNext) {
+        val (a, b, cnt) = it.next()
+        if (!used(a) && !used(b)) {
+          sel += ((a, b, cnt)); used += a; used += b; taken += 1
+        }
+      }
+      val selected = sel.result()
+      selected.zipWithIndex.foreach { case ((a, b, cnt), i) =>
+        merges += ((r.toLong, (i + 1).toLong, a + " " + b, cnt))
+      }
+      val prev = words
+      // apply the batch as sequential rank-order fuse passes — identical
+      // semantics to the d137 applyMerges kernel's pass-per-merge loop.
+      // One stacked Project PER MERGE (each fold reads the child's bound
+      // `syms` attribute): composing the folds as one nested Column would
+      // replicate the inner expression 3x per level (slice/size/element_at
+      // all reference it) — a 3^16 tree that OOMs Catalyst. CollapseProject
+      // keeps the stack intact because the multiply-referenced aggregate
+      // is not a cheap expression.
+      val applied = selected.foldLeft(prev) { case (df, (a, b, _)) =>
+        df.select(mergePair(col("syms"), a, b).as("syms"), col("wc"))
+      }
+      words = applied.persist()
+      totals += ((r.toLong, total(words)))
+      prev.unpersist(blocking = false)
+    }
+    words.unpersist(blocking = false)
+    (merges.result(), totals.result())
+  }
+
   /** Run the BPE training loop once: per round the argmax pair (the merge)
     * and, after applying it, the corpus token total Σ wc·|syms| — the
     * single number the compression curve (d80) reads. Totals double as the

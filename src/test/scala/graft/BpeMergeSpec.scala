@@ -57,4 +57,44 @@ class BpeMergeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("batched trainer: rounds << merges, per-round selections symbol-disjoint") {
+    val dir = "/root/testdata/sf0.001"
+    val (merges, totals) = graft.queries.DataQueries9.bpeBatchRun(spark, dir)
+    val rounds = merges.map(_._1).distinct.size
+    assert(rounds <= graft.queries.DataQueries9.BatchRounds)
+    assert(merges.size >= 64,
+      s"the production-vocab path must train >= 64 merges, got ${merges.size}")
+    assert(merges.size >= 8 * rounds,
+      "batching must select many merges per corpus rollup (rounds << merges)")
+    // greedy invariant: within a round, accepted merges touch disjoint symbols
+    merges.groupBy(_._1).foreach { case (r, ms) =>
+      val sets = ms.map(_._3.split(' ').toSet).toVector
+      for (i <- sets.indices; k <- i + 1 until sets.size)
+        assert((sets(i) & sets(k)).isEmpty,
+          s"round $r merges ${sets(i)} and ${sets(k)} share a symbol")
+    }
+    // every round makes progress and compresses the corpus monotonically
+    assert(totals.size == rounds + 1)
+    totals.map(_._2).sliding(2).foreach { case Seq(prev, next) =>
+      assert(next < prev, s"round total must strictly decrease: $prev -> $next")
+    }
+  }
+
+  test("applyMerges over the batch merge list reproduces the trained state exactly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val (merges, totals) = graft.queries.DataQueries9.bpeBatchRun(spark, dir)
+    // the encode kernel runs the same pass-per-merge fold the trainer
+    // applied, so tokenizing the corpus with the FULL (round, rank)-ordered
+    // merge list must land on the final training total — the d137
+    // composition the r13 verdict asked to demonstrate at >= 64 merges
+    val mergeArr = array(merges.map(m => lit(m._3)): _*)
+    val total = graft.sources.Tables.load(spark, dir, "documents")
+      .select(size(graft.functions.prom.apply_merges(col("text"), mergeArr)).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == totals.last._2,
+      s"encode total $total != trained final total ${totals.last._2}")
+  }
 }

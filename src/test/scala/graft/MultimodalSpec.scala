@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** The multimodal codec seam: one codec per partition, stub and real
+  * decoders interchangeable behind the same mapPartitions plan (the m05
+  * claim), and the REAL `javax.imageio` path verified against the pixel
+  * formula that generated the images — only an actual lossless
+  * encode→decode can reproduce it.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pngs = Multimodal.pngImagesFromDocuments(
+    graft.sources.Tables.load(spark, dir, "documents").limit(40))
+
+  test("stub <-> real codec swap changes only the factory argument, not the plan") {
+    val media = pngs
+    val stubbed = Multimodal.extractFeatures(media) // default FakeCodec
+    val real = Multimodal.extractFeatures(media, () => new Multimodal.ImageIoCodec)
+    // identical plan shape: the codec crosses as the closure's factory, the
+    // Spark-side plumbing (schema + operator stack) is byte-for-byte the same
+    assert(stubbed.schema == real.schema)
+    def shape(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      df.queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(shape(stubbed) == shape(real),
+      s"plan shape must not change on codec swap:\n${shape(stubbed)}\nvs\n${shape(real)}")
+    // and both decode: the stub answers its deterministic formula, the real
+    // one answers the actual PNG geometry
+    val sRow = stubbed.filter(_.doc_id == 0L).collect().head
+    val rRow = real.filter(_.doc_id == 0L).collect().head
+    assert(sRow.width == sRow.byte_len % 640)
+    assert(rRow.width == 8L && rRow.height == 8L) // doc 0: 8 + 0%8, 8 + 0%8
+  }
+
+  test("imageio decode reproduces the generating pixel formula exactly") {
+    val stats = Multimodal.imageStats(pngs).collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(0L, 1L, 7L, 13L, 39L) if stats.contains(id)) {
+      val st = stats(id)
+      val w = (8 + id % 8).toInt
+      val h = (8 + (id * 3) % 8).toInt
+      var (sr, sg, sb, ml) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (7 * id + 31 * x + 13 * y) % 256
+        val g = (11 * id + 17 * x + 29 * y) % 256
+        val b = (5 * id + 23 * x + 19 * y) % 256
+        sr += r; sg += g; sb += b
+        if (r + g + b > ml) ml = r + g + b
+      }
+      assert(st.width == w && st.height == h && st.n_px == w.toLong * h)
+      assert((st.sum_r, st.sum_g, st.sum_b, st.max_lum3) == ((sr, sg, sb, ml)),
+        s"doc $id decode mismatch")
+    }
+  }
+
+  test("undecodable payloads degrade to poison rows, not failures (p06 convention)") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq(Multimodal.MediaItem(99L, Array[Byte](1, 2, 3), "image/png"))
+      .toDS()
+    val out = Multimodal.extractFeatures(junk, () => new Multimodal.ImageIoCodec)
+      .collect()
+    assert(out.length == 1 && out.head.width == -1L && out.head.frames == 0L)
+  }
+}
