@@ -630,12 +630,14 @@ object DataQueries17 {
     // integer, and ρ is published as 1e6 − 6e6·Σd²/(n(n²−1)) with the
     // subtrahend a POSITIVE floor division (so no negative-division
     // truncation skew can cross engines); n(n²−1) runs in DECIMAL.
-    // Rank discipline (the q20/d142 shape): rank(score, doc_id) =
-    // (#rows below the score, a cumulative count over the BOUNDED
-    // distinct-score table) + (row_number within the score, a window
-    // PARTITIONED by score). No window ever orders a corpus-sized input
-    // in a single partition — the below-count broadcast is |distinct
-    // scores| rows, the tiebreak window exchanges on the score hash.
+    // Rank discipline (the q20/d142 shape, two-level because the bigram
+    // score is near-unique per doc): rank(score, doc_id) =
+    // band_below(band) + within_band_below(score) + tiebreak, where the
+    // only GLOBAL cumulative window runs over the fixed-width BAND table
+    // (bounded by the score range / width, d140's argument — never the
+    // corpus), the within-band cumulative window is PARTITIONED by band,
+    // and the doc_id tiebreak row_number is PARTITIONED by score. No
+    // window ever orders a corpus-sized input in a single partition.
     "d155_score_spearman" -> ((s, dir) => {
       val a = docs(s, dir)
         .select(col("doc_id"), expr(wordsExpr).as("ws"))
@@ -649,22 +651,35 @@ object DataQueries17 {
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
       val b = bg.join(counts, "bg").groupBy(col("doc_id"))
         .agg(expr("CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)").as("sb"))
-      // rank = below-count (distinct-score table) + partitioned tiebreak
-      def ranked(df: DataFrame, score: String, out: String): DataFrame = {
-        val wcum = Window.orderBy(col(score))
+      // rank = banded below-count (distinct-score table) + partitioned
+      // tiebreak; bandWidth sizes the bounded global table per score scale
+      def ranked(df: DataFrame, score: String, out: String,
+          bandWidth: Long): DataFrame = {
+        val cnts = df.groupBy(col(score)).agg(count(lit(1)).as("__c"))
+          .withColumn("__band",
+            expr(s"($score - pmod($score, $bandWidth)) DIV $bandWidth"))
+        val wInBand = Window.partitionBy(col("__band")).orderBy(col(score))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val below = df.groupBy(col(score)).agg(count(lit(1)).as("__c"))
-          .withColumn("__below", coalesce(sum(col("__c")).over(wcum), lit(0L)))
-          .select(col(score), col("__below"))
+        val wBands = Window.orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandBelow = cnts.groupBy(col("__band")).agg(sum(col("__c")).as("__bc"))
+          .withColumn("__bb", coalesce(sum(col("__bc")).over(wBands), lit(0L)))
+          .select(col("__band"), col("__bb"))
+        val below = cnts
+          .withColumn("__wb", coalesce(sum(col("__c")).over(wInBand), lit(0L)))
+          .join(broadcast(bandBelow), "__band")
+          .select(col(score), (col("__bb") + col("__wb")).as("__below"))
         val wtie = Window.partitionBy(col(score)).orderBy(col("doc_id"))
-        df.join(broadcast(below), score)
+        df.join(below, score)
           .withColumn(out, col("__below") + row_number().over(wtie).cast("long"))
           .drop("__below")
       }
       val j = graft.sources.Caches.ephemeral(a.join(b, "doc_id"))
-      val ra = ranked(j.select(col("doc_id"), col("sa")), "sa", "ra")
+      // band widths: sa is the d140 2000-wide score scale; sb is q6-scaled
+      // mean bigram frequency (range ~ max-frequency * 1e6), so 1e7 bands
+      val ra = ranked(j.select(col("doc_id"), col("sa")), "sa", "ra", 2000L)
         .select(col("doc_id"), col("ra"))
-      val rb = ranked(j.select(col("doc_id"), col("sb")), "sb", "rb")
+      val rb = ranked(j.select(col("doc_id"), col("sb")), "sb", "rb", 10000000L)
         .select(col("doc_id"), col("rb"))
       ra.join(rb, "doc_id")
         .agg(count(lit(1)).as("n"),

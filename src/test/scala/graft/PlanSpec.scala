@@ -406,9 +406,13 @@ class PlanSpec extends AnyFunSuite {
       "the sa rank window must partition by score\n" + p)
     assert(p.contains("hashpartitioning(sb"),
       "the sb rank window must partition by score\n" + p)
-    // the bounded below-count tables join back as broadcasts
+    // the within-band cumulative windows partition by band; only the
+    // bounded band-total table sees a global window, and it joins back
+    // as a broadcast
+    assert(p.contains("hashpartitioning(__band"),
+      "the within-band cumulative window must partition by band\n" + p)
     assert(p.contains("BroadcastHashJoin"),
-      "the distinct-score below-count must broadcast\n" + p)
+      "the bounded band-below table must broadcast\n" + p)
     // the only unpartitioned windows are the cumulative counts over the
     // POST-AGGREGATE distinct-score tables (the d154/q20 bounded shape):
     // every row_number window must carry a partition spec
