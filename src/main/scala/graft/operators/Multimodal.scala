@@ -260,6 +260,74 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a deterministic 16-bit mono PCM WAV per document — the m09
+    * fixture path, the audio twin of [[pngImagesFromDocuments]]: sample
+    * count and every sample derive from doc_id alone (the formula below is
+    * the oracle's ground truth), wrapped in a hand-built RIFF/WAVE header.
+    * Samples: n = 64 + doc_id % 64; s(i) = (31 doc + 17 i) % 65536 − 32768,
+    * little-endian.
+    */
+  def wavFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (64 + id % 64).toInt
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(1.toShort) // mono
+        .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+        .putShort(2.toShort).putShort(16.toShort) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        buf.putShort((((31 * id + 17 * i) % 65536) - 32768).toShort)
+        i += 1
+      }
+      MediaItem(id, buf.array(), "audio/wav")
+    }
+  }
+
+  /** Exact per-clip sample statistics through a REAL audio decode: the
+    * payload is parsed and decoded by the JDK's `javax.sound.sampled`
+    * (header validation + PCM frame extraction — works headless, zero
+    * dependencies), samples are recovered at the decoder-reported
+    * format, and the stats are exact integers so the generating formula
+    * is the oracle. Same codec-per-partition seam as [[imageStats]].
+    */
+  final case class AudioStats(
+      doc_id: Long, n_samples: Long, sample_rate: Long,
+      sum_abs: Long, max_abs: Long, energy: Long)
+
+  def audioStats(ds: Dataset[MediaItem]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.media))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        in.close()
+        val le = !fmt.isBigEndian
+        val n = bytes.length / 2
+        var (sa, ma, en) = (0L, 0L, 0L)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1) & 0xff
+          val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toLong
+          val a = math.abs(s)
+          sa += a; if (a > ma) ma = a; en += s * s
+          i += 1
+        }
+        AudioStats(m.doc_id, n.toLong, fmt.getSampleRate.toLong, sa, ma, en)
+      }
+    }
+  }
+
   /** documents -> media table (binary payload + mime from source). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._

@@ -153,6 +153,20 @@ object DataQueries20 {
       graft.operators.Multimodal.imageStats(
         graft.operators.Multimodal.pngImagesFromDocuments(docs(s, dir)))
         .toDF()
+        .orderBy("doc_id")),
+
+    // REAL audio decode — the m08 pattern on the audio seam: 16-bit mono
+    // PCM WAVs synthesized per document (every sample a pure function of
+    // doc_id, hand-built RIFF header), parsed and decoded by the JDK's
+    // javax.sound.sampled, reduced to exact integer sample statistics the
+    // formula oracle recomputes with no audio library. With m08 this
+    // retires the "multimodal codec is a stub" caveat for both image and
+    // audio: the stub remains only where the container genuinely has no
+    // codec (video).
+    "m09_audio_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.audioStats(
+        graft.operators.Multimodal.wavFromDocuments(docs(s, dir)))
+        .toDF()
         .orderBy("doc_id"))
   )
 
@@ -277,6 +291,16 @@ object DataQueries20 {
         |  CAST(floor(CAST(num AS DOUBLE)
         |    / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))) * 1000000.0) AS BIGINT) AS rho_tied_q6
         |FROM fin""".stripMargin,
+
+    "m09_audio_decode" ->
+      """WITH g AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, (31 * doc_id + 17 * i) % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(max(abs(s)) AS BIGINT) AS max_abs,
+        |  CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m08_image_decode" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h FROM documents),

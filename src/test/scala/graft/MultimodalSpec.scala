@@ -63,6 +63,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("javax.sound decode reproduces the generating PCM formula exactly") {
+    val wavs = Multimodal.wavFromDocuments(
+      graft.sources.Tables.load(spark, dir, "documents").limit(20))
+    val stats = Multimodal.audioStats(wavs).collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(0L, 1L, 13L, 19L) if stats.contains(id)) {
+      val st = stats(id)
+      val n = (64 + id % 64).toInt
+      var (sa, ma, en) = (0L, 0L, 0L)
+      for (i <- 0 until n) {
+        val s = (31 * id + 17 * i) % 65536 - 32768
+        val a = math.abs(s)
+        sa += a; if (a > ma) ma = a; en += s * s
+      }
+      assert(st.n_samples == n && st.sample_rate == 8000L)
+      assert((st.sum_abs, st.max_abs, st.energy) == ((sa, ma, en)),
+        s"clip $id decode mismatch")
+    }
+  }
+
   test("undecodable payloads degrade to poison rows, not failures (p06 convention)") {
     val s = spark
     import s.implicits._
