@@ -593,11 +593,12 @@ object DataQueries17 {
     // rule label — the standard threshold-free eval behind d140's binned
     // calibration: AUC = P(score_pos > score_neg) with the tie convention
     // counted EXACTLY as 2U = 2·#{pos>neg} + #{pos=neg} (so no float
-    // midranks exist at all), via one groupBy(score) rollup and one
-    // cumulative window over the distinct-score table. The np·nn
-    // denominator runs in DECIMAL(38,0) (corpus-squared wraps Long). At
-    // 100 TB the distinct-score table is bounded by binning first (d140's
-    // bins); this exact pass is its audit baseline.
+    // midranks exist at all), via one groupBy(score) rollup and the
+    // banded below-count (ScaleWindows.bandedBelow — the distinct-score
+    // table grows with the corpus, so its cumulation is two-level: the
+    // only global window runs over the range-bounded band table). The
+    // np·nn denominator runs in DECIMAL(38,0) (corpus-squared wraps
+    // Long). d177 publishes the binned estimate beside this exact value.
     "d154_classifier_auc" -> ((s, dir) => {
       val scored = docs(s, dir)
         .select(col("doc_id"), expr(wordsExpr).as("ws"))
@@ -612,9 +613,11 @@ object DataQueries17 {
         .groupBy(col("score"))
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("nps"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("nns"))
-      val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
-      byScore
-        .withColumn("nn_below", coalesce(sum(col("nns")).over(w), lit(0L)))
+        .transform(graft.sources.Caches.ephemeral)
+      val nnBelow = graft.operators.ScaleWindows
+        .bandedBelow(byScore.select(col("score"), col("nns")), "score", "nns", 2000L)
+        .withColumnRenamed("below", "nn_below")
+      byScore.join(nnBelow, "score")
         .agg(sum(col("nps")).as("np"), sum(col("nns")).as("nn"),
           sum(col("nps") * (lit(2) * col("nn_below") + col("nns"))).as("u2"))
         .select(col("np"), col("nn"), col("u2"),
@@ -651,24 +654,15 @@ object DataQueries17 {
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
       val b = bg.join(counts, "bg").groupBy(col("doc_id"))
         .agg(expr("CAST(CAST(sum(n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)").as("sb"))
-      // rank = banded below-count (distinct-score table) + partitioned
-      // tiebreak; bandWidth sizes the bounded global table per score scale
+      // rank = banded below-count (ScaleWindows.bandedBelow over the
+      // distinct-score rollup) + partitioned tiebreak; bandWidth sizes the
+      // bounded global table per score scale
       def ranked(df: DataFrame, score: String, out: String,
           bandWidth: Long): DataFrame = {
         val cnts = df.groupBy(col(score)).agg(count(lit(1)).as("__c"))
-          .withColumn("__band",
-            expr(s"($score - pmod($score, $bandWidth)) DIV $bandWidth"))
-        val wInBand = Window.partitionBy(col("__band")).orderBy(col(score))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wBands = Window.orderBy(col("__band"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val bandBelow = cnts.groupBy(col("__band")).agg(sum(col("__c")).as("__bc"))
-          .withColumn("__bb", coalesce(sum(col("__bc")).over(wBands), lit(0L)))
-          .select(col("__band"), col("__bb"))
-        val below = cnts
-          .withColumn("__wb", coalesce(sum(col("__c")).over(wInBand), lit(0L)))
-          .join(broadcast(bandBelow), "__band")
-          .select(col(score), (col("__bb") + col("__wb")).as("__below"))
+        val below = graft.operators.ScaleWindows
+          .bandedBelow(cnts, score, "__c", bandWidth)
+          .withColumnRenamed("below", "__below")
         val wtie = Window.partitionBy(col(score)).orderBy(col("doc_id"))
         df.join(below, score)
           .withColumn(out, col("__below") + row_number().over(wtie).cast("long"))

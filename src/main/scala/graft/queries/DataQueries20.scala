@@ -74,9 +74,12 @@ object DataQueries20 {
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("nps"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("nns"))
         .transform(graft.sources.Caches.ephemeral)
-      val wx = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
-      val exact = byScore
-        .withColumn("nn_below", coalesce(sum(col("nns")).over(wx), lit(0L)))
+      // exact side: banded below-count (the distinct-score table grows
+      // with the corpus — ScaleWindows keeps its cumulation two-level)
+      val nnBelow = graft.operators.ScaleWindows
+        .bandedBelow(byScore.select(col("score"), col("nns")), "score", "nns", 2000L)
+        .withColumnRenamed("below", "nn_below")
+      val exact = byScore.join(nnBelow, "score")
         .agg(sum(col("nps")).as("np"), sum(col("nns")).as("nn"),
           sum(col("nps") * (lit(2) * col("nn_below") + col("nns"))).as("u2x"))
       val byBin = byScore
@@ -109,15 +112,16 @@ object DataQueries20 {
     "d178_spearman_tied" -> ((s, dir) => {
       val a = scored(s, dir).withColumnRenamed("score", "sa")
       val j = graft.sources.Caches.ephemeral(a.join(bigramScore(s, dir), "doc_id"))
-      def hist(score: String): DataFrame = {
-        val wcum = Window.orderBy(col(score))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        j.groupBy(col(score)).agg(count(lit(1)).as("cnt"))
-          .withColumn("below", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+      // midranks from banded below-counts (ScaleWindows: the distinct-sb
+      // table is near-corpus-sized, so no single-partition cumulation)
+      def hist(score: String, bandWidth: Long): DataFrame = {
+        val cnts = j.groupBy(col(score)).agg(count(lit(1)).as("cnt"))
+        cnts.join(graft.operators.ScaleWindows
+            .bandedBelow(cnts, score, "cnt", bandWidth), score)
           .withColumn("mr2", lit(2) * col("below") + col("cnt") + 1)
       }
-      val ha = hist("sa").transform(graft.sources.Caches.ephemeral)
-      val hb = hist("sb").transform(graft.sources.Caches.ephemeral)
+      val ha = hist("sa", 2000L).transform(graft.sources.Caches.ephemeral)
+      val hb = hist("sb", 10000000L).transform(graft.sources.Caches.ephemeral)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val perDoc = j
         .join(broadcast(ha.select(col("sa"), col("mr2").as("mr2a"))), "sa")
