@@ -55,6 +55,10 @@ object Multimodal {
     * lossless decode can satisfy).
     */
   final class ImageIoCodec extends MediaCodec {
+    // in-memory decode path: the default disk-backed ImageIO cache writes a
+    // temp file PER IMAGE — measurable at 50k images/partition-set, pure
+    // waste for byte-array sources (JVM-global flag, idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(m: MediaItem): MediaFeatures = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
       if (img == null) // undecodable payload -> poison row, the p06 convention
@@ -92,7 +96,9 @@ object Multimodal {
   def imageStats(ds: Dataset[MediaItem]): Dataset[ImageStats] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // one reader pipeline per partition (the codec-per-partition seam)
+      // one reader pipeline per partition (the codec-per-partition seam);
+      // in-memory decode — no per-image temp file (see ImageIoCodec)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
         var (sr, sg, sb, ml) = (0L, 0L, 0L, 0L)
@@ -128,6 +134,7 @@ object Multimodal {
   def pngImagesFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no per-image temp files
       it.map { id =>
         val w = (8 + id % 8).toInt
         val h = (8 + (id * 3) % 8).toInt

@@ -123,9 +123,13 @@ object DataQueries20 {
       val ha = hist("sa", 2000L).transform(graft.sources.Caches.ephemeral)
       val hb = hist("sb", 10000000L).transform(graft.sources.Caches.ephemeral)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // histogram joins are PLAIN equi-joins: the sb histogram is
+      // near-corpus-sized (scores are near-unique), so forcing a broadcast
+      // here would ship an unbounded table to every executor — exactly the
+      // class of hint this repo bans; AQE picks the strategy per actual size
       val perDoc = j
-        .join(broadcast(ha.select(col("sa"), col("mr2").as("mr2a"))), "sa")
-        .join(broadcast(hb.select(col("sb"), col("mr2").as("mr2b"))), "sb")
+        .join(ha.select(col("sa"), col("mr2").as("mr2a")), "sa")
+        .join(hb.select(col("sb"), col("mr2").as("mr2b")), "sb")
       val cross = perDoc.agg(count(lit(1)).as("n"),
         sum(dec(col("mr2a")) * col("mr2b")).as("sab"))
       val sa = ha.agg(sum(dec(col("cnt")) * col("mr2")).as("s1a"),
