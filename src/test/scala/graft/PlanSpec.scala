@@ -422,6 +422,25 @@ class PlanSpec extends AnyFunSuite {
       "row_number must be score-partitioned\n" + rn.mkString("\n"))
   }
 
+  test("d177: both AUCs share one score rollup; rank windows are banded/partitioned") {
+    val p = plan("d177_auc_binned")
+    // the exact side's below-count must route through the banded shape
+    // (within-band window partitioned by band), not a global cumulation
+    assert(p.contains("hashpartitioning(__band"),
+      "exact-side below-count must be band-partitioned\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d178: midrank histograms join plainly (no forced broadcast of corpus-sized tables)") {
+    val p = plan("d178_spearman_tied")
+    assert(p.contains("hashpartitioning(__band"),
+      "midrank below-counts must be band-partitioned\n" + p)
+    // row_number must not appear at all — midranks come from arithmetic,
+    // not per-row window ranking
+    assert(!p.contains("row_number"),
+      "tie-averaged Spearman must not rank rows\n" + p)
+  }
+
   test("d106/d109: bounded top-k is a TakeOrdered, not a global sort+limit") {
     assert(plan("d106_weighted_sample").contains("TakeOrderedAndProject"),
       "A-ES top-k must be a bounded TakeOrdered")
