@@ -17,17 +17,24 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges two-column DataFrame (u, v) of undirected edges
+    * @param checkpoint lineage-truncation seam (the clusters() contract):
+    *        within-query callers keep the default (blocks drained by
+    *        Caches.release); memoizing callers pass a plain
+    *        `_.localCheckpoint()` so release can never drop blocks their
+    *        memoized frame still depends on
     * @return ((node, component) assignment — component = min node id
     *         reachable, nodes include every endpoint), rounds executed
     */
-  def alternatingStar(edges: DataFrame): (DataFrame, Int) = {
+  def alternatingStar(edges: DataFrame,
+      checkpoint: DataFrame => DataFrame = graft.sources.Caches.checkpointed)
+      : (DataFrame, Int) = {
     val u = col("u"); val v = col("v")
     // canonical directed pair list, self-loops dropped
     var e = edges.select(u.cast("long").as("u"), v.cast("long").as("v"))
       .filter(u =!= v)
       .select(least(u, v).as("u"), greatest(u, v).as("v"))
       .distinct()
-      .transform(graft.sources.Caches.checkpointed)
+      .transform(checkpoint)
 
     def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum(hash(u, v).cast("long")), sum(u + v)).first()
@@ -70,7 +77,7 @@ object ConnectedComponents {
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < 64) {
-      val next = graft.sources.Caches.checkpointed(smallStar(largeStar(e)))
+      val next = checkpoint(smallStar(largeStar(e)))
       converged = signature(next) == signature(e)
       e = next
       rounds += 1

@@ -101,6 +101,11 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+        if (img == null) {
+          // undecodable payload → poison row (the p06 convention, matching
+          // ImageIoCodec): degrade the row, never NPE the task
+          ImageStats(m.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+        } else {
         var (sr, sg, sb, ml) = (0L, 0L, 0L, 0L)
         var y = 0
         while (y < img.getHeight) {
@@ -117,6 +122,7 @@ object Multimodal {
         }
         ImageStats(m.doc_id, img.getWidth.toLong, img.getHeight.toLong,
           img.getWidth.toLong * img.getHeight, sr, sg, sb, ml)
+        }
       }
     }
   }

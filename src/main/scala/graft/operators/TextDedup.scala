@@ -429,7 +429,9 @@ object TextDedup {
       : DataFrame = {
     val edges = candidates.select(col("a").as("u"), col("b").as("v"))
     if (useAlternatingStar) {
-      val (assign, _) = ConnectedComponents.alternatingStar(edges)
+      // the seam threads through BOTH branches: a memoizing caller that
+      // flips useAlternatingStar must still get release-proof truncation
+      val (assign, _) = ConnectedComponents.alternatingStar(edges, checkpoint)
       assign.select(col("node").as("id"), col("component").as("cluster"))
     } else {
       val sym = edges.unionAll(candidates.select(col("b").as("u"), col("a").as("v")))

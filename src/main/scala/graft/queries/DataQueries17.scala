@@ -658,10 +658,10 @@ object DataQueries17 {
       // distinct-score rollup) + partitioned tiebreak; bandWidth sizes the
       // bounded global table per score scale
       def ranked(df: DataFrame, score: String, out: String,
-          bandWidth: Long): DataFrame = {
+          bandWidth: Long, levels: Int): DataFrame = {
         val cnts = df.groupBy(col(score)).agg(count(lit(1)).as("__c"))
         val below = graft.operators.ScaleWindows
-          .bandedBelow(cnts, score, "__c", bandWidth)
+          .bandedBelow(cnts, score, "__c", bandWidth, levels)
           .withColumnRenamed("below", "__below")
         val wtie = Window.partitionBy(col(score)).orderBy(col("doc_id"))
         df.join(below, score)
@@ -669,11 +669,14 @@ object DataQueries17 {
           .drop("__below")
       }
       val j = graft.sources.Caches.ephemeral(a.join(b, "doc_id"))
-      // band widths: sa is the d140 2000-wide score scale; sb is q6-scaled
-      // mean bigram frequency (range ~ max-frequency * 1e6), so 1e7 bands
-      val ra = ranked(j.select(col("doc_id"), col("sa")), "sa", "ra", 2000L)
+      // band widths: sa is the d140 2000-wide score scale (range-bounded, one
+      // level); sb is q6-scaled mean bigram frequency, whose range tracks the
+      // LARGEST bigram count — no fixed bound — so its band table is banded
+      // again (levels=2: only the doubly-contracted table, <= maxfreq/1e14
+      // rows, ever sees a global window or a forced broadcast)
+      val ra = ranked(j.select(col("doc_id"), col("sa")), "sa", "ra", 2000L, 1)
         .select(col("doc_id"), col("ra"))
-      val rb = ranked(j.select(col("doc_id"), col("sb")), "sb", "rb", 10000000L)
+      val rb = ranked(j.select(col("doc_id"), col("sb")), "sb", "rb", 10000000L, 2)
         .select(col("doc_id"), col("rb"))
       ra.join(rb, "doc_id")
         .agg(count(lit(1)).as("n"),

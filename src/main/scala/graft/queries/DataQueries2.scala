@@ -131,21 +131,22 @@ object DataQueries2 {
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("asup"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("p50a"))
-      // exact median via the q20 rank-arithmetic shape (distributed sort +
-      // row_number): the exact Percentile aggregate buffers every group
-      // value in ONE unmergeable aggregation buffer — 3 groups would pin
-      // ~n/3 doubles each in 3 reducers at 100 TB. Rank arithmetic keeps
-      // the heavy work a partitioned sort; only <=2 rows per group survive
-      // the filter, and avg of <=2 doubles is IEEE-exact parity with
-      // percentile(0.5)'s midpoint interpolation.
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val p50e = li
-        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(wAll))
-        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
-        .groupBy(col("l_returnflag")).agg(avg(col("p")).as("p50e"))
+      // exact median via q20's rank arithmetic over the (group, DISTINCT
+      // price) count table: the exact Percentile aggregate buffers every
+      // group value in ONE unmergeable aggregation buffer — 3 groups would
+      // pin ~n/3 doubles each in 3 reducers at 100 TB — and a row_number
+      // window partitioned by the 3-value flag sorts ~corpus/3 in one task.
+      // ScaleWindows.rankTable keeps every window over the bounded count
+      // table; (lo+hi)/2 is IEEE-exact parity with percentile(0.5)'s
+      // midpoint interpolation.
+      val p50e = graft.operators.ScaleWindows
+        .rankTable(
+          li.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+            .groupBy(col("l_returnflag"), col("p")).agg(count(lit(1)).as("cnt")),
+          Seq("l_returnflag"), "p", "cnt", 1000L)
+        .groupBy(col("l_returnflag"))
+        .agg(((min(when(col("cum") >= expr("(n + 1) DIV 2"), col("p"))) +
+              min(when(col("cum") >= expr("(n + 2) DIV 2"), col("p")))) / 2).as("p50e"))
       exact("l_partkey", "exact_parts")
         .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
         .join(sketches, "l_returnflag")

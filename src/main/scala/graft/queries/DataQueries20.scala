@@ -113,15 +113,19 @@ object DataQueries20 {
       val a = scored(s, dir).withColumnRenamed("score", "sa")
       val j = graft.sources.Caches.ephemeral(a.join(bigramScore(s, dir), "doc_id"))
       // midranks from banded below-counts (ScaleWindows: the distinct-sb
-      // table is near-corpus-sized, so no single-partition cumulation)
-      def hist(score: String, bandWidth: Long): DataFrame = {
+      // table is near-corpus-sized, so no single-partition cumulation).
+      // sb's RANGE also tracks the corpus (it scales with the largest
+      // bigram frequency), so its band table is banded again — levels=2
+      // keeps every globally-cumulated or force-broadcast table bounded
+      // by Long-domain arithmetic, not by the data.
+      def hist(score: String, bandWidth: Long, levels: Int): DataFrame = {
         val cnts = j.groupBy(col(score)).agg(count(lit(1)).as("cnt"))
         cnts.join(graft.operators.ScaleWindows
-            .bandedBelow(cnts, score, "cnt", bandWidth), score)
+            .bandedBelow(cnts, score, "cnt", bandWidth, levels), score)
           .withColumn("mr2", lit(2) * col("below") + col("cnt") + 1)
       }
-      val ha = hist("sa", 2000L).transform(graft.sources.Caches.ephemeral)
-      val hb = hist("sb", 10000000L).transform(graft.sources.Caches.ephemeral)
+      val ha = hist("sa", 2000L, 1).transform(graft.sources.Caches.ephemeral)
+      val hb = hist("sb", 10000000L, 2).transform(graft.sources.Caches.ephemeral)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       // histogram joins are PLAIN equi-joins: the sb histogram is
       // near-corpus-sized (scores are near-unique), so forcing a broadcast
@@ -132,12 +136,16 @@ object DataQueries20 {
         .join(hb.select(col("sb"), col("mr2").as("mr2b")), "sb")
       val cross = perDoc.agg(count(lit(1)).as("n"),
         sum(dec(col("mr2a")) * col("mr2b")).as("sab"))
+      // tie_mass sums cnt·(cnt−1): a corpus-scale tie group squares the
+      // count, so the sum runs in DECIMAL(38,0) like the other corpus²
+      // products (DuckDB's sum promotes to HUGEINT — Long-only Spark
+      // arithmetic would wrap on Spark alone and diverge the engines)
       val sa = ha.agg(sum(dec(col("cnt")) * col("mr2")).as("s1a"),
         sum(dec(col("cnt")) * col("mr2") * col("mr2")).as("s2a"),
-        sum(col("cnt") * (col("cnt") - 1)).as("tie_mass_a"))
+        sum(dec(col("cnt")) * (col("cnt") - 1)).cast("long").as("tie_mass_a"))
       val sb = hb.agg(sum(dec(col("cnt")) * col("mr2")).as("s1b"),
         sum(dec(col("cnt")) * col("mr2") * col("mr2")).as("s2b"),
-        sum(col("cnt") * (col("cnt") - 1)).as("tie_mass_b"))
+        sum(dec(col("cnt")) * (col("cnt") - 1)).cast("long").as("tie_mass_b"))
       cross.crossJoin(sa).crossJoin(sb)
         .withColumn("num", dec(col("n")) * col("sab") - col("s1a") * col("s1b"))
         .withColumn("va", dec(col("n")) * col("s2a") - col("s1a") * col("s1a"))

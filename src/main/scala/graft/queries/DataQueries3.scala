@@ -251,19 +251,27 @@ object DataQueries3 {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // exact median per group, computed from explicit rank arithmetic (no
-    // engine-specific percentile interpolation): middle element(s) of the
-    // sorted multiset, averaged. avg of <=2 doubles is IEEE-exact parity.
+    // exact median per group, computed from rank arithmetic over the
+    // (group, DISTINCT price) count table (no engine-specific percentile
+    // interpolation). A row_number window partitioned by the 3-value
+    // l_returnflag would sort ~corpus/3 in ONE task; here the corpus pass
+    // is a partial-aggregatable groupBy, every window runs over the count
+    // table partitioned by (group, band) via ScaleWindows.rankTable
+    // (extendedprice's range is data-independent: qty 1..50 × part retail
+    // price, so the band table is bounded), and the value at rank r is the
+    // plain aggregate min(p WHERE cum >= r). (lo+hi)/2 reproduces avg of
+    // the <=2 middle elements IEEE-exactly (same sum, same divide).
     "q20_median" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val counts = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      li.withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(wAll))
-        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("l_returnflag"), col("p")).agg(count(lit(1)).as("cnt"))
+      graft.operators.ScaleWindows
+        .rankTable(counts, Seq("l_returnflag"), "p", "cnt", 1000L)
         .groupBy(col("l_returnflag"))
-        .agg(avg(col("p")).as("median_price"), max(col("cnt")).as("n"))
+        .agg(((min(when(col("cum") >= expr("(n + 1) DIV 2"), col("p"))) +
+              min(when(col("cum") >= expr("(n + 2) DIV 2"), col("p")))) / 2)
+            .as("median_price"),
+          max(col("n")).as("n"))
         .orderBy("l_returnflag")
     })
   )

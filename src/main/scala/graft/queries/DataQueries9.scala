@@ -169,9 +169,16 @@ object DataQueries9 {
       val applied = selected.foldLeft(prev) { case (df, (a, b, _)) =>
         df.select(mergePair(col("syms"), a, b).as("syms"), col("wc"))
       }
-      words = applied.persist()
-      totals += ((r.toLong, total(words)))
-      prev.unpersist(blocking = false)
+      if (selected.isEmpty) {
+        // zero merges selected → applied IS prev: re-persisting is a no-op
+        // and the unpersist below would drop the cache every later round's
+        // rollup still needs; keep the existing cache untouched
+        totals += ((r.toLong, total(words)))
+      } else {
+        words = applied.persist()
+        totals += ((r.toLong, total(words)))
+        prev.unpersist(blocking = false)
+      }
     }
     words.unpersist(blocking = false)
     (merges.result(), totals.result())

@@ -111,23 +111,26 @@ object RelationalQueries3 {
           e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("user_kv"))
         .orderBy("event_id")),
 
-    // exact per-group quartiles from rank arithmetic (q20's median
-    // generalized): rank positions floor/ceil(q*(cnt-1)/4)+1, averaged —
-    // avg of <=2 doubles is IEEE-exact across engines, and no
-    // engine-specific interpolation rule ever applies
+    // exact per-group quartiles from rank arithmetic over the (group,
+    // DISTINCT price) count table (q20's shape): rank positions
+    // floor/ceil(q*(n-1)/4)+1 read as plain aggregates min(p WHERE
+    // cum >= r) — no row_number window partitioned by the 3-value flag
+    // (that sorts ~corpus/3 in one task); every window runs over the
+    // bounded count table via ScaleWindows.rankTable. (lo+hi)/2 is
+    // IEEE-exact parity with avg of the <=2 selected rows, and no
+    // engine-specific interpolation rule ever applies.
     "q41_quartiles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val counts = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      def quart(q: Int) = avg(when(
-        col("rn") === expr(s"($q*(cnt-1)) div 4 + 1")
-          || col("rn") === expr(s"($q*(cnt-1)+3) div 4 + 1"), col("p")))
-      li.withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("l_returnflag"), col("p")).agg(count(lit(1)).as("cnt"))
+      def quart(q: Int) =
+        (min(when(col("cum") >= expr(s"($q*(n-1)) DIV 4 + 1"), col("p"))) +
+          min(when(col("cum") >= expr(s"($q*(n-1)+3) DIV 4 + 1"), col("p")))) / 2
+      graft.operators.ScaleWindows
+        .rankTable(counts, Seq("l_returnflag"), "p", "cnt", 1000L)
         .groupBy(col("l_returnflag"))
         .agg(quart(1).as("p25"), quart(2).as("p50"), quart(3).as("p75"),
-          max(col("cnt")).as("n"))
+          max(col("n")).as("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -198,27 +201,39 @@ object RelationalQueries3 {
         .orderBy("stage")
     },
 
-    // window distribution functions — ntile / percent_rank / cume_dist
-    // over a per-flag total order (price, orderkey/linenumber tie-break
-    // makes every rank deterministic), then aggregated per (flag, quartile)
-    // so the output stays bounded. The rank ratios are exact small
-    // rationals; q6 floor-quantization keeps the cross-engine compare on
-    // integers. Per-partition sort only — the partition count is the
-    // 3-value flag domain, each an independent sort, the shape AQE splits
-    // across executors.
+    // window distribution functions — ntile / percent_rank / cume_dist per
+    // (flag, quartile) — derived from rank ARITHMETIC, not a rank window:
+    // the (p, l_orderkey, l_linenumber) tie-break makes the per-flag order
+    // a total order, so every rank is unique and the aggregate per bucket
+    // is closed-form in the group count n alone. ntile(4)'s bucket k spans
+    // ranks [(k-1)·⌊n/4⌋ + min(k-1, n mod 4) + 1, k·⌊n/4⌋ + min(k, n mod 4)]
+    // (the SQL-standard front-loaded split both engines implement),
+    // min percent_rank in the bucket sits at its first rank ((r-1)/(n-1)),
+    // max cume_dist at its last (r/n — unique keys, so cd = rank/n). The
+    // oracle still evaluates the real window functions in DuckDB, so the
+    // closed forms are verified against a live engine's ntile/pr/cd — while
+    // the Spark plan is one partial-aggregatable groupBy + a 4-row explode,
+    // with NO per-flag sort at all (the old window put ~corpus/3 in one
+    // task; AQE cannot split a window partition). The divisions are the
+    // exact same long-to-double divides the window functions perform, so
+    // q6 floors match bit-for-bit.
     "q44_ntile_dist" -> { (s: SparkSession, dir: String) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
       li(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("q4", ntile(4).over(w))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
-        .groupBy(col("l_returnflag"), col("q4").cast("long").as("q4"))
-        .agg(count(lit(1)).as("n"),
-          floor(min(col("pr")) * lit(1000000.0)).cast("long").as("min_pr_q6"),
-          floor(max(col("cd")) * lit(1000000.0)).cast("long").as("max_cd_q6"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          explode(expr(
+            """transform(sequence(1, 4), k -> named_struct(
+              |  'q4', CAST(k AS BIGINT),
+              |  'lo', CAST((k-1) * (n DIV 4) + least(k-1, n % 4) + 1 AS BIGINT),
+              |  'hi', CAST(k * (n DIV 4) + least(k, n % 4) AS BIGINT)))""".stripMargin)).as("b"))
+        .filter(col("b.hi") >= col("b.lo"))
+        .select(col("l_returnflag"), col("b.q4").as("q4"),
+          (col("b.hi") - col("b.lo") + 1).as("n"),
+          floor(when(col("n") > 1,
+              (col("b.lo") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0)) * lit(1000000.0)).cast("long").as("min_pr_q6"),
+          floor(col("b.hi").cast("double") / col("n").cast("double")
+            * lit(1000000.0)).cast("long").as("max_cd_q6"))
         .orderBy("l_returnflag", "q4")
     },
 

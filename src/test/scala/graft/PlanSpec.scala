@@ -557,7 +557,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q13_sketches")
     assert(!p.contains("percentile(") && !p.contains("Percentile"),
       "exact Percentile aggregate must not appear; q20 rank shape expected\n" + p)
-    assert(p.contains("row_number"), "rank-arithmetic median expected\n" + p)
+    assert(p.contains("hashpartitioning(l_returnflag") && p.contains("__band"),
+      "banded rank-arithmetic median expected (ScaleWindows.rankTable)\n" + p)
+    assert(!p.contains("row_number"),
+      "no rank window may remain — the flag-partitioned sort put ~corpus/3 in one task\n" + p)
+  }
+
+  test("q20/q41/q44: no window partitioned by a constant-domain key over corpus rows") {
+    // the r14 verdict's last scale-killer family: a window partitioned by
+    // the 3-value l_returnflag sorts ~corpus/3 in ONE task (AQE cannot
+    // split a window partition). Exact order statistics must come from
+    // rank arithmetic over the (group, distinct value) count table, with
+    // every window banded (ScaleWindows.rankTable).
+    for (name <- Seq("q20_median", "q41_quartiles")) {
+      val p = plan(name)
+      assert(!p.contains("row_number"), s"$name must not rank rows\n$p")
+      assert(p.contains("__band"), s"$name below-counts must be banded\n$p")
+      // windows may partition by (flag, band) over the count table, or by
+      // flag over the bounded band table — never by the bare flag ordering
+      // directly on the raw price (the old corpus-per-task sort spec)
+      assert("windowspecdefinition\\(l_returnflag#\\d+, p#".r.findFirstIn(p).isEmpty,
+        s"$name must not window-partition raw prices by the 3-value flag\n$p")
+    }
+    // q44's distribution functions are closed-form in the group count: the
+    // whole plan is aggregate + explode — no Window operator at all
+    val p44 = plan("q44_ntile_dist")
+    assert(!p44.contains("Window"), s"q44 must not contain any window\n$p44")
+    assert("HashAggregate".r.findAllIn(p44).length >= 2,
+      "q44's only corpus pass must be a partial-aggregatable count\n" + p44)
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {
