@@ -67,6 +67,19 @@ object Bench {
     // window (BENCH_r04.json parsed:null), cutting off the leading "total"
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // committed builder artifact (SPARK_GRAFT_LOCAL_OUT=BENCHLOCAL_rN.json):
+    // the driver's stdout tail truncates the per-query map, which has cost
+    // several rounds of host-noise re-adjudication — the full min-of-N map
+    // plus a host-load note makes the next adjudication a one-line diff.
+    // The driver never sets the env var, so its runs don't touch the file.
+    sys.env.get("SPARK_GRAFT_LOCAL_OUT").filter(_.nonEmpty).foreach { path =>
+      val load =
+        try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim
+        catch { case _: Throwable => "n/a" }
+      val host = s"""{"reps":$reps,"cpus":"$cpus","loadavg_after":"$load"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"metric":"queries_local","unit":"sec","total":$total,"n_queries":${results.size},"sf":"$sfDir","host":$host,"queries":$qs}""" + "\n")
+    }
     spark.stop()
   }
 }

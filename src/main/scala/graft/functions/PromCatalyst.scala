@@ -209,7 +209,22 @@ object PromCatalyst {
     * length >= 1 filter. One compiled pass per (word, merge) — the
     * codegen'd kernel sibling of [[nextFitBins]].
     */
-  def applyMerges(s: UTF8String, merges: ArrayData): ArrayData = {
+  // one-slot per-thread compile cache for the (a, b) halves of a merge
+  // list: the list arrives as the SAME literal ArrayData object every row
+  // of a task, and a production-sized list (1k+ merges — BpeScaleSpec)
+  // re-split per row would dominate the O(word) fuse work itself. Keyed by
+  // reference (eq): a different literal simply recompiles, same as before.
+  private val mergeCache =
+    new ThreadLocal[(ArrayData, Array[String], Array[String])]
+
+  private def compiledMerges(merges: ArrayData): (Array[String], Array[String]) = {
+    // reference-keyed caching is only sound for immutable GenericArrayData
+    // (what a folded literal holds); Unsafe arrays are REUSED row buffers —
+    // same reference, different contents — and must recompile every row
+    val cacheable = merges.isInstanceOf[GenericArrayData]
+    val cached = mergeCache.get()
+    if (cacheable && cached != null && (cached._1 eq merges))
+      return (cached._2, cached._3)
     val nM = merges.numElements()
     val ma = new Array[String](nM)
     val mb = new Array[String](nM)
@@ -221,29 +236,45 @@ object PromCatalyst {
       mb(k) = m.substring(sp + 1)
       k += 1
     }
+    if (cacheable) mergeCache.set((merges, ma, mb))
+    (ma, mb)
+  }
+
+  /** Sequential greedy left-to-right fuse passes — one pass per merge, the
+    * trainer's exact fold semantics (DataQueries9.mergePair).
+    */
+  private def fusePasses(initial: Array[String],
+      ma: Array[String], mb: Array[String]): Array[String] = {
+    var syms = initial
+    var k = 0
+    while (k < ma.length) {
+      if (syms.length >= 2) {
+        val buf = scala.collection.mutable.ArrayBuffer[String](syms(0))
+        var i = 1
+        while (i < syms.length) {
+          val x = syms(i)
+          if (buf(buf.length - 1) == ma(k) && x == mb(k))
+            buf(buf.length - 1) = ma(k) + mb(k)
+          else buf += x
+          i += 1
+        }
+        syms = buf.toArray
+      }
+      k += 1
+    }
+    syms
+  }
+
+  def applyMerges(s: UTF8String, merges: ArrayData): ArrayData = {
+    val (ma, mb) = compiledMerges(merges)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val words = s.toString.split(' ')
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var syms: Array[String] = Array.tabulate(w.length)(i => w.substring(i, i + 1))
-        k = 0
-        while (k < nM) {
-          if (syms.length >= 2) {
-            val buf = scala.collection.mutable.ArrayBuffer[String](syms(0))
-            var i = 1
-            while (i < syms.length) {
-              val x = syms(i)
-              if (buf(buf.length - 1) == ma(k) && x == mb(k))
-                buf(buf.length - 1) = ma(k) + mb(k)
-              else buf += x
-              i += 1
-            }
-            syms = buf.toArray
-          }
-          k += 1
-        }
+        val syms = fusePasses(
+          Array.tabulate(w.length)(i => w.substring(i, i + 1)), ma, mb)
         var i = 0
         while (i < syms.length) { out += UTF8String.fromString(syms(i)); i += 1 }
       }
@@ -252,27 +283,60 @@ object PromCatalyst {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[applyMerges]] with WORDS as the starting symbols (SentencePiece-style
+    * phrase merging): the whole text is one symbol sequence, each initial
+    * symbol a whitespace word, merged symbols plain concatenations — the
+    * same unit-agnostic fold the trainer applies, so a phrase-level trained
+    * merge list reproduces the training state exactly (BpeScaleSpec's
+    * 1k-merge parity). Merge entries split on the FIRST space; symbols are
+    * space-free by construction, so the encoding is unambiguous.
+    */
+  def applyMergesWords(s: UTF8String, merges: ArrayData): ArrayData = {
+    val (ma, mb) = compiledMerges(merges)
+    val words = s.toString.split(' ').filter(_.nonEmpty)
+    val syms =
+      if (words.isEmpty) words
+      else fusePasses(words, ma, mb)
+    val out = new Array[Any](syms.length)
+    var i = 0
+    while (i < syms.length) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Greedy longest-match-first subword tokenize (the WordPiece/maximal-
     * munch rule, Wu et al. 2016): each whitespace word is consumed left to
     * right by the LONGEST lexicon piece matching at the cursor; a position
     * no piece matches emits its single character (never fires when the
     * lexicon contains every corpus character, which the trainer
     * guarantees — see BpeTokenizer.wordpieceLexicon). One O(|word| ·
-    * maxPieceLen) pass per row; the lexicon set is rebuilt per row from
-    * the literal array (the applyMerges precedent — a production impl
-    * memoizes the compiled lexicon per task).
+    * maxPieceLen) pass per row; the lexicon hash set compiles once per
+    * (thread, literal) like [[compiledMerges]] — at a production lexicon
+    * (1k+ pieces, BpeScaleSpec) a per-row rebuild would dominate the
+    * per-row match work.
     */
+  private val pieceCache =
+    new ThreadLocal[(ArrayData, java.util.HashSet[String], Int)]
+
   def wordpiece(s: UTF8String, pieces: ArrayData): ArrayData = {
-    val n = pieces.numElements()
-    val set = new java.util.HashSet[String](n * 2)
-    var maxL = 1
-    var k = 0
-    while (k < n) {
-      val p = pieces.getUTF8String(k).toString
-      set.add(p)
-      if (p.length > maxL) maxL = p.length
-      k += 1
-    }
+    val cacheable = pieces.isInstanceOf[GenericArrayData]
+    val cached = pieceCache.get()
+    val (set, maxL) =
+      if (cacheable && cached != null && (cached._1 eq pieces))
+        (cached._2, cached._3)
+      else {
+        val n = pieces.numElements()
+        val st = new java.util.HashSet[String](n * 2)
+        var ml = 1
+        var k = 0
+        while (k < n) {
+          val p = pieces.getUTF8String(k).toString
+          st.add(p)
+          if (p.length > ml) ml = p.length
+          k += 1
+        }
+        if (cacheable) pieceCache.set((pieces, st, ml))
+        (st, ml)
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val words = s.toString.split(' ')
     var wi = 0

@@ -148,6 +148,14 @@ object prom {
     invoke(ArrayType(StringType, containsNull = false), "applyMerges",
       Seq(expr(text), expr(merges)))
 
+  /** [[apply_merges]] with whitespace WORDS as the starting symbols
+    * (SentencePiece-style phrase merging over the whole text — see
+    * [[graft.functions.PromCatalyst.applyMergesWords]]).
+    */
+  def apply_merges_words(text: Column, merges: Column): Column =
+    invoke(ArrayType(StringType, containsNull = false), "applyMergesWords",
+      Seq(expr(text), expr(merges)))
+
   /** Greedy longest-match-first (WordPiece-style) subword tokenize against
     * a literal lexicon array; unmatched positions pass through as single
     * characters (see [[graft.functions.PromCatalyst.wordpiece]]).

@@ -121,14 +121,34 @@ object DataQueries9 {
     }
 
   private def bpeBatchRunOnce(s: SparkSession, dir: String)
+      : (Seq[(Long, Long, String, Long)], Seq[(Long, Long)]) =
+    bpeBatchTrain(bpeBase(s, dir), BatchK, BatchM, BatchRounds, Int.MaxValue)
+
+  /** The batched-selection training loop over an arbitrary `(syms, wc)`
+    * base table — unit-agnostic (symbols can be characters, words, or any
+    * strings), so the SAME machinery trains char-level subword merges
+    * (d176's 96/16/8 configuration) and production-scale runs
+    * (BpeScaleSpec drives it past 1,000 merges in ~2 dozen rounds at
+    * K=4096 / M=48 on the sf0.01 corpus at the phrase level). Stops early
+    * once `targetMerges` have been accepted or a round selects nothing.
+    */
+  private[graft] def bpeBatchTrain(base: DataFrame, batchK: Int, batchM: Int,
+      maxRounds: Int, targetMerges: Int)
       : (Seq[(Long, Long, String, Long)], Seq[(Long, Long)]) = {
     def total(df: DataFrame): Long =
       df.agg(sum(col("wc") * size(col("syms")))).collect()(0).getLong(0)
-    var words = bpeBase(s, dir).persist()
+    // eager localCheckpoint, not persist: each round stacks one fold
+    // Project PER accepted merge, so a production run (70 rounds x 48
+    // merges) would grow a 3,000-Project lineage — task serialization
+    // stack-overflows around ~1,000. Truncating the plan each round keeps
+    // the serialized stage O(batchM) deep regardless of round count; the
+    // superseded round's blocks are dropped once the next is materialized.
+    var words = base.localCheckpoint()
+    var accepted = 0
     val merges = Seq.newBuilder[(Long, Long, String, Long)]
     val totals = Seq.newBuilder[(Long, Long)]
     totals += ((0L, total(words)))
-    for (r <- 1 to BatchRounds) {
+    for (r <- 1 to maxRounds if accepted < targetMerges) {
       // bounded TakeOrdered collect: the K-row ranked candidate window
       val top = words
         .filter(size(col("syms")) >= 2)
@@ -138,7 +158,7 @@ object DataQueries9 {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(BatchK)
+        .limit(batchK)
         .collect()
         .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
       // greedy sweep: accept a candidate iff its symbols are untouched by
@@ -147,13 +167,14 @@ object DataQueries9 {
       val used = scala.collection.mutable.Set.empty[String]
       var taken = 0
       val it = top.iterator
-      while (taken < BatchM && it.hasNext) {
+      while (taken < batchM && it.hasNext) {
         val (a, b, cnt) = it.next()
         if (!used(a) && !used(b)) {
           sel += ((a, b, cnt)); used += a; used += b; taken += 1
         }
       }
       val selected = sel.result()
+      accepted += selected.size
       selected.zipWithIndex.foreach { case ((a, b, cnt), i) =>
         merges += ((r.toLong, (i + 1).toLong, a + " " + b, cnt))
       }
@@ -170,12 +191,11 @@ object DataQueries9 {
         df.select(mergePair(col("syms"), a, b).as("syms"), col("wc"))
       }
       if (selected.isEmpty) {
-        // zero merges selected → applied IS prev: re-persisting is a no-op
-        // and the unpersist below would drop the cache every later round's
-        // rollup still needs; keep the existing cache untouched
+        // zero merges selected → applied IS prev: keep the existing
+        // checkpoint untouched (dropping it would strand later rounds)
         totals += ((r.toLong, total(words)))
       } else {
-        words = applied.persist()
+        words = applied.localCheckpoint() // eager: materialized before prev drops
         totals += ((r.toLong, total(words)))
         prev.unpersist(blocking = false)
       }
