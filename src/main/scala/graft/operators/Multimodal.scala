@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque binary + typed metadata,
   * decode/feature-extract as per-partition batch transforms.
   *
-  * The decode step is a clearly-marked STUB — image/audio codecs are not
-  * present in this container. Everything around it (schema, typed Dataset,
-  * per-partition codec lifecycle, deterministic output) is real and tested;
-  * swapping `FakeCodec` for a JNI/FFM codec changes no plumbing.
+  * All three modalities decode through REAL zero-dependency JDK codecs —
+  * image via `javax.imageio` PNG ([[imageStats]]/m08), audio via
+  * `javax.sound.sampled` WAV ([[audioStats]]/m09), video via the
+  * `javax.imageio` animated-GIF sequence reader ([[videoFrameStats]]/m10)
+  * — each formula-oracled end-to-end. [[FakeCodec]] remains only as the
+  * seam's test-double for arbitrary non-container payloads; a production
+  * JNI/FFM codec (JPEG/MP4) slots into the same factory argument and
+  * changes no plumbing.
   */
 object Multimodal {
 
@@ -35,9 +39,12 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** STUB: deterministic fake decoder standing in for a real codec.
-    * A production impl decodes `media` (JPEG/WAV/MP4) here; the fake derives
-    * "dimensions" from the payload so outputs are verifiable end-to-end.
+  /** TEST-DOUBLE (no longer the default path): deterministic fake decoder
+    * for exercising the seam with arbitrary non-container payloads — it
+    * derives "dimensions" from the payload so outputs stay verifiable
+    * end-to-end without a decodable container. Real decodes go through
+    * [[ImageIoCodec]] (image — the default), [[audioStats]] (WAV) and
+    * [[videoFrameStats]] (animated GIF).
     */
   final class FakeCodec extends MediaCodec {
     def decode(m: MediaItem): MediaFeatures = {
@@ -70,12 +77,13 @@ object Multimodal {
   }
 
   /** Decode + feature-extract with one codec instance per partition. The
-    * default factory is the deterministic stub; pass `() => new
-    * ImageIoCodec` (or any [[MediaCodec]]) to swap in a real decoder — the
-    * plan is identical either way.
+    * default factory is the REAL `javax.imageio` decoder; pass
+    * `() => new FakeCodec` (or any [[MediaCodec]]) to swap in the
+    * test-double — the plan is identical either way (MultimodalSpec pins
+    * the swap changes zero plan code).
     */
   def extractFeatures(ds: Dataset[MediaItem],
-      codecFactory: () => MediaCodec = () => new FakeCodec): Dataset[MediaFeatures] = {
+      codecFactory: () => MediaCodec = () => new ImageIoCodec): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val codec = codecFactory()
@@ -337,6 +345,102 @@ object Multimodal {
           i += 1
         }
         AudioStats(m.doc_id, n.toLong, fmt.getSampleRate.toLong, sa, ma, en)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic multi-frame ANIMATED GIF per document —
+    * the m10 fixture path (m08's PNG pattern lifted to a real VIDEO-shaped
+    * container): frame count, geometry, and every pixel derive from doc_id
+    * alone. Pixels are 8-bit GRAYSCALE — GIF's 256-entry palette holds the
+    * full gray range, so the indexed encoding is LOSSLESS and the decode
+    * can be oracled against the generating formula. Frames are written
+    * through `javax.imageio`'s GIF writer as a real image sequence
+    * (prepareWriteSequence / writeToSequence), one writer per partition.
+    */
+  def gifVideosFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+      it.map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (8 + (id * 3) % 5).toInt
+        val nFrames = (2 + id % 4).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((7 * id + 31 * x + 13 * y + 97 * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaItem(id, bos.toByteArray, "image/gif")
+      }
+    }
+  }
+
+  final case class VideoFrameStats(
+      doc_id: Long, frame_idx: Long, n_frames: Long,
+      width: Long, height: Long, sum_gray: Long, max_gray: Long)
+
+  /** REAL multi-frame video decode + frame sampling through the codec
+    * seam: every `step`-th frame of each container is decoded by
+    * `javax.imageio`'s GIF reader (one reader per partition, reset per
+    * item) to exact integer gray statistics. This is m02's frame-sampling
+    * shape — typed flatMap, bounded per-item output — running on a REAL
+    * container instead of the stub arithmetic, which retires the last
+    * (video) codec stub. Undecodable payloads degrade to a single poison
+    * row (frame_idx -1, the p06 convention), never a task failure.
+    */
+  def videoFrameStats(ds: Dataset[MediaItem], step: Int = 1): Dataset[VideoFrameStats] = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { m =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.media))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sg, mg) = (0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (img.getRGB(x, y) & 0xff).toLong // gray palette: B == gray
+                sg += v; if (v > mg) mg = v
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameStats(m.doc_id, f.toLong, n.toLong, w.toLong, h.toLong, sg, mg)
+          }
+        } catch { case _: Exception =>
+          Seq(VideoFrameStats(m.doc_id, -1L, -1L, -1L, -1L, -1L, -1L))
+        }
       }
     }
   }

@@ -179,11 +179,15 @@ object DataQueries {
       docs(s, dir).select(col("doc_id"), fingerprint64(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // multimodal plumbing: binary media column -> per-partition (stubbed)
-    // decode -> typed features (graft.operators.Multimodal)
+    // multimodal plumbing: binary media column -> per-partition decode ->
+    // typed features (graft.operators.Multimodal). The payloads here are
+    // arbitrary bytes (no real container), so the seam runs the
+    // deterministic TEST-DOUBLE codec the oracle mirrors; real decodes are
+    // m08 (PNG), m09 (WAV), m10 (animated GIF).
     "m01_multimodal" -> ((s, dir) =>
       graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)))
+        graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)),
+        () => new graft.operators.Multimodal.FakeCodec)
         .toDF()
         .orderBy("doc_id")),
 
@@ -198,7 +202,8 @@ object DataQueries {
     "m03_resize" -> ((s, dir) =>
       graft.operators.Multimodal.resizePlan(
         graft.operators.Multimodal.extractFeatures(
-          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))), 320L, 240L)
+          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)),
+          () => new graft.operators.Multimodal.FakeCodec), 320L, 240L)
         .toDF()
         .orderBy("doc_id"))
   )

@@ -183,7 +183,22 @@ object DataQueries20 {
       graft.operators.Multimodal.audioStats(
         graft.operators.Multimodal.wavFromDocuments(docs(s, dir)))
         .toDF()
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // REAL multi-frame VIDEO decode + frame sampling — the last codec
+    // stub retired: deterministic ANIMATED GIFs per document (frame
+    // count, geometry, and every grayscale pixel a pure function of
+    // doc_id; GIF's 256-entry palette makes the encoding lossless),
+    // written as a real image sequence and decoded frame-by-frame by
+    // javax.imageio's GIF reader. Every 2nd frame is sampled (m02's
+    // flatMap shape on a real container) to exact integer gray stats the
+    // oracle recomputes from the generating formula — only a real
+    // sequence encode→decode can match frame counts AND per-frame pixels.
+    "m10_video_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.videoFrameStats(
+        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)), step = 2)
+        .toDF()
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** d176's oracle: the greedy batched trainer fully unrolled — per round
@@ -317,6 +332,19 @@ object DataQueries20 {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(max(abs(s)) AS BIGINT) AS max_abs,
         |  CAST(sum(s * s) AS BIGINT) AS energy
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "m10_video_decode" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
+        |    2 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1, 2)) AS f FROM g),
+        |xs AS (SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w - 1)) AS x FROM fr),
+        |ys AS (SELECT doc_id, w, h, nf, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |px AS (SELECT doc_id, f, nf, w, h,
+        |    (7 * doc_id + 31 * x + 13 * y + 97 * f) % 256 AS gray FROM ys)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray, CAST(max(gray) AS BIGINT) AS max_gray
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "m08_image_decode" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h FROM documents),

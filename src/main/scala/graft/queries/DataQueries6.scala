@@ -300,13 +300,18 @@ object DataQueries6 {
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
     // rank docs by the d28 bigram-LM fluency score and cut head/middle/tail
-    // terciles with ntile(3) — the standard quality-tier split a filtering
-    // pipeline trains on. The score is a ratio of exact integers (engine-
+    // terciles — the standard quality-tier split a filtering pipeline
+    // trains on. The score is a ratio of exact integers (engine-
     // deterministic), ties break on doc_id, so the terciles are total-order
-    // stable. ntile needs a per-lang sort (range-partitioned, bounded by
-    // the largest language); the 100 TB shortcut — approx tercile
-    // thresholds from approx_percentile, no sort — trades the oracle's
-    // exactness and is documented here, not taken.
+    // stable. EXACT ntile(3) semantics WITHOUT the per-language sort (at
+    // 100 TB one language is ~half the corpus, and AQE cannot split a
+    // window partition): each doc's rank is below-count arithmetic over
+    // the (lang, DISTINCT score) table — banded two-level because the
+    // mean-frequency score range tracks the corpus (ScaleWindows) — plus a
+    // doc_id tiebreak row_number PARTITIONED by the near-unique score
+    // (d155's shape), and the tercile boundary is q44's closed form in the
+    // per-language count. Same integers ntile(3) assigns; the formerly
+    // documented approx_percentile shortcut is unnecessary.
     "d58_ppl_buckets" -> ((s, dir) => {
       val bg = docs(s, dir).select(col("doc_id"), col("lang"),
         explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
@@ -316,11 +321,24 @@ object DataQueries6 {
         .agg(count(lit(1)).as("nbg"), sum(col("n")).as("ssum"))
         .select(col("doc_id"), col("lang"),
           (col("ssum").cast("double") / col("nbg").cast("double")).as("score"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("score").desc, col("doc_id"))
-      val nt = ntile(3).over(w)
-      scored.withColumn("bucket",
-          when(nt === 1, "head").when(nt === 2, "middle").otherwise("tail"))
+      val cnts = scored.groupBy(col("lang"), col("score"))
+        .agg(count(lit(1)).as("cnt"))
+      val below = graft.operators.ScaleWindows
+        .bandedBelowBy(cnts, Seq("lang"), "score", "cnt", 10000L, levels = 2)
+      val tot = cnts.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      val wtie = Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
+      scored
+        .join(cnts, Seq("lang", "score"))
+        .join(below, Seq("lang", "score"))
+        .join(broadcast(tot), "lang")
+        // descending rank = docs with strictly HIGHER score + tiebreak
+        // position among equals: above = n - below_asc - cnt
+        .withColumn("rnk",
+          col("n") - col("below") - col("cnt") + row_number().over(wtie).cast("long"))
+        .withColumn("bucket",
+          when(col("rnk") <= expr("n DIV 3 + least(1, n % 3)"), "head")
+            .when(col("rnk") <= expr("2 * (n DIV 3) + least(2, n % 3)"), "middle")
+            .otherwise("tail"))
         .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
         .orderBy("doc_id")
     }),
@@ -461,7 +479,8 @@ object DataQueries6 {
     // the costing is a narrow map over features, packing adds no joins.
     "m04_mm_pack" -> ((s, dir) => {
       val feats = graft.operators.Multimodal.extractFeatures(
-          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()
+          graft.operators.Multimodal.mediaFromDocuments(docs(s, dir)),
+          () => new graft.operators.Multimodal.FakeCodec).toDF()
         .select(col("doc_id"),
           (col("byte_len") / lit(4L) + col("frames") * lit(16L))
             .cast("long").as("n_tok"))

@@ -26,8 +26,8 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("stub <-> real codec swap changes only the factory argument, not the plan") {
     val media = pngs
-    val stubbed = Multimodal.extractFeatures(media) // default FakeCodec
-    val real = Multimodal.extractFeatures(media, () => new Multimodal.ImageIoCodec)
+    val stubbed = Multimodal.extractFeatures(media, () => new Multimodal.FakeCodec)
+    val real = Multimodal.extractFeatures(media) // default is the REAL codec
     // identical plan shape: the codec crosses as the closure's factory, the
     // Spark-side plumbing (schema + operator stack) is byte-for-byte the same
     assert(stubbed.schema == real.schema)
@@ -90,5 +90,37 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(junk, () => new Multimodal.ImageIoCodec)
       .collect()
     assert(out.length == 1 && out.head.width == -1L && out.head.frames == 0L)
+    // the video decoder degrades the same way: corrupt container -> a
+    // single poison frame row, the rest of the partition unaffected
+    val vid = Multimodal.videoFrameStats(junk).collect()
+    assert(vid.length == 1 && vid.head.frame_idx == -1L && vid.head.n_frames == -1L)
+  }
+
+  test("animated GIF sequence round-trips losslessly; frame sampling honors step") {
+    val s = spark
+    import s.implicits._
+    val gifs = Multimodal.gifVideosFromDocuments(
+      graft.sources.Tables.load(spark, dir, "documents").limit(24))
+    // step=1 decodes every frame: counts and geometry follow the fixture
+    val all = Multimodal.videoFrameStats(gifs, step = 1).collect()
+    all.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.length == (2 + id % 4).toInt, s"doc $id frame count")
+      assert(fs.forall(f => f.n_frames == 2 + id % 4
+        && f.width == 8 + id % 5 && f.height == 8 + (id * 3) % 5))
+      // per-frame gray sums match the generating formula exactly (the GIF
+      // palette holds all 256 grays, so the indexed encode is lossless)
+      fs.foreach { f =>
+        val (w, h) = (f.width.toInt, f.height.toInt)
+        val expect = (for (y <- 0 until h; x <- 0 until w)
+          yield (7 * id + 31 * x + 13 * y + 97 * f.frame_idx) % 256).sum
+        assert(f.sum_gray == expect, s"doc $id frame ${f.frame_idx} gray sum")
+      }
+    }
+    // step=2 keeps exactly the even frame indices
+    val sampled = Multimodal.videoFrameStats(gifs, step = 2).collect()
+    sampled.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0L until (2 + id % 4)).by(2L).toSeq, s"doc $id sampled frames")
+    }
   }
 }

@@ -441,6 +441,19 @@ class PlanSpec extends AnyFunSuite {
       "tie-averaged Spearman must not rank rows\n" + p)
   }
 
+  test("d58: exact terciles come from banded rank arithmetic, not a per-language sort") {
+    val p = plan("d58_ppl_buckets")
+    assert(!p.contains("ntile"),
+      "ntile window must be gone — the per-lang sort put ~corpus/|langs| in one task\n" + p)
+    assert(p.contains("hashpartitioning(lang") && p.contains("__band"),
+      "below-counts must be banded per language\n" + p)
+    // the only row_number is the doc_id tiebreak partitioned by the
+    // near-unique (lang, score) key
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("windowspecdefinition(lang#")),
+      "tiebreak must partition by (lang, score)\n" + rn.mkString("\n"))
+  }
+
   test("d106/d109: bounded top-k is a TakeOrdered, not a global sort+limit") {
     assert(plan("d106_weighted_sample").contains("TakeOrderedAndProject"),
       "A-ES top-k must be a bounded TakeOrdered")
