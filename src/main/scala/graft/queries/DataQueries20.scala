@@ -198,7 +198,27 @@ object DataQueries20 {
       graft.operators.Multimodal.videoFrameStats(
         graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)), step = 2)
         .toDF()
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // SentencePiece-style phrase merging — the apply_merges_words kernel
+    // (words as starting symbols, merged symbols plain concatenations) as
+    // an oracle-checked query: a fixed trained-order merge list is applied
+    // per document in ONE codegen'd kernel pass (compiled once per thread,
+    // not per row — BpeScaleSpec runs the same kernel at 1k+ merges), and
+    // the DuckDB oracle replays the same greedy left-to-right fuse passes
+    // as nested list_reduce folds (d176's fold-order discipline). The list
+    // includes a CHAINED merge ("thedata big" fires only after "the data"
+    // fused) and a self-pair ("value value") — the adversarial fold cases.
+    "d179_phrase_merge" -> ((s, dir) => {
+      val merges = array(Seq("the data", "big data", "thedata big",
+        "query join", "join scan", "value value").map(lit): _*)
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.prom.apply_merges_words(col("text"), merges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_sym"),
+          md5(concat_ws(" ", col("toks"))).as("h"))
+        .orderBy("doc_id")
+    })
   )
 
   /** d176's oracle: the greedy batched trainer fully unrolled — per round
@@ -332,6 +352,22 @@ object DataQueries20 {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(max(abs(s)) AS BIGINT) AS max_abs,
         |  CAST(sum(s * s) AS BIGINT) AS energy
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d179_phrase_merge" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) >= 1) AS syms
+        |  FROM documents),
+        |r AS (SELECT doc_id, list_reduce(list_prepend(syms,
+        |    [['the','data'], ['big','data'], ['thedata','big'],
+        |     ['query','join'], ['join','scan'], ['value','value']]),
+        |    (st, m) -> list_reduce([[x] FOR x IN st],
+        |      (acc, xs) -> CASE WHEN acc[-1] = m[1] AND xs[1] = m[2]
+        |        THEN list_append(acc[1:len(acc)-1], m[1] || m[2])
+        |        ELSE list_append(acc, xs[1]) END)) AS toks
+        |  FROM base)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_sym,
+        |  md5(array_to_string(toks, ' ')) AS h
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "m10_video_decode" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
