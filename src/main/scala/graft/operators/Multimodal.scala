@@ -197,10 +197,11 @@ object Multimodal {
   }
 
   /** Frame sampling: every `step`-th frame of each media item, with a
-    * deterministic perceptual-hash stand-in per frame (STUB decode, same
-    * contract as [[extractFeatures]]). Real codecs seek per keyframe; the
-    * plumbing shape — typed flatMap, one codec per partition, bounded output
-    * per item — is the production one.
+    * deterministic perceptual-hash stand-in per frame (test-double decode
+    * for arbitrary payloads — [[videoFrameStats]] is the REAL-container
+    * twin, sampling decoded animated-GIF frames). Real codecs seek per
+    * keyframe; the plumbing shape — typed flatMap, one codec per
+    * partition, bounded output per item — is the production one.
     */
   def sampleFrames(ds: Dataset[MediaItem], step: Int = 3): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._

@@ -116,9 +116,13 @@ object ScaleWindows {
   def rankTable(counts: DataFrame, partCols: Seq[String], valueCol: String,
       cntCol: String, bandWidth: Long, levels: Int = 1): DataFrame = {
     val pc = partCols.map(col)
-    val below = bandedBelowBy(counts, partCols, valueCol, cntCol, bandWidth, levels)
-    val totals = counts.groupBy(pc: _*).agg(sum(col(cntCol)).as("n"))
-    val withBelow = counts
+    // the count table feeds THREE consumers (below-counts, group totals,
+    // the final join): materialize it once so the corpus rollup behind it
+    // runs once, not three times (blocks drain via Caches.release)
+    val cnts = graft.sources.Caches.ephemeral(counts)
+    val below = bandedBelowBy(cnts, partCols, valueCol, cntCol, bandWidth, levels)
+    val totals = cnts.groupBy(pc: _*).agg(sum(col(cntCol)).as("n"))
+    val withBelow = cnts
       .join(below, partCols :+ valueCol)
       .withColumn("cum", col("below") + col(cntCol))
     if (partCols.isEmpty) withBelow.crossJoin(broadcast(totals))
