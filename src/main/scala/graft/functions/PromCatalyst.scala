@@ -209,22 +209,61 @@ object PromCatalyst {
     * length >= 1 filter. One compiled pass per (word, merge) — the
     * codegen'd kernel sibling of [[nextFitBins]].
     */
-  // one-slot per-thread compile cache for the (a, b) halves of a merge
-  // list: the list arrives as the SAME literal ArrayData object every row
-  // of a task, and a production-sized list (1k+ merges — BpeScaleSpec)
-  // re-split per row would dominate the O(word) fuse work itself. Keyed by
-  // reference (eq): a different literal simply recompiles, same as before.
+  /** Tiny per-thread reference-keyed (`eq`) move-to-front cache for
+    * compiled literal arguments. A projection can evaluate SEVERAL kernel
+    * calls with DIFFERENT literal lists in the same row (e.g. two
+    * apply_merges columns under two vocabularies) — a one-slot cache would
+    * alternate the slot every row and silently recompile per row, the
+    * exact cost the cache exists to avoid. Four slots scanned linearly by
+    * reference cover any realistic per-projection literal count at ~4
+    * pointer compares per lookup, and bound what a thread can pin to four
+    * compiled lists.
+    */
+  private final class RefSlots[V <: AnyRef](cap: Int) {
+    private val keys = new Array[AnyRef](cap)
+    private val vals = new Array[AnyRef](cap)
+    def get(k: AnyRef): V = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) eq k) {
+          if (i > 0) { // move to front so the hot literal stays O(1)
+            val kk = keys(i); val vv = vals(i)
+            var j = i
+            while (j > 0) { keys(j) = keys(j - 1); vals(j) = vals(j - 1); j -= 1 }
+            keys(0) = kk; vals(0) = vv
+          }
+          return vals(0).asInstanceOf[V]
+        }
+        i += 1
+      }
+      null.asInstanceOf[V]
+    }
+    def put(k: AnyRef, v: V): Unit = { // evicts the least-recently-used tail
+      var j = cap - 1
+      while (j > 0) { keys(j) = keys(j - 1); vals(j) = vals(j - 1); j -= 1 }
+      keys(0) = k; vals(0) = v
+    }
+  }
+
+  // per-thread compile cache for the (a, b) halves of a merge list: each
+  // list arrives as the SAME literal ArrayData object every row of a task,
+  // and a production-sized list (1k+ merges — BpeScaleSpec) re-split per
+  // row would dominate the O(word) fuse work itself.
   private val mergeCache =
-    new ThreadLocal[(ArrayData, Array[String], Array[String])]
+    new ThreadLocal[RefSlots[(Array[String], Array[String])]] {
+      override def initialValue() = new RefSlots[(Array[String], Array[String])](4)
+    }
 
   private def compiledMerges(merges: ArrayData): (Array[String], Array[String]) = {
     // reference-keyed caching is only sound for immutable GenericArrayData
     // (what a folded literal holds); Unsafe arrays are REUSED row buffers —
     // same reference, different contents — and must recompile every row
     val cacheable = merges.isInstanceOf[GenericArrayData]
-    val cached = mergeCache.get()
-    if (cacheable && cached != null && (cached._1 eq merges))
-      return (cached._2, cached._3)
+    val slots = mergeCache.get()
+    if (cacheable) {
+      val hit = slots.get(merges)
+      if (hit != null) return hit
+    }
     val nM = merges.numElements()
     val ma = new Array[String](nM)
     val mb = new Array[String](nM)
@@ -236,7 +275,7 @@ object PromCatalyst {
       mb(k) = m.substring(sp + 1)
       k += 1
     }
-    if (cacheable) mergeCache.set((merges, ma, mb))
+    if (cacheable) slots.put(merges, (ma, mb))
     (ma, mb)
   }
 
@@ -315,14 +354,17 @@ object PromCatalyst {
     * per-row match work.
     */
   private val pieceCache =
-    new ThreadLocal[(ArrayData, java.util.HashSet[String], Int)]
+    new ThreadLocal[RefSlots[(java.util.HashSet[String], Integer)]] {
+      override def initialValue() =
+        new RefSlots[(java.util.HashSet[String], Integer)](4)
+    }
 
   def wordpiece(s: UTF8String, pieces: ArrayData): ArrayData = {
     val cacheable = pieces.isInstanceOf[GenericArrayData]
-    val cached = pieceCache.get()
+    val slots = pieceCache.get()
+    val hit = if (cacheable) slots.get(pieces) else null
     val (set, maxL) =
-      if (cacheable && cached != null && (cached._1 eq pieces))
-        (cached._2, cached._3)
+      if (hit != null) (hit._1, hit._2.intValue)
       else {
         val n = pieces.numElements()
         val st = new java.util.HashSet[String](n * 2)
@@ -334,7 +376,7 @@ object PromCatalyst {
           if (p.length > ml) ml = p.length
           k += 1
         }
-        if (cacheable) pieceCache.set((pieces, st, ml))
+        if (cacheable) slots.put(pieces, (st, Integer.valueOf(ml)))
         (st, ml)
       }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

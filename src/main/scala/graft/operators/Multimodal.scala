@@ -199,9 +199,11 @@ object Multimodal {
   /** Frame sampling: every `step`-th frame of each media item, with a
     * deterministic perceptual-hash stand-in per frame (test-double decode
     * for arbitrary payloads — [[videoFrameStats]] is the REAL-container
-    * twin, sampling decoded animated-GIF frames). Real codecs seek per
-    * keyframe; the plumbing shape — typed flatMap, one codec per
-    * partition, bounded output per item — is the production one.
+    * twin for frame statistics and [[videoFrameDHash]] the REAL perceptual
+    * hash the near-dup path consumes, so this stand-in survives only as
+    * the plumbing test-double). Real codecs seek per keyframe; the
+    * plumbing shape — typed flatMap, one codec per partition, bounded
+    * output per item — is the production one.
     */
   def sampleFrames(ds: Dataset[MediaItem], step: Int = 3): Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
@@ -417,12 +419,19 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // the per-partition reader outlives the lazy iterator below, so its
+      // native/decoder state is released on task completion, not here
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
       it.flatMap { m =>
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(m.media))
           reader.setInput(iis)
           val n = reader.getNumImages(true)
+          // strict Range.map: every frame is decoded before the finally
+          // below closes the stream the reader is bound to
           (0 until n by step).map { f =>
             val img = reader.read(f)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -441,6 +450,69 @@ object Multimodal {
           }
         } catch { case _: Exception =>
           Seq(VideoFrameStats(m.doc_id, -1L, -1L, -1L, -1L, -1L, -1L))
+        } finally {
+          if (iis != null) { try iis.close() catch { case _: Exception => () } }
+        }
+      }
+    }
+  }
+
+  final case class FrameDHash(doc_id: Long, frame_idx: Long, dhash: Long)
+
+  /** REAL 64-bit perceptual hash (dHash, gradient variant) per decoded
+    * frame: each sampled frame is reduced to a 9x8 grid of gray values by
+    * nearest-neighbor downsample of the `javax.imageio`-decoded pixels
+    * (grid point (cx, cy) reads pixel (cx*w/9, cy*h/8) — integer floor
+    * division, so the reduction is engine-exact and a first-principles
+    * oracle can replay it), and bit (cy*8 + cx) is set when the gray value
+    * one grid step to the RIGHT is strictly brighter — the standard
+    * horizontal-gradient dHash bit. Near-identical frames (re-encodes,
+    * minor overlays) collapse to equal/close hashes while the 64-bit space
+    * keeps unrelated frames apart — the candidate key m05's df-valved
+    * near-dup join consumes (m11 feeds it CODEC-DERIVED hashes, retiring
+    * the sampleFrames stand-in from the near-dup path; the stand-in
+    * survives only as the plumbing test-double). Undecodable payloads
+    * degrade to a single poison row (frame_idx -1, hash 0 — the p06
+    * convention), never a task failure.
+    */
+  def videoFrameDHash(ds: Dataset[MediaItem], step: Int = 1): Dataset[FrameDHash] = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.flatMap { m =>
+        var iis: javax.imageio.stream.ImageInputStream = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.media))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var hash = 0L
+            var cy = 0
+            while (cy < 8) {
+              val sy = cy * h / 8
+              var prev = img.getRGB(0, sy) & 0xff // cx=0 samples x = 0*w/9 = 0
+              var cx = 0
+              while (cx < 8) {
+                val cur = img.getRGB((cx + 1) * w / 9, sy) & 0xff
+                if (cur > prev) hash |= 1L << (cy * 8 + cx)
+                prev = cur
+                cx += 1
+              }
+              cy += 1
+            }
+            FrameDHash(m.doc_id, f.toLong, hash)
+          }
+        } catch { case _: Exception =>
+          Seq(FrameDHash(m.doc_id, -1L, 0L))
+        } finally {
+          if (iis != null) { try iis.close() catch { case _: Exception => () } }
         }
       }
     }

@@ -390,11 +390,13 @@ object DataQueries10 {
     // media near-dup by shared frame hashes — the d81/d03 bucket-candidate
     // discipline applied to the MULTIMODAL path: sample frames (m02's
     // per-partition stub codec; a real decoder swaps in without touching
-    // the plan), df-valve the frame hashes (2..16 — ubiquitous intro/outro
-    // frames never explode the join), pair media sharing >= 2 hashes, and
-    // score overlap against the smaller item's distinct-frame count
-    // (containment, the d63 convention). At 100 TB the candidate join is
-    // priced on valved frame-hash buckets — never media x media.
+    // the plan — m11 IS that swap, feeding the same valve/pair tail a
+    // codec-derived dHash from decoded GIF pixels), df-valve the frame
+    // hashes (2..16 — ubiquitous intro/outro frames never explode the
+    // join), pair media sharing >= 2 hashes, and score overlap against
+    // the smaller item's distinct-frame count (containment, the d63
+    // convention). At 100 TB the candidate join is priced on valved
+    // frame-hash buckets — never media x media.
     "m05_media_neardup" -> { (s: SparkSession, dir: String) =>
       val fr = graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()

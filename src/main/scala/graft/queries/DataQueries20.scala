@@ -360,10 +360,11 @@ object DataQueries20 {
         |r AS (SELECT doc_id, list_reduce(list_prepend(syms,
         |    [['the','data'], ['big','data'], ['thedata','big'],
         |     ['query','join'], ['join','scan'], ['value','value']]),
-        |    (st, m) -> list_reduce([[x] FOR x IN st],
+        |    (st, m) -> CASE WHEN len(st) = 0 THEN st
+        |      ELSE list_reduce([[x] FOR x IN st],
         |      (acc, xs) -> CASE WHEN acc[-1] = m[1] AND xs[1] = m[2]
         |        THEN list_append(acc[1:len(acc)-1], m[1] || m[2])
-        |        ELSE list_append(acc, xs[1]) END)) AS toks
+        |        ELSE list_append(acc, xs[1]) END) END) AS toks
         |  FROM base)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_sym,
         |  md5(array_to_string(toks, ' ')) AS h

@@ -141,14 +141,32 @@ object DataQueries9 {
     // Project PER accepted merge, so a production run (70 rounds x 48
     // merges) would grow a 3,000-Project lineage — task serialization
     // stack-overflows around ~1,000. Truncating the plan each round keeps
-    // the serialized stage O(batchM) deep regardless of round count; the
-    // superseded round's blocks are dropped once the next is materialized.
-    var words = base.localCheckpoint()
+    // the serialized stage O(batchM) deep regardless of round count.
+    // Dataset.unpersist is a NO-OP for localCheckpoint'ed frames (it only
+    // clears CacheManager entries; the checkpoint persists at the RDD
+    // level), so each superseded round's blocks must be dropped at the RDD
+    // level: pull the checkpoint RDD out of the frame's LogicalRDD leaf
+    // (the Caches.checkpointed technique) and unpersist it once the next
+    // round is materialized — otherwise a 70-round production run
+    // accumulates every round's corpus in the block manager until the
+    // ContextCleaner happens to GC it.
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val ck = df.localCheckpoint()
+      val rdds = ck.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (ck, rdds)
+    }
+    def dropBlocks(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+    var (words, blocks) = checkpointTracked(base)
     var accepted = 0
+    var exhausted = false
     val merges = Seq.newBuilder[(Long, Long, String, Long)]
     val totals = Seq.newBuilder[(Long, Long)]
     totals += ((0L, total(words)))
-    for (r <- 1 to maxRounds if accepted < targetMerges) {
+    for (r <- 1 to maxRounds if accepted < targetMerges && !exhausted) {
       // bounded TakeOrdered collect: the K-row ranked candidate window
       val top = words
         .filter(size(col("syms")) >= 2)
@@ -178,7 +196,6 @@ object DataQueries9 {
       selected.zipWithIndex.foreach { case ((a, b, cnt), i) =>
         merges += ((r.toLong, (i + 1).toLong, a + " " + b, cnt))
       }
-      val prev = words
       // apply the batch as sequential rank-order fuse passes — identical
       // semantics to the d137 applyMerges kernel's pass-per-merge loop.
       // One stacked Project PER MERGE (each fold reads the child's bound
@@ -187,20 +204,25 @@ object DataQueries9 {
       // all reference it) — a 3^16 tree that OOMs Catalyst. CollapseProject
       // keeps the stack intact because the multiply-referenced aggregate
       // is not a cheap expression.
-      val applied = selected.foldLeft(prev) { case (df, (a, b, _)) =>
+      val applied = selected.foldLeft(words) { case (df, (a, b, _)) =>
         df.select(mergePair(col("syms"), a, b).as("syms"), col("wc"))
       }
       if (selected.isEmpty) {
-        // zero merges selected → applied IS prev: keep the existing
-        // checkpoint untouched (dropping it would strand later rounds)
+        // no adjacent pairs remain anywhere in the corpus (the greedy sweep
+        // always accepts the top candidate when one exists): record the
+        // unchanged total once and stop — further rounds would each pay a
+        // full corpus rollup for provably zero progress
         totals += ((r.toLong, total(words)))
+        exhausted = true
       } else {
-        words = applied.localCheckpoint() // eager: materialized before prev drops
+        val (ck, newBlocks) = checkpointTracked(applied)
+        words = ck // eager: materialized before the superseded blocks drop
         totals += ((r.toLong, total(words)))
-        prev.unpersist(blocking = false)
+        dropBlocks(blocks)
+        blocks = newBlocks
       }
     }
-    words.unpersist(blocking = false)
+    dropBlocks(blocks)
     (merges.result(), totals.result())
   }
 

@@ -123,4 +123,40 @@ class MultimodalSpec extends AnyFunSuite {
         (0L until (2 + id % 4)).by(2L).toSeq, s"doc $id sampled frames")
     }
   }
+
+  test("perceptual dHash derives from DECODED pixels and matches the grid formula") {
+    val s = spark
+    import s.implicits._
+    val gifs = Multimodal.gifVideosFromDocuments(
+      graft.sources.Tables.load(spark, dir, "documents").limit(24))
+    val hashes = Multimodal.videoFrameDHash(gifs).collect()
+    hashes.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.length == (2 + id % 4).toInt, s"doc $id hash count")
+      val (w, h) = ((8 + id % 5).toInt, (8 + (id * 3) % 5).toInt)
+      fs.foreach { fh =>
+        // first-principles dHash: 9x8 nearest-neighbor grid over the
+        // generating gray formula, bit = right neighbor strictly brighter.
+        // Only a lossless decode of the real container can reproduce it.
+        var expect = 0L
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val sy = cy * h / 8
+          val g0 = (7 * id + 31 * (cx * w / 9) + 13 * sy + 97 * fh.frame_idx) % 256
+          val g1 = (7 * id + 31 * ((cx + 1) * w / 9) + 13 * sy + 97 * fh.frame_idx) % 256
+          if (g1 > g0) expect |= 1L << (cy * 8 + cx)
+        }
+        assert(fh.dhash == expect, s"doc $id frame ${fh.frame_idx} dHash")
+      }
+    }
+    // identical payloads hash identically (the near-dup premise) and the
+    // poison path degrades like every other decoder (p06 convention)
+    val twin = Seq(7L, 1007L).map { id =>
+      Multimodal.MediaItem(id,
+        gifs.filter(_.doc_id == 7L).collect().head.media, "image/gif")
+    }.toDS()
+    val th = Multimodal.videoFrameDHash(twin).collect()
+    assert(th.groupBy(_.frame_idx).values.forall(_.map(_.dhash).distinct.size == 1))
+    val junk = Seq(Multimodal.MediaItem(99L, Array[Byte](9, 9, 9), "video/gif")).toDS()
+    val poison = Multimodal.videoFrameDHash(junk).collect()
+    assert(poison.length == 1 && poison.head.frame_idx == -1L)
+  }
 }
