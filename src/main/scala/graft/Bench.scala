@@ -66,6 +66,16 @@ object Bench {
     // captures stdout, and at 90 queries a single combined line overflows its
     // window (BENCH_r04.json parsed:null), cutting off the leading "total"
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver artifact keeps only the last ~2000 BYTES of stdout, so the
+    // full 246-entry map above can never survive it whole (r15 kept 68 keys).
+    // The line the adjudication actually needs is the expensive tail: emit
+    // the slowest queries compactly (ms ints) right before the summary so
+    // they always land inside the byte window; the full-resolution map lives
+    // in the committed SPARK_GRAFT_LOCAL_OUT artifact.
+    val slow = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","unit":"ms","top":$slow}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // committed builder artifact (SPARK_GRAFT_LOCAL_OUT=BENCHLOCAL_rN.json):
     // the driver's stdout tail truncates the per-query map, which has cost

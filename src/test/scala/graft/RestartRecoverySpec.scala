@@ -126,4 +126,63 @@ class RestartRecoverySpec extends AnyFunSuite {
       } finally q2.stop()
     }
   }
+
+  test("composed liveYield ledger is batch-identical across stop + resume (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    withRocksDb {
+      val ckpt = tempDir("graft-yield-ckpt-")
+      val out = tempDir("graft-yield-out-")
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val passText = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and"
+      val shortText = "too short the of"
+      val freshText = (1 to 60).map(i => s"fresh$i").mkString(" ") + " the of and"
+      val reference = Seq(passText).toDF("text") // known duplicate
+      val ms = MemoryStream[(Timestamp, String)](spark)
+      def start() =
+        StreamOps.liveYield(ms.toDF().toDF("et", "text"), "text", "et",
+            "5 seconds", "10 seconds", reference)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+
+      // run 1: two docs land in window [0, 10s); the watermark never
+      // reaches the window end, so NOTHING is emitted — every count the
+      // ledger owes lives only in the windowed-aggregation state
+      val q1 = start()
+      ms.addData((ts(1), passText), (ts(2), shortText))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2: a fresh query object resumes from the checkpoint; a third
+      // doc joins the SAME window (its sums must MERGE into recovered
+      // partials — a fresh store would ledger only the post-restart doc),
+      // then a late marker advances the watermark and closes the window
+      val q2 = start()
+      try {
+        ms.addData((ts(3), freshText))
+        q2.processAllAvailable()
+        ms.addData((ts(30), shortText))
+        q2.processAllAvailable()
+        val metrics = q2.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet().toString.contains("rocksdb"),
+          s"expected rocksdb state metrics, got $metrics")
+      } finally q2.stop()
+
+      // the closed-window ledger row must equal the BATCH twin computed
+      // over the union of all pre- and post-restart events (liveYield's
+      // watermark is a no-op in batch, so the same code is the oracle)
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val got = spark.read.parquet(out).collect()
+        .filter(_.getTimestamp(0).getTime == 0L).map(tup).toSeq
+      val expect = StreamOps.liveYield(
+          Seq((ts(1), passText), (ts(2), shortText), (ts(3), freshText),
+            (ts(30), shortText)).toDF("et", "text"),
+          "text", "et", "5 seconds", "10 seconds", reference)
+        .collect().filter(_.getTimestamp(0).getTime == 0L).map(tup).toSeq
+      assert(got.length == 1 && got == expect,
+        s"restart ledger $got must equal batch ledger $expect")
+    }
+  }
 }
