@@ -97,4 +97,34 @@ class BpeMergeSpec extends AnyFunSuite {
     assert(total == totals.last._2,
       s"encode total $total != trained final total ${totals.last._2}")
   }
+
+  test("two different literal merge lists in ONE projection stay independent") {
+    // the per-thread compile cache is reference-keyed with 4 LRU slots; a
+    // projection evaluating two kernels under two vocabularies alternates
+    // keys every row — results must never cross-contaminate (and a cache
+    // regression to one slot would only slow it, never corrupt it, but
+    // this pins the correctness side of the multi-literal case)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("a b c d", "b c a b").toDF("text")
+    val m1 = array(lit("a b"), lit("ab c")) // chained: 2nd fires after 1st
+    val m2 = array(lit("c d"), lit("b cd"))
+    val merged = df.select(
+      graft.functions.prom.apply_merges_words(col("text"), m1).as("t1"),
+      graft.functions.prom.apply_merges_words(col("text"), m2).as("t2"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(merged(0)._1 == Seq("abc", "d") && merged(0)._2 == Seq("a", "bcd"))
+    assert(merged(1)._1 == Seq("b", "c", "ab")
+      && merged(1)._2 == Seq("b", "c", "a", "b"))
+    // wordpiece: two lexicons side by side, character maximal munch per word
+    val wp = Seq("abcd cdab").toDF("text").select(
+      graft.functions.prom.wordpiece(col("text"), array(lit("a"), lit("b"),
+        lit("c"), lit("d"), lit("ab"))).as("w1"),
+      graft.functions.prom.wordpiece(col("text"), array(lit("a"), lit("b"),
+        lit("c"), lit("d"), lit("cd"))).as("w2"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(wp(0)._1 == Seq("ab", "c", "d", "c", "d", "ab"))
+    assert(wp(0)._2 == Seq("a", "b", "cd", "cd", "a", "b"))
+  }
 }

@@ -600,6 +600,19 @@ class PlanSpec extends AnyFunSuite {
       "q44's only corpus pass must be a partial-aggregatable count\n" + p44)
   }
 
+  test("m11: pair candidates come from a dhash equijoin over the cached decode") {
+    // the near-dup join must be priced on valved hash buckets: an equijoin
+    // keyed by the codec-derived dhash (never media x media), reading the
+    // decoded hash table from ONE materialization — four consumers
+    // re-decoding every GIF per branch would quadruple the codec cost
+    val p = plan("m11_video_neardup")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*dhash".r
+      .findFirstIn(p).nonEmpty, s"pair join must key on dhash\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"decoded hash table must be cached, not re-decoded per consumer\n$p")
+    graft.sources.Caches.release(spark)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should gate the fact scan at row
     // level before the shuffle — Spark's runtime bloom filter does exactly
