@@ -33,6 +33,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("every unpartitioned window runs over a reviewed bounded table") {
+    // a Window with an EMPTY partitionSpec moves its entire input into ONE
+    // task — fatal if the input is corpus-sized at 100 TB. The design rule
+    // (ScaleWindows): global windows are legal only over tables bounded by
+    // a value domain or a fixed k, never by data volume. This sweep pins
+    // the reviewed whitelist so a corpus-global window can never slip into
+    // a new query unnoticed.
+    // audited 2026-08-15 (optimizedPlan Window nodes, child inspected):
+    val reviewed: Set[String] = Set(
+      // top-k tables under a GlobalLimit (50/200/1000 rows)
+      "d102_rrf_hybrid", "d106_weighted_sample", "d109_zipf_slope",
+      "d74_vocab_coverage",
+      // per-shard aggregates — row count = the fixed shard count
+      "d113_pack_order", "d151_pack_xdoc", "d42_seq_pack", "d43_pack_greedy",
+      "d44_pack_report", "d47_pack_capped", "d85_pack_capstone",
+      "d88_seqlen_curve", "m04_mm_pack", "d141_shard_admission",
+      // per-source/domain stat tables (|sources| rows; d139/d53 are the
+      // one-row whole-table stat broadcast written as an empty-order window)
+      "d107_apportion", "d108_waterfill", "d143_epoch_plan",
+      "d139_doremi_reweight", "d53_temp_mix",
+      // value-domain-bounded rollups: distinct lengths / bins / bands
+      "d171_cap_solver", "d26_length_band", "d34_prep_pipeline",
+      "d92_hist_quantiles", "d98_corpus_card",
+      // doubly-contracted ScaleWindows band tables (bounded by Long-domain
+      // arithmetic, the r15 design) and the fixed rule/stage orders
+      "d154_classifier_auc", "d155_score_spearman", "d177_auc_binned",
+      "d160_filter_waterfall", "d165_dedup_funnel",
+      // trained-vocab id assignment (merge-list-bounded)
+      "d137_bpe_ids",
+      // ANSI-surface distribution functions over a FIXED-predicate input
+      // (c_custkey < 500 caps the window at 499 rows at any SF); the
+      // scale-path siblings are q44's closed-form + ScaleWindows ranks
+      "q24_dist")
+    val offenders = SparkEntry.queries.keys.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val globals = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      graft.sources.Caches.release(spark)
+      if (globals.nonEmpty) Some(name) else None
+    }.toSeq.sorted
+    assert(offenders.toSet == reviewed,
+      s"unpartitioned-window queries changed: $offenders (reviewed: $reviewed)")
+  }
+
   test("q01: filter pushed to parquet scan + two-phase aggregation") {
     val p = plan("q01_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
