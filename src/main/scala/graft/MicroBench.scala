@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Model.Sample
+import graft.operators.PromPipeline
+import graft.streaming.TenantBatcher
+
+/** Microbenchmarks mirroring the REFERENCE's bench harnesses, whose results
+  * the reference never recorded (BASELINE.md "none published"):
+  *
+  *   - serializer marshal throughput — 1 sample / 2 labels, repeated
+  *     marshal (`pkg/pulsar/serializers_test.go:102-108,186-192,238-244`) —
+  *     here the three Catalyst serializer kernels over a generated column
+  *     (non-literal timestamp so constant folding cannot elide the work);
+  *   - consume batcher throughput — tenants x N samples through the
+  *     stateful batcher into a no-op sink
+  *     (`pkg/remote/write_test.go:375-419`: 1/50/500 tenants x BatchSize
+  *     100; 100 tenants x BatchSize 1000) — here TenantBatcher
+  *     (flatMapGroupsWithState) fed one micro-batch via MemoryStream,
+  *     timed from data availability to processAllAvailable.
+  *
+  * No Go toolchain exists in this environment, so the reference side stays
+  * unmeasured; these numbers (tools/microbench.md) record the Spark side of
+  * the comparison on the same harness shapes. Run:
+  *   sbt -batch "runMain graft.MicroBench"
+  */
+object MicroBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- serializer marshal (1 sample, 2 labels — the Go bench fixture) ----
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SER_ROWS", "2000000").toLong
+    def serDf = spark.range(rows).select(
+      col("id").as("timestampMs"), // varies per row: keeps codegen honest
+      lit(456.0).as("value"),
+      map(lit("__name__"), lit("foo"), lit("labelfoo"), lit("label-bar"))
+        .as("labels"),
+      lit("").as("tenantId"))
+    for (fmt <- Seq("json", "json-compat", "avro-json-compat")) {
+      val times = (1 to 4).map { _ => // rep 1 doubles as warmup; min of the rest
+        val t0 = System.nanoTime()
+        PromPipeline.serialize(serDf, fmt).select(col("payload"), col("key"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1)
+      val rps = rows / times.min
+      println(s"""{"bench":"serialize","format":"$fmt","rows":$rows,"sec":${times.min},"rows_per_sec":${rps.toLong}}""")
+    }
+
+    // ---- batcher throughput (write_test.go:375-419 shapes) ----
+    // fed in ~20k-sample chunks (multiple micro-batches): the Go bench
+    // pushes samples through a channel incrementally, and a single
+    // monolithic 200k-row trigger would measure one giant state commit
+    // (and OOM a default driver) instead of steady-state trigger flow.
+    // Completion is observed by polling the memory sink's row count —
+    // processAllAvailable does not barrier reliably under
+    // ProcessingTimeTimeout (see StreamingSpec's await note). Every flush
+    // is size-triggered (perTenant is an exact multiple of batchSize).
+    implicit val sampleEnc: org.apache.spark.sql.Encoder[Sample] =
+      Encoders.product[Sample]
+    var runId = 0
+    def batcher(tenants: Int, perTenant: Int, batchSize: Int): Unit = {
+      val data = (for { t <- 0 until tenants; i <- 0 until perTenant }
+        yield Sample(i.toLong, 456.0,
+          Map("__name__" -> "foo", "labelfoo" -> "label-bar"), s"tenant-$t")).toVector
+      val expected = tenants.toLong * perTenant / batchSize
+      val times = (1 to 3).map { _ =>
+        runId += 1
+        val name = s"mb_batcher_$runId"
+        val ms = MemoryStream[Sample](spark)
+        val q = TenantBatcher(ms.toDS(),
+            TenantBatcher.Config(batchSize, 3600000L))
+          .select(col("tenantId"), col("size"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        data.grouped(20000).foreach(ms.addData(_))
+        var n = 0L
+        val deadline = System.currentTimeMillis() + 300000
+        while (n < expected && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          n = spark.table(name).count()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        require(n == expected, s"$name: $n of $expected batches after ${dt}s")
+        dt
+      }
+      val n = tenants.toLong * perTenant
+      println(s"""{"bench":"batcher","tenants":$tenants,"per_tenant":$perTenant,"batch_size":$batchSize,"samples":$n,"sec":${times.min},"samples_per_sec":${(n / times.min).toLong}}""")
+    }
+    batcher(tenants = 1, perTenant = 200000, batchSize = 100)
+    batcher(tenants = 50, perTenant = 4000, batchSize = 100)
+    batcher(tenants = 500, perTenant = 400, batchSize = 100)
+    batcher(tenants = 100, perTenant = 2000, batchSize = 1000)
+
+    spark.stop()
+  }
+}
