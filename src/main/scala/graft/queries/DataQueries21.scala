@@ -53,6 +53,48 @@ object DataQueries21 {
           floor(col("shared") * lit(1000000L) / least(col("na"), col("nb")))
             .cast("long").as("overlap_q6"))
         .orderBy("a", "b")
+    },
+
+    // banded HAMMING search over the perceptual hash — the d35/d48 SimHash
+    // discipline applied to the media path: m11's exact-equal join only
+    // finds identical frames, but near-identical frames (re-encodes, small
+    // overlays) differ by a FEW dHash bits, so candidates come from
+    // splitting each codec-derived 64-bit hash into 4 x 16-bit bands
+    // (Hamming <= 3 guarantees one exact band by pigeonhole; <= 8 is
+    // recall-best-effort, the production trade), df-valving each band
+    // bucket (2..64 — structured gradients are the media twin of
+    // ubiquitous shingles), pairing within buckets, and verifying EXACT
+    // Hamming via one xor+popcount per candidate. At 100 TB the cost is
+    // sum of valved bucket squares + one codegen'd popcount per candidate
+    // — never media x media, and verification never touches pixels again.
+    "m12_video_hamming" -> { (s, dir) =>
+      val fr = graft.operators.Multimodal.videoFrameDHash(
+        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir))).toDF()
+        .select(col("doc_id"), col("dhash")).distinct()
+        .transform(graft.sources.Caches.ephemeral)
+      val bands = fr.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(bd => struct(lit(bd.toLong).as("bnd"),
+          shiftrightunsigned(col("dhash"), 16 * bd).bitwiseAND(lit(0xFFFFL))
+            .as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("dhash"), col("e.bnd"), col("e.bv"))
+      val valve = bands.groupBy(col("bnd"), col("bv"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df").between(2, 64))
+        .select(col("bnd"), col("bv"))
+      val bo = bands.join(valve, Seq("bnd", "bv"))
+      val cand = bo.select(col("doc_id").as("a"), col("dhash").as("ha"),
+          col("bnd"), col("bv"))
+        .join(bo.select(col("doc_id").as("b"), col("dhash").as("hb"),
+          col("bnd"), col("bv")), Seq("bnd", "bv"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      cand
+        .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("ham") <= 8)
+        .groupBy(col("a"), col("b"))
+        .agg(min(col("ham")).cast("long").as("min_ham"),
+          count(lit(1)).as("n_close"))
+        .orderBy("a", "b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +126,34 @@ object DataQueries21 {
         |SELECT p.a, p.b, p.shared,
         |  CAST(floor(p.shared * 1000000.0 / least(na.nf, nb.nf)) AS BIGINT) AS overlap_q6
         |FROM pairs p JOIN nf na ON na.doc_id = p.a JOIN nf nb ON nb.doc_id = p.b
-        |WHERE p.shared >= 2 ORDER BY p.a, p.b""".stripMargin)
+        |WHERE p.shared >= 2 ORDER BY p.a, p.b""".stripMargin,
+
+    // same dHash replay from the generating formula, then the band/valve/
+    // pair/popcount tail; bands extract from the UNSIGNED hu so the sign
+    // bit lands in band 3 exactly like Spark's shiftrightunsigned
+    "m12_video_hamming" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
+        |    2 + doc_id % 4 AS nfr FROM documents),
+        |fi AS (SELECT doc_id, w, h, unnest(generate_series(0, nfr - 1)) AS f FROM g),
+        |cyt AS (SELECT doc_id, w, h, f, unnest(generate_series(0, 7)) AS cy FROM fi),
+        |bt AS (SELECT doc_id, f, cy, unnest(generate_series(0, 7)) AS cx, w, h FROM cyt),
+        |bits AS (SELECT doc_id, f, cy, cx,
+        |    CASE WHEN (7 * doc_id + 31 * (((cx + 1) * w) // 9) + 13 * ((cy * h) // 8) + 97 * f) % 256
+        |            > (7 * doc_id + 31 * ((cx * w) // 9) + 13 * ((cy * h) // 8) + 97 * f) % 256
+        |      THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit FROM bt),
+        |hraw AS (SELECT doc_id, f, sum(bit * (1::HUGEINT << (cy * 8 + cx))) AS hu
+        |  FROM bits GROUP BY doc_id, f),
+        |fr AS (SELECT DISTINCT doc_id, hu, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS dhash FROM hraw),
+        |bands AS (SELECT doc_id, dhash, bnd, CAST((hu >> (16 * bnd)) & 65535 AS BIGINT) AS bv
+        |  FROM fr, (SELECT unnest(generate_series(0, 3)) AS bnd)),
+        |valve AS (SELECT bnd, bv FROM (SELECT bnd, bv, count(DISTINCT doc_id) AS df
+        |  FROM bands GROUP BY bnd, bv) WHERE df BETWEEN 2 AND 64),
+        |bo AS (SELECT bands.doc_id, bands.dhash, bands.bnd, bands.bv
+        |  FROM bands JOIN valve USING (bnd, bv)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b2, x.dhash AS ha, y.dhash AS hb
+        |  FROM bo x JOIN bo y ON x.bnd = y.bnd AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |ver AS (SELECT a, b2, bit_count(xor(ha, hb)) AS ham FROM cand)
+        |SELECT a, b2 AS b, CAST(min(ham) AS BIGINT) AS min_ham, CAST(count(*) AS BIGINT) AS n_close
+        |FROM ver WHERE ham <= 8 GROUP BY a, b2 ORDER BY a, b""".stripMargin)
 }

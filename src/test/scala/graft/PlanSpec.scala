@@ -657,6 +657,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       s"decoded hash table must be cached, not re-decoded per consumer\n$p")
     graft.sources.Caches.release(spark)
+    // m12: candidates from the (band, value) equijoin; Hamming verification
+    // is a codegen'd xor+popcount projection, never a second decode
+    val p12 = plan("m12_video_hamming")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*bnd".r
+      .findFirstIn(p12).nonEmpty, s"m12 candidates must key on (bnd, bv)\n$p12")
+    assert(p12.contains("bit_count"), s"m12 must verify via popcount\n$p12")
+    graft.sources.Caches.release(spark)
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {
