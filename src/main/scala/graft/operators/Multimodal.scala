@@ -315,6 +315,93 @@ object Multimodal {
     }
   }
 
+  /** Synthesize deterministic SPEECH-SHAPED WAVs: `lead` silent frames, a
+    * loud middle, `trail` silent frames — all geometry and samples pure
+    * functions of doc_id (frames of 8 samples; silence |s| <= 32, loud
+    * s in [8192, 24575]), so a silence-trim over the REAL decode has a
+    * closed-form oracle. PCM16 is lossless end-to-end (the m09 result),
+    * which is what lets the formula stand in for the decoder.
+    */
+  def wavSpeechFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nf = (12 + id % 8).toInt
+      val lead = (id % 4).toInt
+      val trail = ((id / 4) % 4).toInt
+      val n = nf * 8
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(1.toShort) // mono
+        .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+        .putShort(2.toShort).putShort(16.toShort) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        val f = i / 8
+        val s =
+          if (f < lead || f >= nf - trail) ((id + i) % 64 - 32).toInt
+          else ((31 * id + 17 * i) % 16384 + 8192).toInt
+        buf.putShort(s.toShort)
+        i += 1
+      }
+      MediaItem(id, buf.array(), "audio/wav")
+    }
+  }
+
+  /** Silence trim over a REAL `javax.sound.sampled` decode — the m06 plan
+    * with the stub energy replaced by decoded PCM16 sums (the decode path
+    * m09 proved lossless): per `frameLen`-sample frame, energy = sum |s|;
+    * a frame is SILENT below `threshold`; keep [first, last] non-silent.
+    * m06's [[audioTrimPlan]] stays as the arbitrary-payload plumbing
+    * test-double; THIS retires the audio-trim stand-in the way m11/m12
+    * retired the frame-hash one. Undecodable payloads degrade to one
+    * poison row (n_frames -1, the p06 convention).
+    */
+  def audioTrimStats(ds: Dataset[MediaItem], frameLen: Int = 8,
+      threshold: Long = 1000L): Dataset[AudioTrim] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.media))
+          val fmt = in.getFormat
+          val bytes = try in.readAllBytes() finally in.close()
+          val le = !fmt.isBigEndian
+          val n = bytes.length / 2
+          val nFrames = (n + frameLen - 1) / frameLen
+          var first = -1L; var last = -1L; var silent = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * frameLen
+            val end = math.min(i + frameLen, n)
+            while (i < end) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1) & 0xff
+              val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toLong
+              e += math.abs(s)
+              i += 1
+            }
+            if (e < threshold) silent += 1
+            else { if (first < 0) first = f.toLong; last = f.toLong }
+            f += 1
+          }
+          AudioTrim(m.doc_id, nFrames.toLong, silent, first, last,
+            if (first < 0) 0L else last - first + 1L)
+        } catch { case _: Exception =>
+          AudioTrim(m.doc_id, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Exact per-clip sample statistics through a REAL audio decode: the
     * payload is parsed and decoded by the JDK's `javax.sound.sampled`
     * (header validation + PCM frame extraction — works headless, zero

@@ -95,6 +95,20 @@ object DataQueries21 {
         .agg(min(col("ham")).cast("long").as("min_ham"),
           count(lit(1)).as("n_close"))
         .orderBy("a", "b")
+    },
+
+    // silence trim over a REAL audio decode — retires m06's stub-energy
+    // stand-in the way m11/m12 retired the frame-hash one: speech-shaped
+    // PCM16 WAVs (silent lead / loud middle / silent trail, all derived
+    // from doc_id) are decoded by javax.sound.sampled and trimmed on exact
+    // per-frame |s| sums; the oracle is the closed-form lead/trail
+    // geometry, which only a lossless real decode can reproduce. One
+    // decoder pass per clip, bounded per-item output — the m02/m08 seam.
+    "m13_audio_trim_real" -> { (s, dir) =>
+      graft.operators.Multimodal.audioTrimStats(
+        graft.operators.Multimodal.wavSpeechFromDocuments(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +169,17 @@ object DataQueries21 {
         |  FROM bo x JOIN bo y ON x.bnd = y.bnd AND x.bv = y.bv AND x.doc_id < y.doc_id),
         |ver AS (SELECT a, b2, bit_count(xor(ha, hb)) AS ham FROM cand)
         |SELECT a, b2 AS b, CAST(min(ham) AS BIGINT) AS min_ham, CAST(count(*) AS BIGINT) AS n_close
-        |FROM ver WHERE ham <= 8 GROUP BY a, b2 ORDER BY a, b""".stripMargin)
+        |FROM ver WHERE ham <= 8 GROUP BY a, b2 ORDER BY a, b""".stripMargin,
+
+    // the fixture's lead/loud/trail geometry in closed form: silent frames
+    // are exactly the lead = id%4 and trail = (id//4)%4 (|s| <= 32 < the
+    // 1000 threshold; loud frames sum >= 8*8192)
+    "m13_audio_trim_real" ->
+      """SELECT doc_id,
+        |  CAST(12 + doc_id % 8 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 4) + ((doc_id // 4) % 4) AS BIGINT) AS n_silent,
+        |  CAST(doc_id % 4 AS BIGINT) AS first_keep,
+        |  CAST(12 + doc_id % 8 - 1 - ((doc_id // 4) % 4) AS BIGINT) AS last_keep,
+        |  CAST(12 + doc_id % 8 - (doc_id % 4) - ((doc_id // 4) % 4) AS BIGINT) AS kept_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -94,6 +94,9 @@ class MultimodalSpec extends AnyFunSuite {
     // single poison frame row, the rest of the partition unaffected
     val vid = Multimodal.videoFrameStats(junk).collect()
     assert(vid.length == 1 && vid.head.frame_idx == -1L && vid.head.n_frames == -1L)
+    // and the real audio trim: corrupt WAV -> one poison row
+    val tr = Multimodal.audioTrimStats(junk).collect()
+    assert(tr.length == 1 && tr.head.n_frames == -1L)
   }
 
   test("animated GIF sequence round-trips losslessly; frame sampling honors step") {
