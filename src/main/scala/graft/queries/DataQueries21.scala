@@ -109,6 +109,31 @@ object DataQueries21 {
         graft.operators.Multimodal.wavSpeechFromDocuments(docs(s, dir)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // per-shard media energy drift over the REAL decode — m07's audit
+    // shape (d158's multimodal sibling) with the stub byte-sum energy
+    // replaced by decoded pixel gray mass from the javax.imageio video
+    // path: per arrival shard, gray energy per pixel as an exact-integer
+    // ratio against the global mean (DECIMAL products — pixels x energy
+    // crosses Long at corpus scale). One decode pass, a 4-row rollup, and
+    // a one-row broadcast — the drift monitor costs nothing beyond the
+    // decode a real pipeline already pays.
+    "m14_mm_drift_real" -> { (s, dir) =>
+      val fs = graft.operators.Multimodal.videoFrameStats(
+        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)),
+        step = 1).toDF()
+      val sh = fs.select((col("doc_id") % 4).as("shard"),
+          (col("width") * col("height")).as("px"), col("sum_gray"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("px")).as("pixels"),
+          sum(col("sum_gray")).as("gray"))
+      val g = sh.agg(sum(col("pixels")).as("gp"), sum(col("gray")).as("gg"))
+      sh.crossJoin(broadcast(g))
+        .select(col("shard"), col("n_frames"), col("pixels"), col("gray"),
+          expr("CAST(CAST(gray AS DECIMAL(38,0)) * gp * 1000000 DIV (CAST(pixels AS DECIMAL(38,0)) * gg) AS BIGINT)")
+            .as("drift_q6"))
+        .orderBy("shard")
     })
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +206,25 @@ object DataQueries21 {
         |  CAST(doc_id % 4 AS BIGINT) AS first_keep,
         |  CAST(12 + doc_id % 8 - 1 - ((doc_id // 4) % 4) AS BIGINT) AS last_keep,
         |  CAST(12 + doc_id % 8 - (doc_id % 4) - ((doc_id // 4) % 4) AS BIGINT) AS kept_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-frame gray mass replayed from the m10 generating formula, then
+    // the shard rollup + global-ratio tail in exact integer arithmetic
+    "m14_mm_drift_real" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
+        |    2 + doc_id % 4 AS nfr FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nfr - 1)) AS f FROM g),
+        |xs AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM fr),
+        |ys AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |px AS (SELECT doc_id, f, w, h,
+        |    (7 * doc_id + 31 * x + 13 * y + 97 * f) % 256 AS gray FROM ys),
+        |fstats AS (SELECT doc_id, f, CAST(max(w) * max(h) AS BIGINT) AS px,
+        |    CAST(sum(gray) AS BIGINT) AS sg FROM px GROUP BY doc_id, f),
+        |sh AS (SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(px) AS BIGINT) AS pixels, CAST(sum(sg) AS BIGINT) AS gray
+        |  FROM fstats GROUP BY 1),
+        |gtot AS (SELECT sum(pixels) AS gp, sum(gray) AS gg FROM sh)
+        |SELECT shard, n_frames, pixels, gray,
+        |  CAST(CAST(gray AS HUGEINT) * gp * 1000000 // (CAST(pixels AS HUGEINT) * gg) AS BIGINT) AS drift_q6
+        |FROM sh, gtot ORDER BY shard""".stripMargin)
 }
