@@ -690,4 +690,42 @@ class PlanSpec extends AnyFunSuite {
         "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (the q14 lever's sibling)") {
+    // salting (q14) fixes skew the plan can predict; AQE skew-join fixes
+    // the skew discovered at RUNTIME from shuffle statistics — the lever a
+    // 100 TB run leans on when a hot key emerges mid-job. Pin that it
+    // engages: a join where half the left side lands on one key must
+    // finalize with SortMergeJoin(skew=true) reading a split
+    // (AQEShuffleRead skewed) partition. Thresholds are scaled down to the
+    // test's data volume; production uses the 256MB defaults.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val left = spark.range(0, 400000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      assert(j.collect().length == 201000) // finalize the adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+      assert(p.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
