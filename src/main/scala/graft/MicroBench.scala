@@ -105,6 +105,87 @@ object MicroBench {
     batcher(tenants = 500, perTenant = 400, batchSize = 100)
     batcher(tenants = 100, perTenant = 2000, batchSize = 1000)
 
+    // ---- end-to-end produce bridge (integration load shape, scaled) ----
+    // the reference's integration harness posts 500 series x 4 samples per
+    // remote_write request (integration_test.go:80); here R such requests
+    // flow through the WHOLE bridge — live HTTP POST -> receiver source ->
+    // snappy+protobuf decode -> explode -> tenant -> serialize+key ->
+    // keyed broker sink — and the wall runs first-post -> last message
+    // landed. This is the single-node bridge throughput number the
+    // reference never published.
+    {
+      val port = 19311
+      val topic = "mb_bridge"
+      val requests = 100; val seriesPerReq = 500; val samplesPerSeries = 4
+      val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
+        .option("port", port.toString).load()
+      val samples = PromPipeline.attachTenant(
+        PromPipeline.explodeWriteRequest(
+          PromPipeline.decodeBody(src, col("body"))
+            .filter(col("timeseries").isNotNull),
+          col("timeseries")),
+        col("basicAuthUser"), col("orgIdHeader"))
+      val q = PromPipeline.serialize(samples, "json")
+        .select(col("key"), col("payload").cast("binary").as("payload"))
+        .writeStream
+        .foreach(graft.streaming.KeyedSink.writer(
+          new graft.streaming.InMemoryBroker.Factory(topic)))
+        .outputMode("append").start()
+      try {
+        def body(req: Int): Array[Byte] = {
+          val series = (0 until seriesPerReq).map { sid =>
+            (Map("__name__" -> "node_cpu_seconds_total",
+              "instance" -> s"instance$sid", "req" -> req.toString),
+              (0 until samplesPerSeries).map(k =>
+                (0.5 + k, (req * 1000 + k).toLong + 10000L)))
+          }
+          val pbReq = graft.functions.PromKernel.PbWriteRequest(series.map {
+            case (labels, ss) => graft.functions.PromKernel.PbTimeSeries(
+              labels.toSeq.sortBy(_._1).map { case (k, v) =>
+                graft.functions.PromKernel.PbLabel(k, v) },
+              ss.map { case (v, ts) => graft.functions.PromKernel.PbSample(v, ts) })
+          })
+          graft.functions.PromKernel.snappyCompress(
+            graft.functions.PromKernel.encodeWriteRequest(pbReq))
+        }
+        val http = java.net.http.HttpClient.newHttpClient()
+        def post(b: Array[Byte]): Int = http.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port/write"))
+            .header("X-Scope-OrgID", "bench")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(b)).build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+        // readiness: the tiny probe repeats until the receiver binds
+        val probe = body(999999)
+        val ready = System.currentTimeMillis() + 30000
+        while ({ (try post(probe) catch { case _: Exception => -1 }) != 200 } &&
+          System.currentTimeMillis() < ready) Thread.sleep(100)
+        val bodies = (0 until requests).map(body)
+        val expected = requests.toLong * seriesPerReq * samplesPerSeries
+        val times = (1 to 2).map { _ =>
+          Thread.sleep(700) // let in-flight probe/previous-rep batches land
+          graft.streaming.InMemoryBroker.clear(topic)
+          val t0 = System.nanoTime()
+          bodies.foreach(post)
+          val deadline = System.currentTimeMillis() + 120000
+          while (graft.streaming.InMemoryBroker.topic(topic).size < expected &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+          val dt = (System.nanoTime() - t0) / 1e9
+          require(graft.streaming.InMemoryBroker.topic(topic).size >= expected,
+            s"bridge: only ${graft.streaming.InMemoryBroker.topic(topic).size} of $expected landed")
+          dt
+        }
+        println(s"""{"bench":"bridge_produce","requests":$requests,"series_per_req":$seriesPerReq,"samples_per_series":$samplesPerSeries,"samples":$expected,"sec":${times.min},"samples_per_sec":${(expected / times.min).toLong}}""")
+      } finally {
+        q.stop()
+        graft.sources.HttpRemoteWriteSource.shutdown(port)
+        graft.streaming.InMemoryBroker.clear(topic)
+      }
+    }
+
     spark.stop()
+    // the bridge bench's java.net.http client keeps non-daemon selector
+    // threads alive past main — exit explicitly so `sbt run` terminates
+    sys.exit(0)
   }
 }
