@@ -183,8 +183,77 @@ object MicroBench {
       }
     }
 
+    // ---- end-to-end consume bridge ----
+    // the reverse direction: broker -> deserialize (poison-skip) ->
+    // stateful per-tenant batcher -> re-encode -> remote_write HTTP POST
+    // to a live local endpoint. The topic is pre-filled with 200k
+    // serialized samples over 50 tenants; maxRecordsPerTrigger=20000
+    // paces the source (the admission-control knob a production run
+    // uses), and the wall runs query-start -> last sample delivered.
+    {
+      import spark.implicits._
+      val topic = "mb_consume"
+      val tenants = 50
+      val total = 200000L
+      graft.streaming.InMemoryBroker.clear(topic)
+      val payloads = PromPipeline.serialize(
+        spark.range(total).select(
+          col("id").as("timestampMs"), lit(456.0).as("value"),
+          map(lit("__name__"), lit("foo"), lit("instance"),
+            concat(lit("i"), (col("id") % 1000).cast("string"))).as("labels"),
+          concat(lit("t"), (col("id") % tenants).cast("string")).as("tenantId")),
+        "json").select(col("key"), col("payload")).collect()
+      payloads.foreach { r =>
+        graft.streaming.InMemoryBroker.topic(topic).add(
+          graft.streaming.InMemoryBroker.Message(
+            r.getString(0), r.getString(1).getBytes("UTF-8")))
+      }
+      val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      server.createContext("/api/v1/write", { ex =>
+        val req = graft.functions.PromKernel.decodeWriteRequest(
+          graft.functions.PromKernel.snappyUncompress(
+            ex.getRequestBody.readAllBytes()))
+        delivered.addAndGet(req.timeseries.size.toLong) // 1 sample per series
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+      server.start()
+      val client = new graft.streaming.RemoteWriteSink.HttpClient(
+        s"http://localhost:${server.getAddress.getPort}/api/v1/write")
+      val broker = spark.readStream.format("graft.sources.BrokerSourceProvider")
+        .option("topic", topic).option("maxRecordsPerTrigger", "20000").load()
+      val sampleRows = PromPipeline.deserialize(
+          broker.withColumn("payload", col("payload").cast("string")), 0,
+          col("payload"))
+        .filter(col("sample").isNotNull).select("sample.*").as[Sample]
+      val t0 = System.nanoTime()
+      val q = TenantBatcher(sampleRows,
+          TenantBatcher.Config(batchSize = 100, batchMaxDelayMs = 3600000L))
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[TenantBatcher.Batch],
+            _: Long) =>
+          ds.foreachPartition { it: Iterator[TenantBatcher.Batch] =>
+            graft.streaming.RemoteWriteSink.deliver(client)(it); ()
+          }
+        }
+        .outputMode("append").start()
+      try {
+        val deadline = System.currentTimeMillis() + 240000
+        while (delivered.get() < total &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(delivered.get() >= total,
+          s"consume bridge: only ${delivered.get()} of $total delivered")
+        println(s"""{"bench":"bridge_consume","tenants":$tenants,"samples":$total,"batch_size":100,"sec":$dt,"samples_per_sec":${(total / dt).toLong}}""")
+      } finally {
+        q.stop(); server.stop(0)
+        graft.streaming.InMemoryBroker.clear(topic)
+      }
+    }
+
     spark.stop()
-    // the bridge bench's java.net.http client keeps non-daemon selector
+    // the bridge benches' java.net.http clients keep non-daemon selector
     // threads alive past main — exit explicitly so `sbt run` terminates
     sys.exit(0)
   }
