@@ -59,11 +59,14 @@ object MicroBench {
     }
 
     // ---- batcher throughput (write_test.go:375-419 shapes) ----
-    // fed in ~20k-sample chunks (multiple micro-batches): the Go bench
-    // pushes samples through a channel incrementally, and a single
-    // monolithic 200k-row trigger would measure one giant state commit
-    // (and OOM a default driver) instead of steady-state trigger flow.
-    // Completion is observed by polling the memory sink's row count —
+    // fed in 20k-sample chunks with at most ONE unprocessed chunk
+    // outstanding: MemoryStream's next trigger swallows ALL pending
+    // blocks, so unpaced feeding re-creates the monolithic state commit
+    // the chunking is meant to avoid, while a full barrier per chunk
+    // measures trigger LATENCY, not pipelined throughput — one chunk in
+    // flight bounds every trigger at <= 40k rows and keeps the engine
+    // continuously fed (the Go bench's channel push). Completion is
+    // observed by polling the memory sink's row count —
     // processAllAvailable does not barrier reliably under
     // ProcessingTimeTimeout (see StreamingSpec's await note). Every flush
     // is size-triggered (perTenant is an exact multiple of batchSize).
@@ -85,7 +88,14 @@ object MicroBench {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         val t0 = System.nanoTime()
-        data.grouped(20000).foreach(ms.addData(_))
+        var fed = 0L
+        data.grouped(20000).foreach { chunk =>
+          val pd = System.currentTimeMillis() + 60000
+          while (fed - q.recentProgress.map(_.numInputRows).sum > 20000 &&
+            System.currentTimeMillis() < pd) Thread.sleep(10)
+          ms.addData(chunk)
+          fed += chunk.size
+        }
         var n = 0L
         val deadline = System.currentTimeMillis() + 300000
         while (n < expected && System.currentTimeMillis() < deadline) {
@@ -160,10 +170,18 @@ object MicroBench {
         val ready = System.currentTimeMillis() + 30000
         while ({ (try post(probe) catch { case _: Exception => -1 }) != 200 } &&
           System.currentTimeMillis() < ready) Thread.sleep(100)
+        // the accepted probe's samples traverse the query ASYNCHRONOUSLY:
+        // wait for them to land before the first clear, or a slow cold
+        // first micro-batch leaks them into rep 1's count (overstating
+        // samples/s and ending the timed wait early)
+        val probeExpected = seriesPerReq.toLong * samplesPerSeries
+        val probeLand = System.currentTimeMillis() + 60000
+        while (graft.streaming.InMemoryBroker.topic(topic).size < probeExpected &&
+          System.currentTimeMillis() < probeLand) Thread.sleep(50)
         val bodies = (0 until requests).map(body)
         val expected = requests.toLong * seriesPerReq * samplesPerSeries
         val times = (1 to 2).map { _ =>
-          Thread.sleep(700) // let in-flight probe/previous-rep batches land
+          Thread.sleep(200) // drain any commit tail from the prior rep
           graft.streaming.InMemoryBroker.clear(topic)
           val t0 = System.nanoTime()
           bodies.foreach(post)

@@ -31,8 +31,12 @@ object DataQueries21 {
     // materialized once (Caches.ephemeral; drained by the harness's
     // per-query release) instead of re-decoding every GIF per branch.
     "m11_video_neardup" -> { (s, dir) =>
+      // frame_idx >= 0 drops decoder poison rows (frame_idx -1, dhash 0):
+      // undecodable payloads must surface in decode audits, never blend
+      // into the candidate join as a shared fake hash
       val fr = graft.operators.Multimodal.videoFrameDHash(
         graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir))).toDF()
+        .filter(col("frame_idx") >= 0)
         .select(col("doc_id"), col("dhash")).distinct()
         .transform(graft.sources.Caches.ephemeral)
       val nf = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
@@ -68,8 +72,11 @@ object DataQueries21 {
     // sum of valved bucket squares + one codegen'd popcount per candidate
     // — never media x media, and verification never touches pixels again.
     "m12_video_hamming" -> { (s, dir) =>
+      // poison rows excluded like m11: a shared dhash 0 from two corrupt
+      // payloads must not manufacture a Hamming-0 "near-dup"
       val fr = graft.operators.Multimodal.videoFrameDHash(
         graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir))).toDF()
+        .filter(col("frame_idx") >= 0)
         .select(col("doc_id"), col("dhash")).distinct()
         .transform(graft.sources.Caches.ephemeral)
       val bands = fr.select(col("doc_id"), col("dhash"),
@@ -120,9 +127,12 @@ object DataQueries21 {
     // a one-row broadcast — the drift monitor costs nothing beyond the
     // decode a real pipeline already pays.
     "m14_mm_drift_real" -> { (s, dir) =>
+      // poison rows (all -1) would add px=1 / gray=-1 to the drift sums —
+      // corrupt payloads belong in a decode-failure audit, not the ratio
       val fs = graft.operators.Multimodal.videoFrameStats(
         graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)),
         step = 1).toDF()
+        .filter(col("frame_idx") >= 0)
       val sh = fs.select((col("doc_id") % 4).as("shard"),
           (col("width") * col("height")).as("px"), col("sum_gray"))
         .groupBy(col("shard"))

@@ -145,19 +145,13 @@ object DataQueries9 {
     // Dataset.unpersist is a NO-OP for localCheckpoint'ed frames (it only
     // clears CacheManager entries; the checkpoint persists at the RDD
     // level), so each superseded round's blocks must be dropped at the RDD
-    // level: pull the checkpoint RDD out of the frame's LogicalRDD leaf
-    // (the Caches.checkpointed technique) and unpersist it once the next
-    // round is materialized — otherwise a 70-round production run
+    // level via Caches.checkpointWithRdds' backing-RDD handles once the
+    // next round is materialized — otherwise a 70-round production run
     // accumulates every round's corpus in the block manager until the
     // ContextCleaner happens to GC it.
     def checkpointTracked(df: DataFrame)
-        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val ck = df.localCheckpoint()
-      val rdds = ck.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      (ck, rdds)
-    }
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      graft.sources.Caches.checkpointWithRdds(df)
     def dropBlocks(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))
     var (words, blocks) = checkpointTracked(base)
@@ -209,10 +203,11 @@ object DataQueries9 {
       }
       if (selected.isEmpty) {
         // no adjacent pairs remain anywhere in the corpus (the greedy sweep
-        // always accepts the top candidate when one exists): record the
-        // unchanged total once and stop — further rounds would each pay a
-        // full corpus rollup for provably zero progress
-        totals += ((r.toLong, total(words)))
+        // always accepts the top candidate when one exists): stop without
+        // another rollup OR totals entry — the corpus is unchanged, so the
+        // total is provably the previous round's value, and appending a
+        // duplicate would both waste a full corpus pass and break the
+        // strictly-decreasing compression-curve invariant consumers assert
         exhausted = true
       } else {
         val (ck, newBlocks) = checkpointTracked(applied)

@@ -54,16 +54,28 @@ object Caches {
     * consume-then-release contract [[ephemeral]] already carries.
     */
   def checkpointed(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint()
-    val rdds = c.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
+    val (c, rdds) = checkpointWithRdds(df)
     ckReg.synchronized {
       val list = ckReg.computeIfAbsent(c.sparkSession,
         _ => new java.util.ArrayList[RDD[_]])
       rdds.foreach(list.add)
     }
     c
+  }
+
+  /** Eagerly localCheckpoint `df` and hand back the checkpoint's backing
+    * RDDs WITHOUT registering them: callers that manage block lifetime
+    * themselves (e.g. the BPE trainer's per-round supersede-and-drop loop)
+    * unpersist these directly. Dataset.unpersist is a no-op for
+    * localCheckpoint'ed frames — the RDD handle is the only lever that
+    * actually drops the blocks.
+    */
+  def checkpointWithRdds(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val c = df.localCheckpoint()
+    val rdds = c.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (c, rdds)
   }
 
   /** Unpersist every ephemeral cache and drop every registered checkpoint

@@ -151,10 +151,13 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
     // identical payloads hash identically (the near-dup premise) and the
-    // poison path degrades like every other decoder (p06 convention)
-    val twin = Seq(7L, 1007L).map { id =>
-      Multimodal.MediaItem(id,
-        gifs.filter(_.doc_id == 7L).collect().head.media, "image/gif")
+    // poison path degrades like every other decoder (p06 convention).
+    // Anchor on an id KNOWN to be in the (order-nondeterministic) limit
+    // set rather than hardcoding one that a layout change could drop.
+    val anchor = hashes.map(_.doc_id).min
+    val anchorMedia = gifs.filter(_.doc_id == anchor).collect().head.media
+    val twin = Seq(anchor, anchor + 100000L).map { id =>
+      Multimodal.MediaItem(id, anchorMedia, "image/gif")
     }.toDS()
     val th = Multimodal.videoFrameDHash(twin).collect()
     assert(th.groupBy(_.frame_idx).values.forall(_.map(_.dhash).distinct.size == 1))
