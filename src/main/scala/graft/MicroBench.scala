@@ -72,6 +72,23 @@ object MicroBench {
     // is size-triggered (perTenant is an exact multiple of batchSize).
     implicit val sampleEnc: org.apache.spark.sql.Encoder[Sample] =
       Encoders.product[Sample]
+    // processed-row accounting via a listener, NOT q.recentProgress: the
+    // progress ring buffer caps at numRecentProgressUpdates (default 100)
+    // entries, so at larger grids early entries evict, the backlog
+    // estimate overcounts permanently, and every chunk stalls to its
+    // deadline — silently turning the bench into a deadline measurement
+    val processedRows =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        processedRows.merge(e.progress.runId, Long.box(e.progress.numInputRows),
+          (a, b) => Long.box(a + b))
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     var runId = 0
     def batcher(tenants: Int, perTenant: Int, batchSize: Int): Unit = {
       val data = (for { t <- 0 until tenants; i <- 0 until perTenant }
@@ -91,7 +108,8 @@ object MicroBench {
         var fed = 0L
         data.grouped(20000).foreach { chunk =>
           val pd = System.currentTimeMillis() + 60000
-          while (fed - q.recentProgress.map(_.numInputRows).sum > 20000 &&
+          def done = Option(processedRows.get(q.runId)).fold(0L)(_.longValue)
+          while (fed - done > 20000 &&
             System.currentTimeMillis() < pd) Thread.sleep(10)
           ms.addData(chunk)
           fed += chunk.size

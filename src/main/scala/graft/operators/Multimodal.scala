@@ -359,8 +359,9 @@ object Multimodal {
     * a frame is SILENT below `threshold`; keep [first, last] non-silent.
     * m06's [[audioTrimPlan]] stays as the arbitrary-payload plumbing
     * test-double; THIS retires the audio-trim stand-in the way m11/m12
-    * retired the frame-hash one. Undecodable payloads degrade to one
-    * poison row (n_frames -1, the p06 convention).
+    * retired the frame-hash one. Undecodable payloads — and decodable ones
+    * that are not 16-bit mono signed PCM, which the sample loop assumes —
+    * degrade to one poison row (n_frames -1, the p06 convention).
     */
   def audioTrimStats(ds: Dataset[MediaItem], frameLen: Int = 8,
       threshold: Long = 1000L): Dataset[AudioTrim] = {
@@ -373,6 +374,15 @@ object Multimodal {
             new java.io.ByteArrayInputStream(m.media))
           val fmt = in.getFormat
           val bytes = try in.readAllBytes() finally in.close()
+          // the per-sample loop below assumes 16-bit mono signed PCM; a
+          // decodable 8-bit/stereo/float clip or an odd-length stream would
+          // produce silently WRONG trim stats, so mismatches degrade to the
+          // same poison row as an undecodable payload (the p06 convention)
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              bytes.length % 2 != 0)
+            throw new javax.sound.sampled.UnsupportedAudioFileException(
+              s"expected 16-bit mono signed PCM, got $fmt")
           val le = !fmt.isBigEndian
           val n = bytes.length / 2
           val nFrames = (n + frameLen - 1) / frameLen
@@ -417,11 +427,19 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { m =>
+        try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.media))
         val fmt = in.getFormat
-        val bytes = in.readAllBytes()
-        in.close()
+        val bytes = try in.readAllBytes() finally in.close()
+        // same 16-bit mono signed PCM contract as audioTrimStats: other
+        // decodable formats would yield silently wrong sums, so they
+        // degrade to the poison row instead
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            bytes.length % 2 != 0)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"expected 16-bit mono signed PCM, got $fmt")
         val le = !fmt.isBigEndian
         val n = bytes.length / 2
         var (sa, ma, en) = (0L, 0L, 0L)
@@ -435,6 +453,9 @@ object Multimodal {
           i += 1
         }
         AudioStats(m.doc_id, n.toLong, fmt.getSampleRate.toLong, sa, ma, en)
+        } catch { case _: Exception =>
+          AudioStats(m.doc_id, -1L, -1L, -1L, -1L, -1L)
+        }
       }
     }
   }
@@ -527,7 +548,7 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                val v = (img.getRGB(x, y) & 0xff).toLong // gray palette: B == gray
+                val v = luma(img.getRGB(x, y)).toLong // gray palette: luma == gray
                 sg += v; if (v > mg) mg = v
                 x += 1
               }
@@ -546,8 +567,21 @@ object Multimodal {
 
   final case class FrameDHash(doc_id: Long, frame_idx: Long, dhash: Long)
 
+  /** ITU-R BT.601 integer luma of a packed RGB pixel: (299 r + 587 g +
+    * 114 b) / 1000 — weights sum to exactly 1000, so grayscale pixels
+    * (r = g = b = v) map to v EXACTLY and the lossless-fixture oracles
+    * (m10-m14) are unchanged, while color frames hash on perceptual
+    * brightness instead of the blue channel alone.
+    */
+  @inline private def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
   /** REAL 64-bit perceptual hash (dHash, gradient variant) per decoded
-    * frame: each sampled frame is reduced to a 9x8 grid of gray values by
+    * frame: each sampled frame is reduced to a 9x8 grid of BT.601 luma
+    * values ([[luma]] — exact gray for grayscale palettes, perceptual
+    * brightness for color frames) by
     * nearest-neighbor downsample of the `javax.imageio`-decoded pixels
     * (grid point (cx, cy) reads pixel (cx*w/9, cy*h/8) — integer floor
     * division, so the reduction is engine-exact and a first-principles
@@ -584,10 +618,10 @@ object Multimodal {
             var cy = 0
             while (cy < 8) {
               val sy = cy * h / 8
-              var prev = img.getRGB(0, sy) & 0xff // cx=0 samples x = 0*w/9 = 0
+              var prev = luma(img.getRGB(0, sy)) // cx=0 samples x = 0*w/9 = 0
               var cx = 0
               while (cx < 8) {
-                val cur = img.getRGB((cx + 1) * w / 9, sy) & 0xff
+                val cur = luma(img.getRGB((cx + 1) * w / 9, sy))
                 if (cur > prev) hash |= 1L << (cy * 8 + cx)
                 prev = cur
                 cx += 1

@@ -398,26 +398,15 @@ object DataQueries10 {
     // convention). At 100 TB the candidate join is priced on valved
     // frame-hash buckets — never media x media.
     "m05_media_neardup" -> { (s: SparkSession, dir: String) =>
+      // thin binding of the public operators/MediaDedup API (the TextDedup
+      // pattern — the oracle gate verifies the public operator, not a
+      // query-local plan): distinct stub frame hashes in, the valve/pair/
+      // containment tail from MediaDedup.sharedHashPairs
       val fr = graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.mediaFromDocuments(docs(s, dir))).toDF()
         .select(col("doc_id"), col("phash")).distinct()
-      val nf = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-      val valve = fr.groupBy(col("phash"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df").between(2, 16))
-        .select(col("phash"))
-      val fo = fr.join(valve, Seq("phash"))
-      val pairs = fo.select(col("doc_id").as("a"), col("phash"))
-        .join(fo.select(col("doc_id").as("b"), col("phash")), Seq("phash"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-      pairs
-        .join(nf.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
-        .join(nf.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
-        .select(col("a"), col("b"), col("shared"),
-          floor(col("shared") * lit(1000000L) / least(col("na"), col("nb")))
-            .cast("long").as("overlap_q6"))
+      graft.operators.MediaDedup
+        .sharedHashPairs(fr, "doc_id", "phash", dfMin = 2, dfMax = 16, minShared = 2)
         .orderBy("a", "b")
     },
 

@@ -31,31 +31,19 @@ object DataQueries21 {
     // materialized once (Caches.ephemeral; drained by the harness's
     // per-query release) instead of re-decoding every GIF per branch.
     "m11_video_neardup" -> { (s, dir) =>
-      // frame_idx >= 0 drops decoder poison rows (frame_idx -1, dhash 0):
-      // undecodable payloads must surface in decode audits, never blend
-      // into the candidate join as a shared fake hash
-      val fr = graft.operators.Multimodal.videoFrameDHash(
-        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir))).toDF()
-        .filter(col("frame_idx") >= 0)
-        .select(col("doc_id"), col("dhash")).distinct()
+      // thin binding of the public operators/MediaDedup API:
+      // MediaDedup.frameHashes drops the decoder poison rows (frame_idx -1,
+      // dhash 0 — undecodable payloads must surface in decode audits, never
+      // blend into the candidate join as a shared fake hash), and
+      // sharedHashPairs is the valve/pair/containment tail. The decoded
+      // hash table feeds four consumers, so it is materialized once
+      // (Caches.ephemeral; drained by the harness's per-query release)
+      // instead of re-decoding every GIF per branch.
+      val fr = graft.operators.MediaDedup.frameHashes(
+        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)))
         .transform(graft.sources.Caches.ephemeral)
-      val nf = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-      val valve = fr.groupBy(col("dhash"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df").between(2, 64))
-        .select(col("dhash"))
-      val fo = fr.join(valve, Seq("dhash"))
-      val pairs = fo.select(col("doc_id").as("a"), col("dhash"))
-        .join(fo.select(col("doc_id").as("b"), col("dhash")), Seq("dhash"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-      pairs
-        .join(nf.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
-        .join(nf.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
-        .select(col("a"), col("b"), col("shared"),
-          floor(col("shared") * lit(1000000L) / least(col("na"), col("nb")))
-            .cast("long").as("overlap_q6"))
+      graft.operators.MediaDedup
+        .sharedHashPairs(fr, "doc_id", "dhash", dfMin = 2, dfMax = 64, minShared = 2)
         .orderBy("a", "b")
     },
 
@@ -72,35 +60,15 @@ object DataQueries21 {
     // sum of valved bucket squares + one codegen'd popcount per candidate
     // — never media x media, and verification never touches pixels again.
     "m12_video_hamming" -> { (s, dir) =>
-      // poison rows excluded like m11: a shared dhash 0 from two corrupt
-      // payloads must not manufacture a Hamming-0 "near-dup"
-      val fr = graft.operators.Multimodal.videoFrameDHash(
-        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir))).toDF()
-        .filter(col("frame_idx") >= 0)
-        .select(col("doc_id"), col("dhash")).distinct()
+      // thin binding of MediaDedup.bandedHammingPairs (poison rows excluded
+      // by frameHashes like m11: a shared dhash 0 from two corrupt payloads
+      // must not manufacture a Hamming-0 "near-dup")
+      val fr = graft.operators.MediaDedup.frameHashes(
+        graft.operators.Multimodal.gifVideosFromDocuments(docs(s, dir)))
         .transform(graft.sources.Caches.ephemeral)
-      val bands = fr.select(col("doc_id"), col("dhash"),
-        explode(array((0 until 4).map(bd => struct(lit(bd.toLong).as("bnd"),
-          shiftrightunsigned(col("dhash"), 16 * bd).bitwiseAND(lit(0xFFFFL))
-            .as("bv"))): _*)).as("e"))
-        .select(col("doc_id"), col("dhash"), col("e.bnd"), col("e.bv"))
-      val valve = bands.groupBy(col("bnd"), col("bv"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df").between(2, 64))
-        .select(col("bnd"), col("bv"))
-      val bo = bands.join(valve, Seq("bnd", "bv"))
-      val cand = bo.select(col("doc_id").as("a"), col("dhash").as("ha"),
-          col("bnd"), col("bv"))
-        .join(bo.select(col("doc_id").as("b"), col("dhash").as("hb"),
-          col("bnd"), col("bv")), Seq("bnd", "bv"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
-      cand
-        .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("ham") <= 8)
-        .groupBy(col("a"), col("b"))
-        .agg(min(col("ham")).cast("long").as("min_ham"),
-          count(lit(1)).as("n_close"))
+      graft.operators.MediaDedup
+        .bandedHammingPairs(fr, "doc_id", "dhash",
+          bands = 4, dfMin = 2, dfMax = 64, maxHamming = 8)
         .orderBy("a", "b")
     },
 

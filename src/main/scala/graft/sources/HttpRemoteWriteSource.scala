@@ -20,11 +20,9 @@ import graft.functions.PromKernel
   *
   * A DataSource V2 `MicroBatchStream`: an embedded HTTP server accepts
   * remote_write POSTs, validates them exactly like the reference's handler
-  * (read failure => 500, snappy/proto failure => 400, else 200 — the 200 is
-  * sent only after the payload is durably enqueued, mirroring the
-  * respond-after-flush contract at produce.go:164-181), extracts the tenant
-  * inputs (BasicAuth user + X-Scope-OrgID header, handlers.go:29-40), and
-  * exposes micro-batches of:
+  * (read failure => 500, snappy/proto failure => 400, else 200), extracts
+  * the tenant inputs (BasicAuth user + X-Scope-OrgID header,
+  * handlers.go:29-40), and exposes micro-batches of:
   *
   *   body BINARY, basicAuthUser STRING, orgIdHeader STRING, receivedAtMs LONG
   *
@@ -34,8 +32,18 @@ import graft.functions.PromKernel
   * this source exists for protocol parity and live ingest, with the
   * decode/flatten/serialize pipeline identical in both paths.
   *
+  * Durability contract for the 200 (the reference's 200 means
+  * pulsar-flushed, produce.go:164-181): by default the payload is only
+  * buffered in JVM memory — a receiver crash between the 200 and the
+  * micro-batch commit loses acknowledged payloads. Set `walDir` to get
+  * WAL-then-200 (fsync'd segment log, replayed on restart — see [[Wal]] and
+  * WalRecoverySpec's kill-between-200-and-commit proof), or use the
+  * synchronous writer mode ([[Receiver.setWriters]]) where the 200 reflects
+  * the destination writes themselves.
+  *
   * Usage: spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
-  *   .option("port", "9201").option("path", "/write").load()
+  *   .option("port", "9201").option("path", "/write")
+  *   .option("walDir", "/data/wal/9201").load()
   */
 object HttpRemoteWriteSource {
 
@@ -52,6 +60,170 @@ object HttpRemoteWriteSource {
       orgIdHeader: String,
       receivedAtMs: Long)
 
+  /** Write-ahead log backing the WAL-then-200 durability mode: an
+    * append-only directory of CRC-framed segment files. Each accepted POST
+    * is appended and fsync'd BEFORE the 200 goes out (the durable twin of
+    * the reference's respond-after-pulsar-flush contract,
+    * produce.go:164-181 + pulsar.go:261-262); on restart, segments replay
+    * into the in-memory buffer with their ORIGINAL seqnos, so a query
+    * resuming from its checkpoint re-plans exactly the acknowledged-but-
+    * uncommitted range. `commit(until)` deletes fully-committed segments
+    * and persists `until` (atomic tmp+rename) so seqnos stay monotonic
+    * across restarts even when every segment is gone.
+    *
+    * Record frame: seq, receivedAtMs, basicAuthUser (-1 len = null),
+    * orgIdHeader, body, then a CRC32 over all preceding frame bytes —
+    * replay stops cleanly at the first torn/corrupt record (a crash mid-
+    * append loses only the record that never got its 200).
+    */
+  private final class Wal(dir: java.nio.file.Path) {
+    import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+    Files.createDirectories(dir)
+    private val segMaxBytes = 4L << 20
+    // completed (closed or replayed) segments: firstSeq -> (path, lastSeq)
+    private val segs = new java.util.TreeMap[Long, (Path, Long)]()
+    private var ch: java.nio.channels.FileChannel = null
+    private var activePath: Path = null
+    private var activeFirst = -1L
+    private var activeLast = -1L
+    private var activeBytes = 0L
+
+    private def segName(firstSeq: Long) = f"seg-$firstSeq%016d.wal"
+
+    /** Highest committed offset persisted so far (0 when none). */
+    def committedFloor: Long = {
+      val p = dir.resolve("committed")
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+      else 0L
+    }
+
+    /** Replay all segments in seq order; returns (maxSeqSeen or -1, entries). */
+    def replay(): (Long, Vector[(Long, Received)]) = synchronized {
+      val out = Vector.newBuilder[(Long, Received)]
+      var maxSeq = -1L
+      val files = {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.matches("seg-\\d{16}\\.wal"))
+            .toVector.sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      files.foreach { p =>
+        var first = -1L; var last = -1L
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(p)))
+        try {
+          var ok = true
+          while (ok) {
+            readRecord(in) match {
+              case Some((seq, r)) =>
+                out += ((seq, r))
+                if (first < 0) first = seq
+                last = seq
+                if (seq > maxSeq) maxSeq = seq
+              case None => ok = false // EOF or torn/corrupt tail: stop cleanly
+            }
+          }
+        } finally in.close()
+        if (first >= 0) segs.put(first, (p, last))
+        else Files.deleteIfExists(p) // empty/corrupt-from-start segment
+      }
+      (maxSeq, out.result())
+    }
+
+    private def readRecord(in: java.io.DataInputStream): Option[(Long, Received)] =
+      try {
+        val seq = in.readLong()
+        val ts = in.readLong()
+        def bytesField(): Array[Byte] = {
+          val len = in.readInt()
+          if (len < 0) null
+          else {
+            require(len <= (64 << 20), s"implausible field length $len")
+            val b = new Array[Byte](len); in.readFully(b); b
+          }
+        }
+        val user = bytesField(); val org = bytesField(); val body = bytesField()
+        val storedCrc = in.readInt()
+        val crc = new java.util.zip.CRC32()
+        val head = java.nio.ByteBuffer.allocate(16).putLong(seq).putLong(ts).array()
+        crc.update(head)
+        Seq(user, org, body).foreach { f =>
+          val lenB = java.nio.ByteBuffer.allocate(4)
+            .putInt(if (f == null) -1 else f.length).array()
+          crc.update(lenB)
+          if (f != null) crc.update(f)
+        }
+        if (storedCrc != crc.getValue.toInt) None
+        else Some((seq, Received(body,
+          if (user == null) null else new String(user, "UTF-8"),
+          if (org == null) null else new String(org, "UTF-8"), ts)))
+      } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+
+    /** Append one record and fsync; only after this returns may the HTTP
+      * handler send its 200.
+      */
+    def append(seq: Long, r: Received): Unit = synchronized {
+      if (ch != null && activeBytes >= segMaxBytes) rollActive()
+      if (ch == null) {
+        activePath = dir.resolve(segName(seq))
+        ch = java.nio.channels.FileChannel.open(activePath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.APPEND)
+        activeFirst = seq; activeBytes = 0L
+      }
+      val user = if (r.basicAuthUser == null) null else r.basicAuthUser.getBytes("UTF-8")
+      val org = if (r.orgIdHeader == null) null else r.orgIdHeader.getBytes("UTF-8")
+      val len = 16 + 4 + (if (user == null) 0 else user.length) +
+        4 + (if (org == null) 0 else org.length) + 4 + r.body.length + 4
+      val buf = java.nio.ByteBuffer.allocate(len)
+      buf.putLong(seq).putLong(r.receivedAtMs)
+      def put(f: Array[Byte]): Unit = {
+        buf.putInt(if (f == null) -1 else f.length)
+        if (f != null) buf.put(f)
+      }
+      put(user); put(org); put(r.body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf.array(), 0, buf.position())
+      buf.putInt(crc.getValue.toInt)
+      buf.flip()
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(false) // fsync BEFORE the 200 — this is the durability line
+      activeLast = seq
+      activeBytes += len
+    }
+
+    private def rollActive(): Unit = {
+      ch.close(); ch = null
+      segs.put(activeFirst, (activePath, activeLast))
+      activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
+    }
+
+    /** Drop segments whose every record is below `until` and persist the
+      * committed floor (atomic rename — a crash mid-commit replays a
+      * little extra, never loses anything).
+      */
+    def commit(until: Long): Unit = synchronized {
+      val it = segs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue._2 < until) { Files.deleteIfExists(e.getValue._1); it.remove() }
+      }
+      if (ch != null && activeLast >= 0 && activeLast < until) {
+        ch.close(); ch = null
+        Files.deleteIfExists(activePath)
+        activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
+      }
+      val tmp = dir.resolve("committed.tmp")
+      Files.write(tmp, until.toString.getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve("committed"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def close(): Unit = synchronized { if (ch != null) { ch.close(); ch = null } }
+  }
+
   /** One receiver per (JVM, port): buffered messages with monotonic seqnos.
     * maxConnectionAgeMs > 0 reproduces MaxConnectionAgeHandler
     * (pkg/context/handlers.go:42-49): connections older than the limit get
@@ -63,16 +235,41 @@ object HttpRemoteWriteSource {
     * `--web.listen-address`, app.go:60-62; empty = all interfaces) and
     * `telemetryPath` relocates the metrics endpoint
     * (`--web.telemetry-path`, app.go:65-67).
+    *
+    * Durability: with `walDir` set, every accepted payload is appended to
+    * the [[Wal]] and fsync'd BEFORE the 200 — the durable equivalent of the
+    * reference's respond-after-pulsar-flush contract (produce.go:164-181);
+    * a receiver crash between the 200 and the micro-batch commit replays
+    * the acknowledged payloads on restart (WalRecoverySpec kills between
+    * the two and proves delivery). With `walDir` EMPTY (the default), the
+    * 200 only means buffered in JVM memory — a crash in that window loses
+    * acknowledged payloads, a strictly weaker contract than the
+    * reference's; use the WAL (or the synchronous [[setWriters]] mode,
+    * which responds only after the writers themselves succeed) when the
+    * 200 must mean durable.
     */
   final class Receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
-      host: String = "", telemetryPath: String = "/metrics") {
+      host: String = "", telemetryPath: String = "/metrics",
+      walDir: String = "") {
     private[HttpRemoteWriteSource] val config =
-      (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath)
+      (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath, walDir)
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
+    private val wal: Wal =
+      if (walDir.isEmpty) null else new Wal(java.nio.file.Paths.get(walDir))
+    // crash recovery: acknowledged-but-uncommitted payloads re-enter the
+    // buffer with their ORIGINAL seqnos (a checkpointed query re-plans
+    // exactly the lost range), and the seq counter resumes past both the
+    // replayed max and the persisted committed floor so offsets stay
+    // monotonic even when every segment was truncated
+    if (wal != null) {
+      val (maxSeq, entries) = wal.replay()
+      entries.foreach { case (s, r) => buf.put(s, r) }
+      seq.set(math.max(maxSeq + 1L, wal.committedFloor))
+    }
 
     /** Synchronous multi-writer mode (produce.go:155-181): when writers are
       * configured, each request is decoded, fanned out to every writer
@@ -122,10 +319,15 @@ object HttpRemoteWriteSource {
             if (ws.nonEmpty) handleSync(exchange, body, ws)
             else if (validate && !valid(body)) respond(exchange, 400)
             else {
-              buf.put(seq.getAndIncrement(),
-                Received(body, authUser(exchange), orgHeader(exchange),
-                  System.currentTimeMillis()))
-              respond(exchange, 200) // enqueued durably before the 200
+              val r = Received(body, authUser(exchange), orgHeader(exchange),
+                System.currentTimeMillis())
+              val s = seq.getAndIncrement()
+              // WAL mode: fsync BEFORE the 200 (the reference's 200 means
+              // pulsar-flushed; ours means WAL-durable). Without a WAL the
+              // 200 only means buffered in JVM memory — see the class doc.
+              if (wal != null) wal.append(s, r)
+              buf.put(s, r)
+              respond(exchange, 200)
             }
           }
         } finally exchange.close()
@@ -217,8 +419,14 @@ object HttpRemoteWriteSource {
     def latest: Long = seq.get()
     def range(from: Long, until: Long): Array[Received] =
       buf.subMap(from, until).values.toArray(Array.empty[Received])
-    def commit(until: Long): Unit = buf.headMap(until).clear()
-    def stop(): Unit = synchronized { if (server != null) { server.stop(0); server = null } }
+    def commit(until: Long): Unit = {
+      buf.headMap(until).clear()
+      if (wal != null) wal.commit(until)
+    }
+    def stop(): Unit = synchronized {
+      if (server != null) { server.stop(0); server = null }
+      if (wal != null) wal.close()
+    }
   }
 
   private val receivers = new ConcurrentHashMap[Int, Receiver]()
@@ -231,11 +439,13 @@ object HttpRemoteWriteSource {
     */
   def receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
-      host: String = "", telemetryPath: String = "/metrics"): Receiver = {
+      host: String = "", telemetryPath: String = "/metrics",
+      walDir: String = ""): Receiver = {
     val r = receivers.computeIfAbsent(port,
       _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof,
-        host, telemetryPath))
-    val requested = (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath)
+        host, telemetryPath, walDir))
+    val requested = (port, path, validate, maxConnectionAgeMs, pprof, host,
+      telemetryPath, walDir)
     if (r.config != requested)
       throw new IllegalStateException(
         s"port $port already serves a receiver with different settings " +
@@ -265,12 +475,14 @@ class HttpRemoteWriteProvider extends TableProvider {
       properties.getOrDefault("maxConnectionAgeMs", "0").toLong,
       properties.getOrDefault("pprof", "true").toBoolean,
       properties.getOrDefault("host", ""),
-      properties.getOrDefault("telemetryPath", "/metrics"))
+      properties.getOrDefault("telemetryPath", "/metrics"),
+      properties.getOrDefault("walDir", ""))
 }
 
 class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
     maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
-    host: String = "", telemetryPath: String = "/metrics")
+    host: String = "", telemetryPath: String = "/metrics",
+    walDir: String = "")
     extends Table with SupportsRead {
   override def name(): String = s"http-remote-write:$port$path"
   override def schema(): StructType = HttpRemoteWriteSource.schema
@@ -282,7 +494,7 @@ class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
         override def readSchema(): StructType = HttpRemoteWriteSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs, pprof,
-            host, telemetryPath)
+            host, telemetryPath, walDir)
       }
     }
 }
@@ -293,11 +505,12 @@ final case class HttpOffset(seq: Long) extends Offset {
 
 class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean,
     maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
-    host: String = "", telemetryPath: String = "/metrics")
+    host: String = "", telemetryPath: String = "/metrics",
+    walDir: String = "")
     extends MicroBatchStream {
   private val receiver =
     HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs, pprof,
-      host, telemetryPath)
+      host, telemetryPath, walDir)
 
   override def initialOffset(): Offset = HttpOffset(0L)
   override def latestOffset(): Offset = HttpOffset(receiver.latest)

@@ -299,4 +299,21 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("n_docs"), col("n_pass"),
         col("n_new"), col("raw_tokens"), col("kept_tokens"))
   }
+
+  /** Streaming MEDIA near-dup against a persisted frame-hash index (the
+    * media twin of TextDedup.dedupAgainstIndexStream, binding m15's batch
+    * shape): drop incoming frame-hash rows within `maxHamming` bits of any
+    * hash in an offline-built [[graft.operators.MediaDedup.buildIndex]]
+    * table (parquet-loaded; the reference media is decoded once EVER).
+    * The plan is a chain of stateless stream-static left_anti equi-joins
+    * on 16-bit band keys with a codegen xor+popcount residual — no
+    * watermark, no stream state, and decisions are BATCH-IDENTICAL
+    * (MediaDedupSpec pins stream-vs-batch row identity). Feed it
+    * Multimodal.videoFrameDHash output (poison rows filtered) or any
+    * (id, 64-bit hash) stream.
+    */
+  def mediaDedupAgainstIndex(frames: DataFrame, index: DataFrame,
+      hashCol: String, bands: Int = 4, maxHamming: Int = 8): DataFrame =
+    graft.operators.MediaDedup.dedupAgainstIndex(
+      frames, index, hashCol, bands, maxHamming)
 }
