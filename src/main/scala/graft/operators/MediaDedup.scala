@@ -123,6 +123,18 @@ object MediaDedup {
   def buildIndex(hashes: DataFrame, hashCol: String): DataFrame =
     hashes.select(col(hashCol).as("dhash")).distinct()
 
+  /** Incremental index maintenance (TextDedup.appendToIndex's media twin —
+    * the day-over-day ingestion loop): fold a new batch's hashes
+    * (typically the SURVIVORS of [[dedupAgainstIndex]]) into the index so
+    * tomorrow's dump dedupes against reference + everything admitted so
+    * far. Deduplicated, so the index stays |distinct hashes| at any
+    * history length; unlike the text index, no build-time settings bake
+    * into the rows, so bands/maxHamming stay query-time choices.
+    */
+  def appendToIndex(index: DataFrame, newHashes: DataFrame,
+      hashCol: String): DataFrame =
+    index.unionAll(buildIndex(newHashes, hashCol)).distinct()
+
   /** Drop frame-hash rows that are within `maxHamming` bits of any index
     * hash SHARING a 16-bit band (candidates require band equality — exact
     * for maxHamming <= bands-1 by pigeonhole, recall-best-effort above).

@@ -38,7 +38,11 @@ object DataQueries22 {
       val refHashes = graft.operators.MediaDedup.frameHashes(
         graft.operators.Multimodal.gifVideosFromDocuments(
           d.filter(col("doc_id") % 5 === 0)))
+      // the four band anti-joins each consume the index; materialize it once
+      // (in production it's a parquet-loaded buildIndex artifact — the
+      // reference media is decoded once EVER, not once per band)
       val index = graft.operators.MediaDedup.buildIndex(refHashes, "dhash")
+        .transform(graft.sources.Caches.ephemeral)
       val dump = graft.operators.MediaDedup.frameHashes(
         graft.operators.Multimodal.gifVideosFromDocuments(
           d.filter(col("doc_id") % 5 =!= 0)))

@@ -18,13 +18,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BpeScaleSpec extends AnyFunSuite {
 
+  // the opt-in scale curve overrides corpus + parallelism via env so the
+  // 16k+ targets can run on the sf0.1 phrase corpus (10x the symbols —
+  // big enough not to exhaust candidates); CI defaults are unchanged
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_BPE_CPUS", "8")
+
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val dir = "/root/testdata/sf0.01"
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_BPE_DIR", "/root/testdata/sf0.01")
 
   private lazy val trained = {
     val base = graft.sources.Tables.load(spark, dir, "documents")

@@ -98,6 +98,24 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("appendToIndex folds survivors in; yesterday's admissions block today's dups") {
+    val s = spark
+    import s.implicits._
+    val day0 = MediaDedup.buildIndex(hashDf(100L -> 0x1111222233334444L), "dhash")
+    val day1 = hashDf(1L -> 0x1111222233334444L, 2L -> 0x5555666677778888L)
+    val survivors = MediaDedup.dedupAgainstIndex(day1, day0, "dhash",
+      bands = 4, maxHamming = 0)
+    assert(survivors.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val day0plus = MediaDedup.appendToIndex(day0, survivors, "dhash")
+    assert(day0plus.as[Long].collect().sorted.toSeq ==
+      Seq(0x1111222233334444L, 0x5555666677778888L))
+    // a day-2 re-submission of day-1's admitted hash is now a duplicate
+    val day2 = hashDf(3L -> 0x5555666677778888L, 4L -> 0x0F0F0F0F0F0F0F0FL)
+    val kept = MediaDedup.dedupAgainstIndex(day2, day0plus, "dhash",
+      bands = 4, maxHamming = 0)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("stream-static mediaDedupAgainstIndex is batch-identical and stateless") {
     val s = spark
     import s.implicits._
