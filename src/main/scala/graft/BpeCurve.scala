@@ -42,6 +42,12 @@ object BpeCurve {
       println(f"BPE_CURVE target=$target merges=${merges.size} rounds=$rounds " +
         f"batchM=$batchM ceil=${(target + batchM - 1) / batchM} wall=$wall%.1f " +
         s"corpus=${totals.head._2}->${totals.last._2}")
+      // per-round acceptance profile: how many disjoint merges each round's
+      // greedy sweep actually took (the number that decides whether rounds
+      // track target/batchM or the corpus's disjoint-merge width)
+      val byRound = merges.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (r, ms) => s"$r:${ms.size}" }
+      println(s"BPE_ACCEPT target=$target " + byRound.mkString(","))
       (target, merges, totals)
     }
     val (bigT, bigMerges, bigTotals) = curve.last

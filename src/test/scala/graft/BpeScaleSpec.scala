@@ -114,10 +114,15 @@ class BpeScaleSpec extends AnyFunSuite {
       val rounds = merges.map(_._1).max
       assert(merges.size >= target,
         s"target $target: only ${merges.size} merges before exhaustion")
-      // near-full acceptance per round: the disjointness sweep must not
-      // degrade as the vocabulary grows (rounds stays ~target/batchM)
-      assert(rounds <= (target + batchM - 1) / batchM + 8,
-        s"target $target: $rounds rounds at batchM=$batchM — acceptance degraded")
+      // near-full acceptance per round on the DEFAULT sf0.01 corpus: the
+      // disjointness sweep must not degrade as the vocabulary grows
+      // (rounds stays ~target/batchM). On other corpora (SPARK_GRAFT_BPE_DIR
+      // set) acceptance is pool-diversity-bound and can trough mid-training
+      // — measured at sf0.1 in tools/bpe-scale.md — so the tight bound only
+      // applies to the corpus it was calibrated on.
+      if (!sys.env.contains("SPARK_GRAFT_BPE_DIR"))
+        assert(rounds <= (target + batchM - 1) / batchM + 8,
+          s"target $target: $rounds rounds at batchM=$batchM — acceptance degraded")
       totals.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(b < a) }
       info(f"target $target%5d: ${merges.size}%5d merges, $rounds%3d rounds, " +
         f"batchM=$batchM%3d, $wall%6.1f s, corpus ${totals.head._2} -> ${totals.last._2}")
