@@ -38,6 +38,10 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run a single section: SPARK_GRAFT_MB_ONLY=serialize|batcher|bridge|wal|consume
+    val only = sys.env.get("SPARK_GRAFT_MB_ONLY")
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
 
     // ---- serializer marshal (1 sample, 2 labels — the Go bench fixture) ----
     val rows = sys.env.getOrElse("SPARK_GRAFT_SER_ROWS", "2000000").toLong
@@ -47,7 +51,7 @@ object MicroBench {
       map(lit("__name__"), lit("foo"), lit("labelfoo"), lit("label-bar"))
         .as("labels"),
       lit("").as("tenantId"))
-    for (fmt <- Seq("json", "json-compat", "avro-json-compat")) {
+    section("serialize") { for (fmt <- Seq("json", "json-compat", "avro-json-compat")) {
       val times = (1 to 4).map { _ => // rep 1 doubles as warmup; min of the rest
         val t0 = System.nanoTime()
         PromPipeline.serialize(serDf, fmt).select(col("payload"), col("key"))
@@ -56,7 +60,7 @@ object MicroBench {
       }.drop(1)
       val rps = rows / times.min
       println(s"""{"bench":"serialize","format":"$fmt","rows":$rows,"sec":${times.min},"rows_per_sec":${rps.toLong}}""")
-    }
+    } }
 
     // ---- batcher throughput (write_test.go:375-419 shapes) ----
     // fed in 20k-sample chunks with at most ONE unprocessed chunk
@@ -128,10 +132,12 @@ object MicroBench {
       val n = tenants.toLong * perTenant
       println(s"""{"bench":"batcher","tenants":$tenants,"per_tenant":$perTenant,"batch_size":$batchSize,"samples":$n,"sec":${times.min},"samples_per_sec":${(n / times.min).toLong}}""")
     }
-    batcher(tenants = 1, perTenant = 200000, batchSize = 100)
-    batcher(tenants = 50, perTenant = 4000, batchSize = 100)
-    batcher(tenants = 500, perTenant = 400, batchSize = 100)
-    batcher(tenants = 100, perTenant = 2000, batchSize = 1000)
+    section("batcher") {
+      batcher(tenants = 1, perTenant = 200000, batchSize = 100)
+      batcher(tenants = 50, perTenant = 4000, batchSize = 100)
+      batcher(tenants = 500, perTenant = 400, batchSize = 100)
+      batcher(tenants = 100, perTenant = 2000, batchSize = 1000)
+    }
 
     // ---- end-to-end produce bridge (integration load shape, scaled) ----
     // the reference's integration harness posts 500 series x 4 samples per
@@ -141,7 +147,7 @@ object MicroBench {
     // keyed broker sink — and the wall runs first-post -> last message
     // landed. This is the single-node bridge throughput number the
     // reference never published.
-    {
+    section("bridge") {
       val port = 19311
       val topic = "mb_bridge"
       val requests = 100; val seriesPerReq = 500; val samplesPerSeries = 4
@@ -219,6 +225,71 @@ object MicroBench {
       }
     }
 
+    // ---- receiver ingest: default vs WAL-then-200 ----
+    // the durability contract's price tag: accepted-POST throughput with 8
+    // concurrent clients against the 4-thread receiver, 200 = in-memory
+    // buffered (default) vs 200 = fsync'd to the segment WAL. The WAL's
+    // group-commit fsync (one force per group of concurrently-appended
+    // records, not per request) is what keeps the gap a small factor; a
+    // per-request fsync would bound this at the disk's sync rate.
+    section("wal") {
+      val requests = 4000; val clients = 8
+      val b = {
+        val series = (0 until 50).map { sid =>
+          graft.functions.PromKernel.PbTimeSeries(
+            Seq(graft.functions.PromKernel.PbLabel("__name__", "foo"),
+              graft.functions.PromKernel.PbLabel("instance", s"i$sid")),
+            (0 until 4).map(k => graft.functions.PromKernel.PbSample(0.5 + k, 10000L + k)))
+        }
+        graft.functions.PromKernel.snappyCompress(
+          graft.functions.PromKernel.encodeWriteRequest(
+            graft.functions.PromKernel.PbWriteRequest(series)))
+      }
+      for (mode <- Seq("default", "wal")) {
+        val port = 19313
+        val walDir = if (mode == "wal")
+          java.nio.file.Files.createTempDirectory("graft-mb-wal").toString else ""
+        val r = graft.sources.HttpRemoteWriteSource.receiver(
+          port, "/write", validate = true, walDir = walDir)
+        try {
+          val http = java.net.http.HttpClient.newHttpClient()
+          def post(): Int = http.send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://localhost:$port/write"))
+              .header("X-Scope-OrgID", "bench")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(b)).build(),
+            java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+          val times = (1 to 3).map { rep =>
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+            val latch = new java.util.concurrent.CountDownLatch(1)
+            val done = new java.util.concurrent.CountDownLatch(clients)
+            val bad = new java.util.concurrent.atomic.AtomicLong(0L)
+            (0 until clients).foreach { _ =>
+              pool.execute { () =>
+                latch.await()
+                var i = 0
+                while (i < requests / clients) {
+                  if (post() != 200) bad.incrementAndGet(); i += 1
+                }
+                done.countDown()
+              }
+            }
+            val t0 = System.nanoTime()
+            latch.countDown()
+            done.await()
+            val dt = (System.nanoTime() - t0) / 1e9
+            pool.shutdown()
+            require(bad.get() == 0L, s"wal_ingest $mode: ${bad.get()} non-200s")
+            r.commit(r.latest) // drain the buffer (and truncate WAL segments)
+            dt
+          }.drop(1) // rep 1 doubles as warmup
+          val rps = (requests / times.min).toLong
+          val mbps = requests.toDouble * b.length / times.min / 1e6
+          println(s"""{"bench":"wal_ingest","mode":"$mode","requests":$requests,"clients":$clients,"body_bytes":${b.length},"sec":${times.min},"req_per_sec":$rps,"mb_per_sec":${math.round(mbps * 10) / 10.0}}""")
+        } finally graft.sources.HttpRemoteWriteSource.shutdown(port)
+      }
+    }
+
     // ---- end-to-end consume bridge ----
     // the reverse direction: broker -> deserialize (poison-skip) ->
     // stateful per-tenant batcher -> re-encode -> remote_write HTTP POST
@@ -226,7 +297,7 @@ object MicroBench {
     // serialized samples over 50 tenants; maxRecordsPerTrigger=20000
     // paces the source (the admission-control knob a production run
     // uses), and the wall runs query-start -> last sample delivered.
-    {
+    section("consume") {
       import spark.implicits._
       val topic = "mb_consume"
       val tenants = 50

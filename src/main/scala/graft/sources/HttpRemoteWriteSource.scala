@@ -64,7 +64,10 @@ object HttpRemoteWriteSource {
     * append-only directory of CRC-framed segment files. Each accepted POST
     * is appended and fsync'd BEFORE the 200 goes out (the durable twin of
     * the reference's respond-after-pulsar-flush contract,
-    * produce.go:164-181 + pulsar.go:261-262); on restart, segments replay
+    * produce.go:164-181 + pulsar.go:261-262) — with the fsync GROUP-
+    * COMMITTED across concurrent handlers (one force covers every record
+    * appended so far; see `append`), so WAL-mode ingest pays one fsync per
+    * group, not per request; on restart, segments replay
     * into the in-memory buffer with their ORIGINAL seqnos, so a query
     * resuming from its checkpoint re-plans exactly the acknowledged-but-
     * uncommitted range. `commit(until)` deletes fully-committed segments
@@ -161,40 +164,72 @@ object HttpRemoteWriteSource {
           if (org == null) null else new String(org, "UTF-8"), ts)))
       } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
 
-    /** Append one record and fsync; only after this returns may the HTTP
-      * handler send its 200.
+    // Group-commit fsync state: `synced` is the highest seqno known durable.
+    // Writers append under the object lock (no fsync there), then one of
+    // them — whoever wins `syncLeader` — forces the channel ONCE for the
+    // whole group of records appended so far; concurrent handler threads
+    // that arrived during the force piggyback on the next force instead of
+    // each paying their own fsync. Per-record durability-before-200 is
+    // unchanged (append only returns once `synced` covers its record); the
+    // fsync count drops from one-per-request to one-per-group, which is
+    // what keeps WAL mode's ingest within a small factor of the in-memory
+    // mode under concurrent clients (tools/microbench.md "wal_ingest").
+    private val synced = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private val syncLeader = new Object
+
+    /** Append one record and make it durable; only after this returns may
+      * the HTTP handler send its 200.
       */
-    def append(seq: Long, r: Received): Unit = synchronized {
-      if (ch != null && activeBytes >= segMaxBytes) rollActive()
-      if (ch == null) {
-        activePath = dir.resolve(segName(seq))
-        ch = java.nio.channels.FileChannel.open(activePath,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-          StandardOpenOption.APPEND)
-        activeFirst = seq; activeBytes = 0L
+    def append(seq: Long, r: Received): Unit = {
+      synchronized {
+        if (ch != null && activeBytes >= segMaxBytes) rollActive()
+        if (ch == null) {
+          activePath = dir.resolve(segName(seq))
+          ch = java.nio.channels.FileChannel.open(activePath,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+            StandardOpenOption.APPEND)
+          activeFirst = seq; activeBytes = 0L
+        }
+        val user = if (r.basicAuthUser == null) null else r.basicAuthUser.getBytes("UTF-8")
+        val org = if (r.orgIdHeader == null) null else r.orgIdHeader.getBytes("UTF-8")
+        val len = 16 + 4 + (if (user == null) 0 else user.length) +
+          4 + (if (org == null) 0 else org.length) + 4 + r.body.length + 4
+        val buf = java.nio.ByteBuffer.allocate(len)
+        buf.putLong(seq).putLong(r.receivedAtMs)
+        def put(f: Array[Byte]): Unit = {
+          buf.putInt(if (f == null) -1 else f.length)
+          if (f != null) buf.put(f)
+        }
+        put(user); put(org); put(r.body)
+        val crc = new java.util.zip.CRC32()
+        crc.update(buf.array(), 0, buf.position())
+        buf.putInt(crc.getValue.toInt)
+        buf.flip()
+        while (buf.hasRemaining) ch.write(buf)
+        activeLast = seq
+        activeBytes += len
       }
-      val user = if (r.basicAuthUser == null) null else r.basicAuthUser.getBytes("UTF-8")
-      val org = if (r.orgIdHeader == null) null else r.orgIdHeader.getBytes("UTF-8")
-      val len = 16 + 4 + (if (user == null) 0 else user.length) +
-        4 + (if (org == null) 0 else org.length) + 4 + r.body.length + 4
-      val buf = java.nio.ByteBuffer.allocate(len)
-      buf.putLong(seq).putLong(r.receivedAtMs)
-      def put(f: Array[Byte]): Unit = {
-        buf.putInt(if (f == null) -1 else f.length)
-        if (f != null) buf.put(f)
+      // fsync BEFORE the 200 — this is the durability line. The double-
+      // checked leader pattern makes it a group commit: if a concurrent
+      // force already covered this record, return immediately; otherwise
+      // force the active channel once for every record appended so far.
+      // (Records in rolled segments were forced at roll time, so forcing
+      // the active channel is always sufficient for `target`.)
+      if (synced.get() < seq) syncLeader.synchronized {
+        if (synced.get() < seq) {
+          val (target, channel) = synchronized { (activeLast, ch) }
+          if (channel != null) channel.force(false)
+          synced.accumulateAndGet(target, math.max(_, _))
+        }
       }
-      put(user); put(org); put(r.body)
-      val crc = new java.util.zip.CRC32()
-      crc.update(buf.array(), 0, buf.position())
-      buf.putInt(crc.getValue.toInt)
-      buf.flip()
-      while (buf.hasRemaining) ch.write(buf)
-      ch.force(false) // fsync BEFORE the 200 — this is the durability line
-      activeLast = seq
-      activeBytes += len
     }
 
     private def rollActive(): Unit = {
+      // force before close so every record in a CLOSED segment is durable —
+      // the invariant that lets the group-commit leader force only the
+      // active channel
+      ch.force(false)
+      synced.accumulateAndGet(activeLast, math.max(_, _))
       ch.close(); ch = null
       segs.put(activeFirst, (activePath, activeLast))
       activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
@@ -256,6 +291,21 @@ object HttpRemoteWriteSource {
       (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath, walDir)
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
+    // Publish floor: seqno assignment and buffer insertion are two steps
+    // (with a WAL fsync between them), so without this set a concurrent
+    // handler could expose seq N+1 through `latest` while record N was
+    // still being made durable — the planner would fence the micro-batch
+    // past N, commit the offset, and the acknowledged payload would never
+    // be read. `latest` therefore reports the smallest in-flight seqno
+    // (everything below it is fully published); only when nothing is in
+    // flight does it report the next seqno to assign. PublishFloorSpec
+    // pins the ordering.
+    private val inFlight = new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
+    private val seqLock = new Object
+    private[graft] def beginPublish(): Long = seqLock.synchronized {
+      val s = seq.getAndIncrement(); inFlight.add(s); s
+    }
+    private[graft] def endPublish(s: Long): Unit = inFlight.remove(s)
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
     private val wal: Wal =
@@ -318,17 +368,9 @@ object HttpRemoteWriteSource {
             val ws = writers
             if (ws.nonEmpty) handleSync(exchange, body, ws)
             else if (validate && !valid(body)) respond(exchange, 400)
-            else {
-              val r = Received(body, authUser(exchange), orgHeader(exchange),
-                System.currentTimeMillis())
-              val s = seq.getAndIncrement()
-              // WAL mode: fsync BEFORE the 200 (the reference's 200 means
-              // pulsar-flushed; ours means WAL-durable). Without a WAL the
-              // 200 only means buffered in JVM memory — see the class doc.
-              if (wal != null) wal.append(s, r)
-              buf.put(s, r)
-              respond(exchange, 200)
-            }
+            else respond(exchange,
+              accept(Received(body, authUser(exchange), orgHeader(exchange),
+                System.currentTimeMillis())))
           }
         } finally exchange.close()
       })
@@ -416,7 +458,29 @@ object HttpRemoteWriteSource {
       e.getResponseBody.write(b)
     }
 
-    def latest: Long = seq.get()
+    /** The async accept path shared by the HTTP handler and direct-driving
+      * specs: assign a seqno under the publish floor, make the record
+      * durable (WAL mode: group-commit fsync BEFORE the 200 — the
+      * reference's 200 means pulsar-flushed, produce.go:164-181; without a
+      * WAL the 200 only means buffered in JVM memory, see the class doc),
+      * then publish into the buffer. Returns the HTTP status. A WAL IO
+      * failure maps to 500 with the seqno retired un-published — a hole in
+      * the sequence, which the range reader tolerates (offsets are
+      * positions, not counts).
+      */
+    private[graft] def accept(r: Received): Int = {
+      val s = beginPublish()
+      try {
+        if (wal != null) wal.append(s, r)
+        buf.put(s, r)
+        200
+      } catch { case _: Exception => 500 }
+      finally endPublish(s)
+    }
+
+    def latest: Long = seqLock.synchronized {
+      if (inFlight.isEmpty) seq.get() else inFlight.first()
+    }
     def range(from: Long, until: Long): Array[Received] =
       buf.subMap(from, until).values.toArray(Array.empty[Received])
     def commit(until: Long): Unit = {

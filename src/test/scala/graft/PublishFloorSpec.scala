@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HttpRemoteWriteSource
+import graft.sources.HttpRemoteWriteSource.Received
+
+/** The receiver's publish floor and the WAL's group-commit fsync.
+  *
+  * Seqno assignment and buffer insertion are two steps (with a WAL fsync
+  * between them in WAL mode), so `latest` must never expose a seqno whose
+  * record is still in flight: the planner would fence the micro-batch past
+  * it, commit the offset, and the acknowledged payload would never be read.
+  * These tests pin the floor ordering directly through the package-private
+  * begin/endPublish seams, and drive the WAL's group-commit append path
+  * from many concurrent threads to prove every acknowledged record is
+  * durable (a fresh receiver over the same walDir replays all of them,
+  * byte-identical).
+  */
+class PublishFloorSpec extends AnyFunSuite {
+
+  private def rcv(walDir: String = "") =
+    new HttpRemoteWriteSource.Receiver(0, "/write", true, walDir = walDir)
+
+  test("latest holds at the smallest in-flight seqno, not the assign counter") {
+    val r = rcv()
+    assert(r.latest == 0L)
+    val s1 = r.beginPublish()
+    val s2 = r.beginPublish()
+    assert(s1 == 0L && s2 == 1L)
+    // the LATER record finishes publishing first — the floor must hold at
+    // s1 (exposing s2+1 here is exactly the lost-200 race: a micro-batch
+    // planned at [0,2) would miss record 0, then commit past it)
+    r.endPublish(s2)
+    assert(r.latest == s1, "floor must hold at the oldest in-flight record")
+    r.endPublish(s1)
+    assert(r.latest == s2 + 1, "with nothing in flight, latest = next seqno")
+  }
+
+  test("accept publishes before retiring: latest never skips an accepted record") {
+    val r = rcv()
+    assert(r.accept(Received("a".getBytes, null, "t1", 1L)) == 200)
+    assert(r.accept(Received("b".getBytes, "u", null, 2L)) == 200)
+    assert(r.latest == 2L)
+    val got = r.range(0L, 2L)
+    assert(got.map(_.body.toSeq).toSeq == Seq("a".getBytes.toSeq, "b".getBytes.toSeq))
+    assert(got.map(_.orgIdHeader).toSeq == Seq("t1", null))
+    assert(got.map(_.basicAuthUser).toSeq == Seq(null, "u"))
+  }
+
+  test("concurrent WAL accepts: every 200 is durable under group commit") {
+    val wal = java.nio.file.Files.createTempDirectory("graft-wal-group").toString
+    val r1 = rcv(walDir = wal)
+    val threads = 8
+    val per = 200
+    val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(threads)
+      (0 until threads).foreach { t =>
+        pool.execute { () =>
+          latch.await()
+          var i = 0
+          while (i < per) {
+            codes.add(r1.accept(Received(s"t$t-i$i".getBytes("UTF-8"),
+              null, s"tenant-$t", (t * per + i).toLong)))
+            i += 1
+          }
+          done.countDown()
+        }
+      }
+      latch.countDown()
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val n = threads * per
+    assert(codes.size == n)
+    import scala.jdk.CollectionConverters._
+    assert(codes.asScala.forall(_ == 200), "every accept must return 200")
+    assert(r1.latest == n.toLong)
+    // CRASH: the in-memory buffer dies with r1; a fresh receiver over the
+    // same walDir must replay every acknowledged record byte-identically —
+    // which is only possible if the group-commit leader's force covered
+    // each record BEFORE its accept returned
+    val r2 = rcv(walDir = wal)
+    assert(r2.latest == n.toLong, "seq counter must resume past the replayed max")
+    val replayed = r2.range(0L, n.toLong)
+    assert(replayed.length == n, s"all $n acknowledged records must replay")
+    val want = (for { t <- 0 until threads; i <- 0 until per }
+      yield s"t$t-i$i").toSet
+    assert(replayed.map(m => new String(m.body, "UTF-8")).toSet == want)
+    assert(replayed.map(_.orgIdHeader).toSet ==
+      (0 until threads).map(t => s"tenant-$t").toSet)
+  }
+}
