@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Twenty-third wave: privacy auditing for training-data metadata
+  * (k-anonymity / generalization / l-diversity — the release-gate checks a
+  * corpus with user-linked metadata needs before the metadata can ship with
+  * the text; thin bindings of the public `operators/Privacy`), plus a
+  * count-min sketch with an exact-side audit (the fixed-state frequency
+  * sketch the q13 HLL/quantile family lacked; hashing shared with the
+  * streaming twin via `functions/CountMin`).
+  *
+  * Scale posture: every privacy query is one-or-few hash aggregations over
+  * the quasi-identifier columns with class tables orders below the corpus
+  * (|nations| x |segments| x |bands|), joined back by BROADCAST — never a
+  * corpus-side second shuffle. The count-min build is the 100 TB path: a
+  * 4 x 32-cell sketch via map-side partial aggregation (the sketch row
+  * count is FIXED regardless of corpus size, and cells merge across
+  * partitions/shards like any long sum); the exact per-key side exists to
+  * audit the sketch's overestimate guarantee at test scale.
+  */
+object DataQueries23 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def customer(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // k-anonymity audit: equivalence classes over the quasi-identifiers
+    // (nation, segment, 5000-wide balance band) with the class size and an
+    // at-risk flag (size < k=10). Thin binding of the public
+    // operators/Privacy.kAnonymityAudit (one hash aggregation; the class
+    // table is |QI-combinations| rows no matter the corpus size).
+    "d180_kanon_audit" -> { (s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(customer(s, dir),
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 5000.0).as("bal_band")), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
+
+    // global-recoding generalization ladder: each row settles at the
+    // SMALLEST level whose equivalence class reaches k=6 —
+    //   level 0: (nation, segment, 1000-wide band)
+    //   level 1: (nation, segment, 5000-wide band)
+    //   level 2: (nation, segment)
+    //   level 3: (segment)            <- always reaches k here
+    // Per level: one aggregation builds the class-size table (tiny), which
+    // joins back by broadcast — the corpus is shuffled ZERO times beyond
+    // the four small aggs, the 100 TB shape (a per-level window
+    // count-over-partition would re-shuffle the corpus once per level).
+    "d181_kanon_generalize" -> { (s, dir) =>
+      val c = customer(s, dir)
+        .withColumn("band1k", floor(col("c_acctbal") / 1000.0))
+        .withColumn("band5k", floor(col("c_acctbal") / 5000.0))
+      // thin binding of operators/Privacy.generalizeLadder: the last level
+      // (segment alone) is the unconditional fallback, so only levels 0-2
+      // get class-size tables (broadcast-joined back — zero corpus
+      // re-shuffles)
+      graft.operators.Privacy.generalizeLadder(c, Seq(
+          Seq("c_nationkey", "c_mktsegment", "band1k"),
+          Seq("c_nationkey", "c_mktsegment", "band5k"),
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq("c_mktsegment")), k = 6)
+        .groupBy("settle_level")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("class_key")).as("n_classes"))
+        .orderBy("settle_level")
+    },
+
+    // l-diversity: within each (nation, segment) class, how many DISTINCT
+    // sensitive values (2000-wide balance band) appear — a class can be
+    // k-anonymous yet leak the sensitive attribute when every member
+    // shares one value. Thin binding of operators/Privacy.lDiversity
+    // (diverse_ok = l >= 3; one aggregation).
+    "d182_ldiversity" -> { (s, dir) =>
+      graft.operators.Privacy.lDiversity(customer(s, dir),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 2000.0), l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // count-min sketch with exact audit: build the 4x32 sketch over
+    // events.user_id (fixed 128-cell state, map-side combined — the cells
+    // merge across shards/triggers like any long sum), then estimate each
+    // distinct user's frequency as min_j sketch[j][h_j(u)] via a BROADCAST
+    // join of the 128-row sketch, and audit against the exact per-key
+    // counts: the estimate must never underestimate (over_ok, the CM
+    // guarantee that holds deterministically, not just in probability).
+    "q47_count_min" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val sketch = graft.functions.CountMin.build(ev, "user_id")
+        .transform(graft.sources.Caches.ephemeral)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      val est = graft.functions.CountMin.estimate(sketch,
+        exact.select("user_id"), "user_id")
+      exact.join(est, Seq("user_id"))
+        .withColumn("over_ok", col("est_cnt") >= col("exact_cnt"))
+        .orderBy("user_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "d180_kanon_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS bal_band,
+        |       count(*) AS class_size,
+        |       count(*) < 10 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "d181_kanon_generalize" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band1k,
+        |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band5k
+        |  FROM customer),
+        |sized AS (SELECT *,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band1k) AS sz0,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band5k) AS sz1,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS sz2,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS sz3
+        |  FROM c),
+        |settled AS (SELECT *,
+        |    CASE WHEN sz0 >= 6 THEN 0 WHEN sz1 >= 6 THEN 1
+        |         WHEN sz2 >= 6 THEN 2 ELSE 3 END AS settle_level
+        |  FROM sized),
+        |keyed AS (SELECT settle_level,
+        |    CASE settle_level
+        |      WHEN 0 THEN concat_ws('|', c_nationkey, c_mktsegment, band1k)
+        |      WHEN 1 THEN concat_ws('|', c_nationkey, c_mktsegment, band5k)
+        |      WHEN 2 THEN concat_ws('|', c_nationkey, c_mktsegment)
+        |      ELSE c_mktsegment END AS class_key
+        |  FROM settled)
+        |SELECT settle_level, count(*) AS n_rows,
+        |       count(DISTINCT class_key) AS n_classes
+        |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d182_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l_distinct,
+        |       count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 3 AS diverse_ok
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q47_count_min" ->
+      """WITH p AS (SELECT * FROM (VALUES
+        |    (0, 1103515245, 12345), (1, 214013, 2531011),
+        |    (2, 134775813, 1), (3, 22695477, 1)) t(j, a, b)),
+        |hashed AS (SELECT e.user_id, p.j,
+        |    ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 32 AS bucket
+        |  FROM events e CROSS JOIN p),
+        |sketch AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+        |est AS (SELECT h.user_id, min(s.cnt) AS est_cnt
+        |  FROM (SELECT DISTINCT user_id, j, bucket FROM hashed) h
+        |  JOIN sketch s USING (j, bucket) GROUP BY 1)
+        |SELECT e.user_id, e.exact_cnt, est.est_cnt,
+        |       est.est_cnt >= e.exact_cnt AS over_ok
+        |FROM exact e JOIN est USING (user_id)
+        |ORDER BY user_id""".stripMargin)
+}

@@ -269,6 +269,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("bin"), col("n"))
 
+  /** Per-window count-min sketch (the streaming twin of q47): the 4 x 32
+    * counter cells of [[graft.functions.CountMin]] per event-time tumbling
+    * window over `keyCol` — the heavy-key frequency monitor whose live
+    * state NEVER grows with key cardinality (|windows| x 128 rows, the
+    * point of the sketch). Cells merge by adding counts, which the
+    * windowed groupBy already does across partitions and triggers, so
+    * per-shard partials combine map-side exactly like any long sum — and
+    * a batch replay of the same data produces the identical cell table
+    * (StreamOpsSpec pins it). Point reads estimate a key's frequency as
+    * min over the 4 rows at its hashed buckets — q47's broadcast-join
+    * read, deterministic never-underestimate.
+    */
+  def countMinSketch(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, keyCol: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .select(col(eventTimeCol), col(keyCol),
+        explode(graft.functions.CountMin.params).as("h"))
+      .groupBy(window(col(eventTimeCol), width).as("w"),
+        col("h.j").as("j"),
+        graft.functions.CountMin.bucket(col(keyCol), col("h.a"), col("h.b"))
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("j"), col("bucket"), col("cnt"))
+
   /** Live token-yield ledger (d166's streaming sibling, composed from the
     * deployed twins): each arriving doc runs the filter-waterfall narrow
     * map, is tagged duplicate-vs-new against a STATIC reference corpus by

@@ -728,4 +728,24 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("d180-d182/q47: privacy aggs and count-min keep the corpus un-reshuffled") {
+    // d181: the four per-level class-size tables join back by BROADCAST —
+    // the corpus side never pays a join shuffle (the alternative, four
+    // count-over-partition windows, would re-shuffle the corpus per level)
+    val p181 = plan("d181_kanon_generalize")
+    assert("BroadcastHashJoin".r.findAllIn(p181).length == 3,
+      "all three consulted class-size joins must broadcast\n" + p181)
+    assert(!p181.contains("SortMergeJoin"), "no corpus-side join shuffle\n" + p181)
+    // d180/d182: a single hash aggregation each, no joins at all
+    Seq("d180_kanon_audit", "d182_ldiversity").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n must be join-free\n$p")
+    }
+    // q47: the 128-row sketch broadcasts into the estimate join; the only
+    // non-broadcast join keys on user_id (exact vs estimate, both already
+    // key-partitioned aggregates)
+    val p47 = plan("q47_count_min")
+    assert(p47.contains("BroadcastHashJoin"), "sketch must broadcast\n" + p47)
+  }
 }

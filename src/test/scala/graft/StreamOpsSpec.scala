@@ -337,6 +337,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("count-min sketch: cells merge across triggers and match a batch replay") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val sk = StreamOps.countMinSketch(
+      ms.toDF().toDF("et", "uid"), "et", "5 seconds", "10 seconds", "uid")
+    val q = sk.writeStream.format("memory").queryName("cms_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): user 7 three times across TWO triggers, user 12 once
+      ms.addData((ts(1), 7L), (ts(2), 12L))
+      q.processAllAvailable()
+      ms.addData((ts(3), 7L), (ts(4), 7L))
+      q.processAllAvailable()
+      ms.addData((ts(30), 99L)) // advance watermark past window end
+      q.processAllAvailable()
+      val live = spark.table("cms_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+      // batch replay of the same four rows through the SAME hashing: the
+      // live cell table must be identical (counts merged across triggers
+      // exactly like the batch partial-agg merge)
+      val batch = graft.functions.CountMin
+        .build(Seq(7L, 12L, 7L, 7L).toDF("uid"), "uid")
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(live == batch, s"live=$live batch=$batch")
+      // 4 hash rows; user 7 appears 3x, user 12 1x -> every row's cells sum to 4
+      assert(live.keys.map(_._1).toSet == Set(0, 1, 2, 3))
+      (0 to 3).foreach { j =>
+        assert(live.collect { case ((`j`, _), c) => c }.sum == 4L)
+      }
+      // the read side: point estimates off the cell table never
+      // underestimate (here collision-free, so exactly the true counts)
+      val est = graft.functions.CountMin.estimate(
+        graft.functions.CountMin.build(Seq(7L, 12L, 7L, 7L).toDF("uid"), "uid"),
+        Seq(7L, 12L).toDF("uid"), "uid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(est(7L) >= 3L && est(12L) >= 1L)
+    } finally q.stop()
+  }
+
   test("live langid confusion counts (lang, pred) per window via the shared map") {
     val s = spark
     import s.implicits._
