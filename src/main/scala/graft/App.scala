@@ -148,10 +148,17 @@ object App {
       while (true) Thread.sleep(60000L)
     }
 
+    // --wal-dir: WAL-then-200 durability for the async path (the 200 means
+    // fsync'd to the segment log, the durable twin of the reference's
+    // respond-after-pulsar-flush; empty = in-memory buffered, weaker). The
+    // sync multi-writer path above never needs it — its 200 already means
+    // the destination writes succeeded.
+    val walDir = flag(args, "wal-dir", "")
     val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
       .option("port", port.toString).option("path", path)
       .option("maxConnectionAgeMs", maxConnAgeMs.toString)
       .option("pprof", pprof.toString)
+      .option("walDir", walDir)
       .option("host", host).option("telemetryPath", telemetryPath).load()
     val samples = PromPipeline.attachTenant(
       PromPipeline.explodeWriteRequest(
