@@ -266,17 +266,21 @@ object MicroBench {
             val bad = new java.util.concurrent.atomic.AtomicLong(0L)
             (0 until clients).foreach { _ =>
               pool.execute { () =>
-                latch.await()
-                var i = 0
-                while (i < requests / clients) {
-                  if (post() != 200) bad.incrementAndGet(); i += 1
-                }
-                done.countDown()
+                try {
+                  latch.await()
+                  var i = 0
+                  while (i < requests / clients) {
+                    if (post() != 200) bad.incrementAndGet(); i += 1
+                  }
+                } catch { // a dead client is a failed rep, not a hang
+                  case e: Exception => bad.incrementAndGet()
+                } finally done.countDown()
               }
             }
             val t0 = System.nanoTime()
             latch.countDown()
-            done.await()
+            require(done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+              s"wal_ingest $mode: clients did not finish within 120s")
             val dt = (System.nanoTime() - t0) / 1e9
             pool.shutdown()
             require(bad.get() == 0L, s"wal_ingest $mode: ${bad.get()} non-200s")

@@ -44,8 +44,12 @@ object CountMin {
   /** Point-estimate each row of `keys` against a built sketch:
     * est = min over the d rows of the key's hashed cells (deterministic
     * never-underestimate). The sketch is at most Rows x Width rows, so it
-    * BROADCASTs; absent cells read as the key being unseen, so such keys
-    * drop out (estimate 0 = not present).
+    * BROADCASTs. An absent cell is a ZERO counter — `build` only emits
+    * non-empty cells — so the join is LEFT with the missing count read as
+    * 0: a key with ANY empty cell estimates 0 (provably unseen), exactly
+    * the count-min read (an inner join here would silently drop the zero
+    * from the min and report colliding heavy-key counts for a key the
+    * sketch can prove absent).
     */
   def estimate(sketch: org.apache.spark.sql.DataFrame,
       keys: org.apache.spark.sql.DataFrame, keyCol: String)
@@ -53,6 +57,8 @@ object CountMin {
     keys.select(col(keyCol), explode(params).as("h"))
       .select(col(keyCol), col("h.j").as("j"),
         bucket(col(keyCol), col("h.a"), col("h.b")).as("bucket"))
-      .join(org.apache.spark.sql.functions.broadcast(sketch), Seq("j", "bucket"))
-      .groupBy(keyCol).agg(min(col("cnt")).as("est_cnt"))
+      .join(org.apache.spark.sql.functions.broadcast(sketch),
+        Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 }

@@ -94,7 +94,10 @@ object DataQueries23 {
       val ev = events(s, dir)
       val sketch = graft.functions.CountMin.build(ev, "user_id")
         .transform(graft.sources.Caches.ephemeral)
+      // exact feeds BOTH the estimate key list and the final join — cache
+      // it or the events scan + aggregation runs twice
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .transform(graft.sources.Caches.ephemeral)
       val est = graft.functions.CountMin.estimate(sketch,
         exact.select("user_id"), "user_id")
       exact.join(est, Seq("user_id"))

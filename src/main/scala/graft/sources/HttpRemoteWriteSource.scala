@@ -214,12 +214,29 @@ object HttpRemoteWriteSource {
       // force already covered this record, return immediately; otherwise
       // force the active channel once for every record appended so far.
       // (Records in rolled segments were forced at roll time, so forcing
-      // the active channel is always sufficient for `target`.)
+      // the active channel is always sufficient for `target`.) The force
+      // runs outside the append lock, so the channel can be closed under
+      // us by a concurrent roll (which forces first and advances `synced`
+      // past everything in the closed segment) — treat the closed-channel
+      // exception as "covered elsewhere" and re-check, never as a failure
+      // of an already-durable record.
       if (synced.get() < seq) syncLeader.synchronized {
-        if (synced.get() < seq) {
+        while (synced.get() < seq) {
           val (target, channel) = synchronized { (activeLast, ch) }
-          if (channel != null) channel.force(false)
-          synced.accumulateAndGet(target, math.max(_, _))
+          if (channel == null) {
+            // roll/close/truncate paths force-or-retire and advance
+            // `synced` BEFORE nulling the channel, so this means the WAL
+            // was closed with our record unsynced — refuse the 200 rather
+            // than promise durability we cannot deliver
+            if (synced.get() < seq)
+              throw new IllegalStateException(
+                s"wal closed with record $seq awaiting sync")
+          } else try {
+            channel.force(false)
+            synced.accumulateAndGet(target, math.max(_, _))
+          } catch {
+            case _: java.nio.channels.ClosedChannelException => ()
+          }
         }
       }
     }
@@ -246,6 +263,11 @@ object HttpRemoteWriteSource {
         if (e.getValue._2 < until) { Files.deleteIfExists(e.getValue._1); it.remove() }
       }
       if (ch != null && activeLast >= 0 && activeLast < until) {
+        // every record here is committed (the publish floor keeps `until`
+        // at or below all in-flight seqnos, so none is still awaiting its
+        // 200) — retire them for any waiting group-commit leader, then
+        // drop the segment
+        synced.accumulateAndGet(activeLast, math.max(_, _))
         ch.close(); ch = null
         Files.deleteIfExists(activePath)
         activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
@@ -256,7 +278,18 @@ object HttpRemoteWriteSource {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
-    def close(): Unit = synchronized { if (ch != null) { ch.close(); ch = null } }
+    def close(): Unit = synchronized {
+      if (ch != null) {
+        // final force BEFORE the close and BEFORE advancing `synced`: a
+        // group-commit leader mid-append must never see its record marked
+        // durable without a force having covered it (a close that skipped
+        // the force would let a concurrent accept 200 a page-cache-only
+        // record)
+        ch.force(false)
+        synced.accumulateAndGet(activeLast, math.max(_, _))
+        ch.close(); ch = null
+      }
+    }
   }
 
   /** One receiver per (JVM, port): buffered messages with monotonic seqnos.
@@ -305,7 +338,11 @@ object HttpRemoteWriteSource {
     private[graft] def beginPublish(): Long = seqLock.synchronized {
       val s = seq.getAndIncrement(); inFlight.add(s); s
     }
-    private[graft] def endPublish(s: Long): Unit = inFlight.remove(s)
+    // also under seqLock: `latest`'s isEmpty-then-first must be atomic
+    // against removal, or first() can throw on a set emptied between the
+    // two calls (crashing latestOffset and the query with it)
+    private[graft] def endPublish(s: Long): Unit =
+      seqLock.synchronized { inFlight.remove(s) }
     private val connBirth = new ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var server: com.sun.net.httpserver.HttpServer = _
     private val wal: Wal =
@@ -474,8 +511,17 @@ object HttpRemoteWriteSource {
         if (wal != null) wal.append(s, r)
         buf.put(s, r)
         200
-      } catch { case _: Exception => 500 }
-      finally endPublish(s)
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt() // preserve the interrupt flag
+          500
+        case e: Exception =>
+          // a silent 500 would make disk-full indistinguishable from a bug:
+          // log the cause and count it where /metrics can see it
+          System.err.println(s"[receiver:$port] accept seq=$s failed: $e")
+          graft.streaming.Metrics.add("receiver_accept_failures_total", 1L)
+          500
+      } finally endPublish(s)
     }
 
     def latest: Long = seqLock.synchronized {

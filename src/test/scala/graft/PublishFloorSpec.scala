@@ -48,6 +48,34 @@ class PublishFloorSpec extends AnyFunSuite {
     assert(got.map(_.basicAuthUser).toSeq == Seq(null, "u"))
   }
 
+  test("latest never throws while publishes race it") {
+    // the planner thread polls latest concurrently with handler publishes;
+    // the isEmpty-then-first read must be atomic against removal or an
+    // emptied set throws NoSuchElementException out of latestOffset,
+    // killing the query (reproduced pre-fix in under a second)
+    val r = rcv()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (0 until 2).foreach { _ =>
+        pool.execute { () =>
+          try while (!stop.get()) r.endPublish(r.beginPublish())
+          catch { case t: Throwable => failed.set(t); stop.set(true) }
+        }
+      }
+      val deadline = System.currentTimeMillis() + 1500
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && failed.get() == null) {
+        val l = r.latest // must never throw, must never go backwards
+        assert(l >= last, s"latest went backwards: $last -> $l")
+        last = l
+      }
+      stop.set(true)
+      assert(failed.get() == null, s"publisher thread died: ${failed.get()}")
+    } finally pool.shutdownNow()
+  }
+
   test("concurrent WAL accepts: every 200 is durable under group commit") {
     val wal = java.nio.file.Files.createTempDirectory("graft-wal-group").toString
     val r1 = rcv(walDir = wal)

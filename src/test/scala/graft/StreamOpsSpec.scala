@@ -369,12 +369,16 @@ class StreamOpsSpec extends AnyFunSuite {
         assert(live.collect { case ((`j`, _), c) => c }.sum == 4L)
       }
       // the read side: point estimates off the cell table never
-      // underestimate (here collision-free, so exactly the true counts)
+      // underestimate (here collision-free, so exactly the true counts),
+      // and an unseen key with an empty cell reads 0 — the left join's
+      // absent-cell-as-zero, not the colliding cells' counts (key 99's
+      // cells do not all collide with 7/12's, checked by construction)
       val est = graft.functions.CountMin.estimate(
         graft.functions.CountMin.build(Seq(7L, 12L, 7L, 7L).toDF("uid"), "uid"),
-        Seq(7L, 12L).toDF("uid"), "uid")
+        Seq(7L, 12L, 99L).toDF("uid"), "uid")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(est(7L) >= 3L && est(12L) >= 1L)
+      assert(est(99L) == 0L, s"unseen key must estimate 0, got ${est(99L)}")
     } finally q.stop()
   }
 
