@@ -154,11 +154,15 @@ object App {
     // sync multi-writer path above never needs it — its 200 already means
     // the destination writes succeeded.
     val walDir = flag(args, "wal-dir", "")
+    // --web.handler-threads: concurrent request handling (and, in WAL mode,
+    // the group-commit batch width — more concurrent appends share a force)
+    val handlerThreads = flag(args, "web.handler-threads", "4")
     val src = spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
       .option("port", port.toString).option("path", path)
       .option("maxConnectionAgeMs", maxConnAgeMs.toString)
       .option("pprof", pprof.toString)
       .option("walDir", walDir)
+      .option("handlerThreads", handlerThreads)
       .option("host", host).option("telemetryPath", telemetryPath).load()
     val samples = PromPipeline.attachTenant(
       PromPipeline.explodeWriteRequest(

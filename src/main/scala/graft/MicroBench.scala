@@ -245,12 +245,18 @@ object MicroBench {
           graft.functions.PromKernel.encodeWriteRequest(
             graft.functions.PromKernel.PbWriteRequest(series)))
       }
-      for (mode <- Seq("default", "wal")) {
+      // the third config widens the handler pool: in WAL mode the pool is
+      // also the group-commit batch width, so throughput should rise with
+      // it (more concurrent appends share each force) — the measurement
+      // behind the "scales with records-per-group" claim
+      for ((mode, handlers, clientsN) <- Seq(
+          ("default", 4, clients), ("wal", 4, clients), ("wal", 16, 32))) {
         val port = 19313
         val walDir = if (mode == "wal")
           java.nio.file.Files.createTempDirectory("graft-mb-wal").toString else ""
         val r = graft.sources.HttpRemoteWriteSource.receiver(
-          port, "/write", validate = true, walDir = walDir)
+          port, "/write", validate = true, walDir = walDir,
+          handlerThreads = handlers)
         try {
           val http = java.net.http.HttpClient.newHttpClient()
           def post(): Int = http.send(
@@ -260,16 +266,16 @@ object MicroBench {
               .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(b)).build(),
             java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
           val times = (1 to 3).map { rep =>
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(clientsN)
             val latch = new java.util.concurrent.CountDownLatch(1)
-            val done = new java.util.concurrent.CountDownLatch(clients)
+            val done = new java.util.concurrent.CountDownLatch(clientsN)
             val bad = new java.util.concurrent.atomic.AtomicLong(0L)
-            (0 until clients).foreach { _ =>
+            (0 until clientsN).foreach { _ =>
               pool.execute { () =>
                 try {
                   latch.await()
                   var i = 0
-                  while (i < requests / clients) {
+                  while (i < requests / clientsN) {
                     if (post() != 200) bad.incrementAndGet(); i += 1
                   }
                 } catch { // a dead client is a failed rep, not a hang
@@ -289,7 +295,7 @@ object MicroBench {
           }.drop(1) // rep 1 doubles as warmup
           val rps = (requests / times.min).toLong
           val mbps = requests.toDouble * b.length / times.min / 1e6
-          println(s"""{"bench":"wal_ingest","mode":"$mode","requests":$requests,"clients":$clients,"body_bytes":${b.length},"sec":${times.min},"req_per_sec":$rps,"mb_per_sec":${math.round(mbps * 10) / 10.0}}""")
+          println(s"""{"bench":"wal_ingest","mode":"$mode","handler_threads":$handlers,"requests":$requests,"clients":$clientsN,"body_bytes":${b.length},"sec":${times.min},"req_per_sec":$rps,"mb_per_sec":${math.round(mbps * 10) / 10.0}}""")
         } finally graft.sources.HttpRemoteWriteSource.shutdown(port)
       }
     }

@@ -319,9 +319,10 @@ object HttpRemoteWriteSource {
   final class Receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
       host: String = "", telemetryPath: String = "/metrics",
-      walDir: String = "") {
+      walDir: String = "", handlerThreads: Int = 4) {
     private[HttpRemoteWriteSource] val config =
-      (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath, walDir)
+      (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath,
+        walDir, handlerThreads)
     private val buf = new java.util.concurrent.ConcurrentSkipListMap[Long, Received]()
     private val seq = new AtomicLong(0L)
     // Publish floor: seqno assignment and buffer insertion are two steps
@@ -438,7 +439,11 @@ object HttpRemoteWriteSource {
           val body = sb.toString.getBytes("UTF-8")
           e.sendResponseHeaders(200, body.length); e.getResponseBody.write(body); e.close()
         })
-      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      // handlerThreads sizes concurrent request handling — in WAL mode it
+      // also bounds the group-commit batch (more concurrent appends share
+      // one force), so it is the single-ingress throughput knob
+      server.setExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(handlerThreads))
       server.start()
     }
 
@@ -550,12 +555,12 @@ object HttpRemoteWriteSource {
   def receiver(port: Int, path: String, validate: Boolean,
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
       host: String = "", telemetryPath: String = "/metrics",
-      walDir: String = ""): Receiver = {
+      walDir: String = "", handlerThreads: Int = 4): Receiver = {
     val r = receivers.computeIfAbsent(port,
       _ => new Receiver(port, path, validate, maxConnectionAgeMs, pprof,
-        host, telemetryPath, walDir))
+        host, telemetryPath, walDir, handlerThreads))
     val requested = (port, path, validate, maxConnectionAgeMs, pprof, host,
-      telemetryPath, walDir)
+      telemetryPath, walDir, handlerThreads)
     if (r.config != requested)
       throw new IllegalStateException(
         s"port $port already serves a receiver with different settings " +
@@ -586,13 +591,14 @@ class HttpRemoteWriteProvider extends TableProvider {
       properties.getOrDefault("pprof", "true").toBoolean,
       properties.getOrDefault("host", ""),
       properties.getOrDefault("telemetryPath", "/metrics"),
-      properties.getOrDefault("walDir", ""))
+      properties.getOrDefault("walDir", ""),
+      properties.getOrDefault("handlerThreads", "4").toInt)
 }
 
 class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
     maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
     host: String = "", telemetryPath: String = "/metrics",
-    walDir: String = "")
+    walDir: String = "", handlerThreads: Int = 4)
     extends Table with SupportsRead {
   override def name(): String = s"http-remote-write:$port$path"
   override def schema(): StructType = HttpRemoteWriteSource.schema
@@ -604,7 +610,7 @@ class HttpRemoteWriteTable(port: Int, path: String, validate: Boolean,
         override def readSchema(): StructType = HttpRemoteWriteSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new HttpRemoteWriteStream(port, path, validate, maxConnectionAgeMs, pprof,
-            host, telemetryPath, walDir)
+            host, telemetryPath, walDir, handlerThreads)
       }
     }
 }
@@ -616,11 +622,11 @@ final case class HttpOffset(seq: Long) extends Offset {
 class HttpRemoteWriteStream(port: Int, path: String, validate: Boolean,
     maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
     host: String = "", telemetryPath: String = "/metrics",
-    walDir: String = "")
+    walDir: String = "", handlerThreads: Int = 4)
     extends MicroBatchStream {
   private val receiver =
     HttpRemoteWriteSource.receiver(port, path, validate, maxConnectionAgeMs, pprof,
-      host, telemetryPath, walDir)
+      host, telemetryPath, walDir, handlerThreads)
 
   override def initialOffset(): Offset = HttpOffset(0L)
   override def latestOffset(): Offset = HttpOffset(receiver.latest)
