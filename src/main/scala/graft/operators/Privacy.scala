@@ -42,11 +42,24 @@ object Privacy {
     *
     * Columns named `sz0..szN` are claimed internally.
     */
-  def generalizeLadder(df: DataFrame, levels: Seq[Seq[String]], k: Int): DataFrame = {
+  def generalizeLadder(df: DataFrame, levels: Seq[Seq[String]], k: Int): DataFrame =
+    generalizeLadderWith(df, levels, k, df)
+
+  /** [[generalizeLadder]] with class sizes computed from `reference`
+    * instead of `df` itself — the cross-dump/production shape: today's
+    * rows settle against the published cohort's statistics (so the same
+    * row always lands in the same class regardless of which dump carries
+    * it), and because every step is a stateless broadcast join the SAME
+    * call generalizes a live STREAM against a static reference
+    * (StreamOps.generalizeRoute; a class absent from the reference counts
+    * as size 0 — maximally identifying — and falls through the ladder).
+    */
+  def generalizeLadderWith(df: DataFrame, levels: Seq[Seq[String]], k: Int,
+      reference: DataFrame): DataFrame = {
     require(levels.size >= 2, "need at least one consulted level plus the fallback")
     val consulted = levels.dropRight(1)
     val sized = consulted.zipWithIndex.foldLeft(df) { case (acc, (ks, lvl)) =>
-      val sizes = df.groupBy(ks.map(col): _*).agg(count(lit(1)).as(s"sz$lvl"))
+      val sizes = reference.groupBy(ks.map(col): _*).agg(count(lit(1)).as(s"sz$lvl"))
       acc.join(broadcast(sizes), ks, "left")
     }
     val settle = consulted.indices.foldRight(lit(levels.size - 1): Column) {

@@ -71,6 +71,31 @@ object DataQueries23 {
         .orderBy("settle_level")
     },
 
+    // cross-dump generalization: today's dump (odd custkeys) settles
+    // against the PUBLISHED cohort's class sizes (even custkeys) — the
+    // production shape where the same row always lands in the same class
+    // regardless of which dump carries it, and a class absent from the
+    // reference counts as size 0 (maximally identifying, falls through
+    // the ladder). Thin binding of Privacy.generalizeLadderWith; the same
+    // call is the streaming router (StreamOps.generalizeRoute — stateless
+    // broadcast joins, so stream == batch row-for-row, PrivacySpec-pinned).
+    "d183_kanon_reference" -> { (s, dir) =>
+      val all = customer(s, dir)
+        .withColumn("band1k", floor(col("c_acctbal") / 1000.0))
+        .withColumn("band5k", floor(col("c_acctbal") / 5000.0))
+      val dump = all.filter(col("c_custkey") % 2 === 1)
+      val reference = all.filter(col("c_custkey") % 2 === 0)
+      graft.operators.Privacy.generalizeLadderWith(dump, Seq(
+          Seq("c_nationkey", "c_mktsegment", "band1k"),
+          Seq("c_nationkey", "c_mktsegment", "band5k"),
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq("c_mktsegment")), k = 6, reference)
+        .groupBy("settle_level")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("class_key")).as("n_classes"))
+        .orderBy("settle_level")
+    },
+
     // l-diversity: within each (nation, segment) class, how many DISTINCT
     // sensitive values (2000-wide balance band) appear — a class can be
     // k-anonymous yet leak the sensitive attribute when every member
@@ -130,6 +155,42 @@ object DataQueries23 {
         |    CASE WHEN sz0 >= 6 THEN 0 WHEN sz1 >= 6 THEN 1
         |         WHEN sz2 >= 6 THEN 2 ELSE 3 END AS settle_level
         |  FROM sized),
+        |keyed AS (SELECT settle_level,
+        |    CASE settle_level
+        |      WHEN 0 THEN concat_ws('|', c_nationkey, c_mktsegment, band1k)
+        |      WHEN 1 THEN concat_ws('|', c_nationkey, c_mktsegment, band5k)
+        |      WHEN 2 THEN concat_ws('|', c_nationkey, c_mktsegment)
+        |      ELSE c_mktsegment END AS class_key
+        |  FROM settled)
+        |SELECT settle_level, count(*) AS n_rows,
+        |       count(DISTINCT class_key) AS n_classes
+        |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d183_kanon_reference" ->
+      """WITH all_c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band1k,
+        |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band5k
+        |  FROM customer),
+        |ref AS (SELECT * FROM all_c WHERE c_custkey % 2 = 0),
+        |dump AS (SELECT * FROM all_c WHERE c_custkey % 2 = 1),
+        |s0 AS (SELECT c_nationkey, c_mktsegment, band1k, count(*) AS sz
+        |  FROM ref GROUP BY 1, 2, 3),
+        |s1 AS (SELECT c_nationkey, c_mktsegment, band5k, count(*) AS sz
+        |  FROM ref GROUP BY 1, 2, 3),
+        |s2 AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM ref GROUP BY 1, 2),
+        |joined AS (SELECT d.*, s0.sz AS sz0, s1.sz AS sz1, s2.sz AS sz2
+        |  FROM dump d
+        |  LEFT JOIN s0 ON d.c_nationkey = s0.c_nationkey
+        |    AND d.c_mktsegment = s0.c_mktsegment AND d.band1k = s0.band1k
+        |  LEFT JOIN s1 ON d.c_nationkey = s1.c_nationkey
+        |    AND d.c_mktsegment = s1.c_mktsegment AND d.band5k = s1.band5k
+        |  LEFT JOIN s2 ON d.c_nationkey = s2.c_nationkey
+        |    AND d.c_mktsegment = s2.c_mktsegment),
+        |settled AS (SELECT *,
+        |    CASE WHEN sz0 >= 6 THEN 0 WHEN sz1 >= 6 THEN 1
+        |         WHEN sz2 >= 6 THEN 2 ELSE 3 END AS settle_level
+        |  FROM joined),
         |keyed AS (SELECT settle_level,
         |    CASE settle_level
         |      WHEN 0 THEN concat_ws('|', c_nationkey, c_mktsegment, band1k)

@@ -269,6 +269,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("bin"), col("n"))
 
+  /** Live generalization routing (the streaming twin of d183 /
+    * Privacy.generalizeLadderWith): each arriving row settles at the
+    * smallest generalization level whose equivalence class — sized on the
+    * STATIC reference corpus — reaches k, gaining `settle_level` and
+    * `class_key`. Every step is a stateless broadcast join against the
+    * tiny per-level class tables, so stream and batch run the identical
+    * plan (no stream state; PrivacySpec pins batch/stream row identity)
+    * and the router scales like any stream-static enrichment.
+    */
+  def generalizeRoute(stream: DataFrame, levels: Seq[Seq[String]], k: Int,
+      reference: DataFrame): DataFrame =
+    graft.operators.Privacy.generalizeLadderWith(stream, levels, k, reference)
+
   /** Per-window count-min sketch (the streaming twin of q47): the 4 x 32
     * counter cells of [[graft.functions.CountMin]] per event-time tumbling
     * window over `keyCol` — the heavy-key frequency monitor whose live

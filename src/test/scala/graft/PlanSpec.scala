@@ -729,7 +729,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d180-d182/q47: privacy aggs and count-min keep the corpus un-reshuffled") {
+  test("d180-d183/q47: privacy aggs and count-min keep the corpus un-reshuffled") {
     // d181: the four per-level class-size tables join back by BROADCAST —
     // the corpus side never pays a join shuffle (the alternative, four
     // count-over-partition windows, would re-shuffle the corpus per level)
@@ -737,6 +737,10 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p181).length == 3,
       "all three consulted class-size joins must broadcast\n" + p181)
     assert(!p181.contains("SortMergeJoin"), "no corpus-side join shuffle\n" + p181)
+    // d183: same ladder against a reference corpus — still all-broadcast
+    val p183 = plan("d183_kanon_reference")
+    assert("BroadcastHashJoin".r.findAllIn(p183).length == 3 &&
+      !p183.contains("SortMergeJoin"), "reference sizes must broadcast\n" + p183)
     // d180/d182: a single hash aggregation each, no joins at all
     Seq("d180_kanon_audit", "d182_ldiversity").foreach { n =>
       val p = plan(n)

@@ -62,6 +62,49 @@ class PrivacySpec extends AnyFunSuite {
     assert(!cols.exists(_.startsWith("sz")), cols.toString)
   }
 
+  test("generalizeLadderWith: reference sizes decide; absent classes fall through") {
+    val s = spark
+    import s.implicits._
+    // dump carries a class the reference has never seen ("D","z") — size 0,
+    // maximally identifying, must fall through to the fallback even though
+    // the dump itself has it
+    val dump = Seq(("B", "x"), ("D", "z"), ("A", "y"))
+      .toDF("g", "sub").withColumn("all", lit("*"))
+    val out = Privacy.generalizeLadderWith(dump,
+        Seq(Seq("g", "sub"), Seq("g"), Seq("all")), k = 5, reference = df)
+      .select("g", "sub", "settle_level", "class_key")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getInt(2), r.getString(3)))).toSet
+    assert(out == Set(
+      (("B", "x"), (0, "B|x")), // reference class of 5 at the finest level
+      (("A", "y"), (1, "A")),   // A|y is 2 in the reference; g=A is 6
+      (("D", "z"), (2, "*"))))  // unseen anywhere: falls to the fallback
+  }
+
+  test("generalizeRoute: a live stream settles identically to the batch call") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("B", "x"), ("A", "x"), ("D", "z"), ("C", "y"))
+    val levels = Seq(Seq("g", "sub"), Seq("g"), Seq("all"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](spark)
+    val q = graft.streaming.StreamOps.generalizeRoute(
+        ms.toDF().toDF("g", "sub").withColumn("all", lit("*")), levels, 5, df)
+      .select("g", "sub", "settle_level", "class_key")
+      .writeStream.format("memory").queryName("gen_route_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val live = spark.table("gen_route_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = Privacy.generalizeLadderWith(
+          rows.toDF("g", "sub").withColumn("all", lit("*")), levels, 5, df)
+        .select("g", "sub", "settle_level", "class_key")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      assert(live == batch && live.nonEmpty, s"live=$live batch=$batch")
+    } finally q.stop()
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),
