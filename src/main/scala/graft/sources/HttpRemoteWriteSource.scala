@@ -82,7 +82,17 @@ object HttpRemoteWriteSource {
   private final class Wal(dir: java.nio.file.Path) {
     import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
     Files.createDirectories(dir)
-    private val segMaxBytes = 4L << 20
+    // test seam: small segments let specs exercise many rolls cheaply
+    private val segMaxBytes =
+      sys.props.get("graft.wal.segMaxBytes").map(_.toLong).getOrElse(4L << 20)
+    // rolled segments whose fsync is still owed: a roll SEALS the old
+    // channel without forcing it (a multi-MB force under the append lock
+    // would stall every concurrent handler for the full fsync — observed
+    // as a whole-receiver freeze on a throttled disk); the group-commit
+    // leader forces sealed channels OUTSIDE the lock before advancing
+    // `synced`, so the durability contract is unchanged while appends
+    // keep flowing into the new segment. Guarded by the object lock.
+    private var sealedPending = List.empty[(java.nio.channels.FileChannel, Long)]
     // completed (closed or replayed) segments: firstSeq -> (path, lastSeq)
     private val segs = new java.util.TreeMap[Long, (Path, Long)]()
     private var ch: java.nio.channels.FileChannel = null
@@ -212,29 +222,35 @@ object HttpRemoteWriteSource {
       // fsync BEFORE the 200 — this is the durability line. The double-
       // checked leader pattern makes it a group commit: if a concurrent
       // force already covered this record, return immediately; otherwise
-      // force the active channel once for every record appended so far.
-      // (Records in rolled segments were forced at roll time, so forcing
-      // the active channel is always sufficient for `target`.) The force
-      // runs outside the append lock, so the channel can be closed under
-      // us by a concurrent roll (which forces first and advances `synced`
-      // past everything in the closed segment) — treat the closed-channel
-      // exception as "covered elsewhere" and re-check, never as a failure
-      // of an already-durable record.
+      // force every SEALED (rolled-but-unforced) channel plus the active
+      // one, once for every record appended so far. All forces run outside
+      // the append lock, so appends keep flowing while the leader syncs —
+      // a roll therefore never stalls the receiver behind a multi-MB
+      // fsync, and `synced` only advances once everything <= target is
+      // genuinely on disk.
       if (synced.get() < seq) syncLeader.synchronized {
         while (synced.get() < seq) {
-          val (target, channel) = synchronized { (activeLast, ch) }
-          if (channel == null) {
-            // roll/close/truncate paths force-or-retire and advance
-            // `synced` BEFORE nulling the channel, so this means the WAL
-            // was closed with our record unsynced — refuse the 200 rather
+          val (alast, channel, owed) = synchronized { (activeLast, ch, sealedPending) }
+          if (channel == null && owed.isEmpty) {
+            // close/truncate paths force-or-retire and advance `synced`
+            // BEFORE clearing the channels, so this means the WAL was
+            // closed with our record unsynced — refuse the 200 rather
             // than promise durability we cannot deliver
             if (synced.get() < seq)
               throw new IllegalStateException(
                 s"wal closed with record $seq awaiting sync")
           } else try {
-            channel.force(false)
+            // sealed (older) segments first, then the active one; only
+            // after ALL of them are forced is everything <= target durable
+            owed.foreach(_._1.force(false))
+            if (channel != null) channel.force(false)
+            synchronized { sealedPending = sealedPending.diff(owed) }
+            owed.foreach(_._1.close())
+            val target = (alast :: owed.map(_._2)).max
             synced.accumulateAndGet(target, math.max(_, _))
           } catch {
+            // closed under us by a concurrent close(): it forces before
+            // closing and advances `synced` itself — re-check
             case _: java.nio.channels.ClosedChannelException => ()
           }
         }
@@ -242,12 +258,11 @@ object HttpRemoteWriteSource {
     }
 
     private def rollActive(): Unit = {
-      // force before close so every record in a CLOSED segment is durable —
-      // the invariant that lets the group-commit leader force only the
-      // active channel
-      ch.force(false)
-      synced.accumulateAndGet(activeLast, math.max(_, _))
-      ch.close(); ch = null
+      // seal WITHOUT forcing: the owed fsync moves to the next group-commit
+      // leader (outside this lock), so a roll never stalls concurrent
+      // appends behind a multi-MB force
+      sealedPending = sealedPending :+ ((ch, activeLast))
+      ch = null
       segs.put(activeFirst, (activePath, activeLast))
       activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
     }
@@ -262,6 +277,14 @@ object HttpRemoteWriteSource {
         val e = it.next()
         if (e.getValue._2 < until) { Files.deleteIfExists(e.getValue._1); it.remove() }
       }
+      // sealed channels whose every record is committed: retire un-forced
+      // (consumed records no longer need durability; the publish floor
+      // keeps `until` at or below all in-flight seqnos)
+      val (dead, live) = sealedPending.partition(_._2 < until)
+      dead.foreach { case (c, last) =>
+        synced.accumulateAndGet(last, math.max(_, _)); c.close()
+      }
+      sealedPending = live
       if (ch != null && activeLast >= 0 && activeLast < until) {
         // every record here is committed (the publish floor keeps `until`
         // at or below all in-flight seqnos, so none is still awaiting its
@@ -279,12 +302,17 @@ object HttpRemoteWriteSource {
     }
 
     def close(): Unit = synchronized {
+      // final force of everything BEFORE the close and BEFORE advancing
+      // `synced`: a group-commit leader mid-append must never see its
+      // record marked durable without a force having covered it (a close
+      // that skipped the force would let a concurrent accept 200 a
+      // page-cache-only record)
+      sealedPending.foreach { case (c, last) =>
+        try { c.force(false); synced.accumulateAndGet(last, math.max(_, _)) }
+        finally c.close()
+      }
+      sealedPending = Nil
       if (ch != null) {
-        // final force BEFORE the close and BEFORE advancing `synced`: a
-        // group-commit leader mid-append must never see its record marked
-        // durable without a force having covered it (a close that skipped
-        // the force would let a concurrent accept 200 a page-cache-only
-        // record)
         ch.force(false)
         synced.accumulateAndGet(activeLast, math.max(_, _))
         ch.close(); ch = null

@@ -76,6 +76,54 @@ class PublishFloorSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("concurrent WAL accepts across segment rolls: every 200 replays") {
+    // small segments (test seam) so the log rolls dozens of times
+    // mid-flight: a roll SEALS the old channel without forcing (the owed
+    // fsync moves to the next group-commit leader, outside the append
+    // lock — this test originally froze the receiver for minutes on a
+    // throttled disk because the roll forced 4 MB under the lock), and
+    // the leader must cover sealed segments before advancing the synced
+    // floor, or a 200'd record in a rolled segment could miss its fsync
+    // sized for ~50 rolls with ~150 total fsyncs: this host's shared disk
+    // throttles fsync in bursts (observed 1-2 s/fsync windows after heavy
+    // suite IO), so the fsync COUNT — not the byte volume — bounds the
+    // worst-case runtime
+    sys.props("graft.wal.segMaxBytes") = (16 * 1024).toString
+    try {
+      val wal = java.nio.file.Files.createTempDirectory("graft-wal-roll").toString
+      val r1 = rcv(walDir = wal)
+      val threads = 4
+      val per = 25
+      val body = new Array[Byte](8 * 1024) // ~800 KB total -> ~50 rolls
+      val bad = new java.util.concurrent.atomic.AtomicLong(0L)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val done = new java.util.concurrent.CountDownLatch(threads)
+        (0 until threads).foreach { t =>
+          pool.execute { () =>
+            var i = 0
+            while (i < per) {
+              val b = body.clone(); b(0) = t.toByte; b(1) = i.toByte
+              if (r1.accept(Received(b, null, null, 0L)) != 200) bad.incrementAndGet()
+              i += 1
+            }
+            done.countDown()
+          }
+        }
+        assert(done.await(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(bad.get() == 0L, s"${bad.get()} accepts failed under rolling")
+      val n = threads * per
+      val segs = new java.io.File(wal).listFiles().count(_.getName.endsWith(".wal"))
+      assert(segs > 1, s"expected multiple segments, got $segs — roll never happened")
+      val r2 = rcv(walDir = wal)
+      val replayed = r2.range(0L, n.toLong)
+      assert(replayed.length == n, s"all $n acknowledged records must replay")
+      assert(replayed.map(m => (m.body(0), m.body(1))).toSet ==
+        (for { t <- 0 until threads; i <- 0 until per } yield (t.toByte, i.toByte)).toSet)
+    } finally sys.props.remove("graft.wal.segMaxBytes")
+  }
+
   test("concurrent WAL accepts: every 200 is durable under group commit") {
     val wal = java.nio.file.Files.createTempDirectory("graft-wal-group").toString
     val r1 = rcv(walDir = wal)
@@ -99,7 +147,8 @@ class PublishFloorSpec extends AnyFunSuite {
         }
       }
       latch.countDown()
-      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // generous: this host's shared disk throttles fsync in bursts
+      assert(done.await(180, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdownNow()
     val n = threads * per
     assert(codes.size == n)
