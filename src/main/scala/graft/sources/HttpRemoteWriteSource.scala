@@ -306,16 +306,25 @@ object HttpRemoteWriteSource {
       // `synced`: a group-commit leader mid-append must never see its
       // record marked durable without a force having covered it (a close
       // that skipped the force would let a concurrent accept 200 a
-      // page-cache-only record)
-      sealedPending.foreach { case (c, last) =>
-        try { c.force(false); synced.accumulateAndGet(last, math.max(_, _)) }
-        finally c.close()
-      }
+      // page-cache-only record). Per-channel try: one failing force must
+      // not leak the remaining channels or skip the active segment's
+      // final fsync — `synced` simply does not advance for the channel
+      // that failed, so a racing accept gets its honest 500.
+      val all = sealedPending ++
+        (if (ch != null) List((ch, activeLast)) else Nil)
       sealedPending = Nil
-      if (ch != null) {
-        ch.force(false)
-        synced.accumulateAndGet(activeLast, math.max(_, _))
-        ch.close(); ch = null
+      ch = null
+      all.foreach { case (c, last) =>
+        try {
+          c.force(false)
+          synced.accumulateAndGet(last, math.max(_, _))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[wal:$dir] close: force failed for " +
+              s"records <= $last: $e")
+        } finally {
+          try c.close() catch { case _: Exception => () }
+        }
       }
     }
   }
@@ -348,6 +357,11 @@ object HttpRemoteWriteSource {
       maxConnectionAgeMs: Long = 0L, pprof: Boolean = true,
       host: String = "", telemetryPath: String = "/metrics",
       walDir: String = "", handlerThreads: Int = 4) {
+    // validate HERE, before the registry insertion: a throw inside
+    // computeIfAbsent leaves no stale entry, so a corrected retry on the
+    // same port works without a manual shutdown
+    require(handlerThreads > 0,
+      s"handlerThreads (--web.handler-threads) must be positive, got $handlerThreads")
     private[HttpRemoteWriteSource] val config =
       (port, path, validate, maxConnectionAgeMs, pprof, host, telemetryPath,
         walDir, handlerThreads)

@@ -116,11 +116,20 @@ class PublishFloorSpec extends AnyFunSuite {
       val n = threads * per
       val segs = new java.io.File(wal).listFiles().count(_.getName.endsWith(".wal"))
       assert(segs > 1, s"expected multiple segments, got $segs — roll never happened")
+      // CRASH semantics: r1 is NOT stopped before the replay check — a
+      // graceful close force-drains, which would mask a leader that never
+      // covered its records; replay must succeed off the crashed state
       val r2 = rcv(walDir = wal)
-      val replayed = r2.range(0L, n.toLong)
-      assert(replayed.length == n, s"all $n acknowledged records must replay")
-      assert(replayed.map(m => (m.body(0), m.body(1))).toSet ==
-        (for { t <- 0 until threads; i <- 0 until per } yield (t.toByte, i.toByte)).toSet)
+      try {
+        val replayed = r2.range(0L, n.toLong)
+        assert(replayed.length == n, s"all $n acknowledged records must replay")
+        assert(replayed.map(m => (m.body(0), m.body(1))).toSet ==
+          (for { t <- 0 until threads; i <- 0 until per } yield (t.toByte, i.toByte)).toSet)
+      } finally {
+        // then drain both (r1's close exercises the per-channel sealed
+        // force path under the small-segment seam; no fd leak in-suite)
+        r1.stop(); r2.stop()
+      }
     } finally sys.props.remove("graft.wal.segMaxBytes")
   }
 
@@ -155,10 +164,12 @@ class PublishFloorSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(codes.asScala.forall(_ == 200), "every accept must return 200")
     assert(r1.latest == n.toLong)
-    // CRASH: the in-memory buffer dies with r1; a fresh receiver over the
-    // same walDir must replay every acknowledged record byte-identically —
-    // which is only possible if the group-commit leader's force covered
-    // each record BEFORE its accept returned
+    // CRASH: the in-memory buffer dies with r1 (deliberately NOT stopped
+    // first — close() force-drains and would mask a missing pre-200
+    // force); a fresh receiver over the same walDir must replay every
+    // acknowledged record byte-identically, which is only possible if the
+    // group-commit leader's force covered each record BEFORE its accept
+    // returned
     val r2 = rcv(walDir = wal)
     assert(r2.latest == n.toLong, "seq counter must resume past the replayed max")
     val replayed = r2.range(0L, n.toLong)
@@ -168,5 +179,6 @@ class PublishFloorSpec extends AnyFunSuite {
     assert(replayed.map(m => new String(m.body, "UTF-8")).toSet == want)
     assert(replayed.map(_.orgIdHeader).toSet ==
       (0 until threads).map(t => s"tenant-$t").toSet)
+    r1.stop(); r2.stop()
   }
 }
