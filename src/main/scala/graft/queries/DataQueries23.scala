@@ -128,6 +128,35 @@ object DataQueries23 {
       exact.join(est, Seq("user_id"))
         .withColumn("over_ok", col("est_cnt") >= col("exact_cnt"))
         .orderBy("user_id")
+    },
+
+    // sketch mergeability, oracle-checked: build one count-min sketch per
+    // SHARD (even/odd event ids — at 100 TB each executor/day builds its
+    // own), merge by summing cells, and prove every point estimate off the
+    // merged sketch equals the whole-corpus build's. This is the exact
+    // linearity that lets sketches ship as tiny per-shard artifacts and
+    // fold together later — here the claim is a per-key boolean the DuckDB
+    // oracle replays, not prose. Both sketches are 128-row broadcasts.
+    "q48_cms_merge" -> { (s, dir) =>
+      val ev = events(s, dir).transform(graft.sources.Caches.ephemeral)
+      val shardA = graft.functions.CountMin.build(
+        ev.filter(col("event_id") % 2 === 0), "user_id")
+      val shardB = graft.functions.CountMin.build(
+        ev.filter(col("event_id") % 2 === 1), "user_id")
+      val merged = shardA.unionByName(shardB)
+        .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+        .transform(graft.sources.Caches.ephemeral)
+      val whole = graft.functions.CountMin.build(ev, "user_id")
+        .transform(graft.sources.Caches.ephemeral)
+      val keys = ev.select("user_id").distinct()
+        .transform(graft.sources.Caches.ephemeral)
+      val estM = graft.functions.CountMin.estimate(merged, keys, "user_id")
+        .withColumnRenamed("est_cnt", "est_merged")
+      val estW = graft.functions.CountMin.estimate(whole, keys, "user_id")
+        .withColumnRenamed("est_cnt", "est_whole")
+      estM.join(estW, Seq("user_id"))
+        .withColumn("merge_exact", col("est_merged") === col("est_whole"))
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -209,6 +238,31 @@ object DataQueries23 {
         |FROM customer
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q48_cms_merge" ->
+      """WITH p AS (SELECT * FROM (VALUES
+        |    (0, 1103515245, 12345), (1, 214013, 2531011),
+        |    (2, 134775813, 1), (3, 22695477, 1)) t(j, a, b)),
+        |hashed AS (SELECT e.event_id, e.user_id, p.j,
+        |    ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 32 AS bucket
+        |  FROM events e CROSS JOIN p),
+        |shard_a AS (SELECT j, bucket, count(*) AS cnt FROM hashed
+        |  WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |shard_b AS (SELECT j, bucket, count(*) AS cnt FROM hashed
+        |  WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |merged AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM (SELECT * FROM shard_a UNION ALL SELECT * FROM shard_b)
+        |  GROUP BY 1, 2),
+        |whole AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT user_id, j, bucket FROM hashed),
+        |est_m AS (SELECT k.user_id, min(coalesce(m.cnt, 0)) AS est_merged
+        |  FROM keys k LEFT JOIN merged m USING (j, bucket) GROUP BY 1),
+        |est_w AS (SELECT k.user_id, min(coalesce(w.cnt, 0)) AS est_whole
+        |  FROM keys k LEFT JOIN whole w USING (j, bucket) GROUP BY 1)
+        |SELECT m.user_id, m.est_merged, w.est_whole,
+        |       m.est_merged = w.est_whole AS merge_exact
+        |FROM est_m m JOIN est_w w USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q47_count_min" ->
       """WITH p AS (SELECT * FROM (VALUES
