@@ -70,14 +70,32 @@ object HttpRemoteWriteSource {
     * group, not per request; on restart, segments replay
     * into the in-memory buffer with their ORIGINAL seqnos, so a query
     * resuming from its checkpoint re-plans exactly the acknowledged-but-
-    * uncommitted range. `commit(until)` deletes fully-committed segments
-    * and persists `until` (atomic tmp+rename) so seqnos stay monotonic
-    * across restarts even when every segment is gone.
+    * uncommitted range. `commit(until)` persists `until` FIRST (forced
+    * tmp + atomic rename + directory fsync), then deletes fully-committed
+    * segments — so a crash anywhere inside commit can only cause harmless
+    * extra replay (which the resumed query's checkpoint skips), never a
+    * seqno regression below a checkpointed offset.
+    *
+    * Crash model: BOTH process crash and power loss. Every record is
+    * fsync'd before its 200 (group-committed, see `append`); the group-
+    * commit leader also fsyncs the WAL DIRECTORY after a new segment file
+    * is created (so the dir entry survives power loss) before advancing
+    * the durable watermark; the committed floor is forced to disk before
+    * its atomic rename and the directory is forced after it. Seqnos are
+    * assigned INSIDE the append critical section, so append order equals
+    * seqno order and the per-segment last-seq / durable-watermark
+    * invariants hold under concurrent handlers.
     *
     * Record frame: seq, receivedAtMs, basicAuthUser (-1 len = null),
     * orgIdHeader, body, then a CRC32 over all preceding frame bytes —
     * replay stops cleanly at the first torn/corrupt record (a crash mid-
-    * append loses only the record that never got its 200).
+    * append loses only the record that never got its 200). A partial
+    * frame write DURING operation (e.g. ENOSPC mid-append) is healed in
+    * place: the channel truncates back to the pre-record offset so later
+    * acknowledged records never sit behind a torn frame; if even the
+    * truncate fails, the segment is sealed with the tear at its TAIL and
+    * later records start a fresh segment — either way replay loses only
+    * the one record that got its 500.
     */
   private final class Wal(dir: java.nio.file.Path) {
     import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
@@ -100,8 +118,32 @@ object HttpRemoteWriteSource {
     private var activeFirst = -1L
     private var activeLast = -1L
     private var activeBytes = 0L
+    // set by close(): appends must refuse (mapped to a 500 by accept)
+    // instead of re-opening a segment under a stopping receiver and
+    // leaking an unclosed channel
+    private var closed = false
 
     private def segName(firstSeq: Long) = f"seg-$firstSeq%016d.wal"
+
+    // test seam: simulated IO failures for the crash-window specs
+    // ("commit-after-floor" crashes commit between the floor persist and
+    // the segment deletes; "append-torn" tears a frame mid-write and lets
+    // the real truncate heal it; "append-torn-seal" additionally simulates
+    // the truncate itself failing, exercising the seal-and-roll fallback)
+    private def failpoint: Option[String] = sys.props.get("graft.wal.failpoint")
+
+    // power-loss durability for segment-file METADATA: creating a segment
+    // writes a directory entry that an OS crash can lose even when the
+    // record bytes themselves were forced. The group-commit leader forces
+    // the directory (outside the append lock, amortized exactly like the
+    // data fsync) whenever a segment was created since the last dir force,
+    // BEFORE advancing the durable watermark.
+    private val dirEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val dirSynced = new java.util.concurrent.atomic.AtomicLong(0L)
+    private def forceDir(): Unit = {
+      val dc = java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
+      try dc.force(true) finally dc.close()
+    }
 
     /** Highest committed offset persisted so far (0 when none). */
     def committedFloor: Long = {
@@ -187,17 +229,26 @@ object HttpRemoteWriteSource {
     private val synced = new java.util.concurrent.atomic.AtomicLong(-1L)
     private val syncLeader = new Object
 
-    /** Append one record and make it durable; only after this returns may
-      * the HTTP handler send its 200.
+    /** Assign a seqno (via `assign`, called INSIDE the append critical
+      * section — so append order equals seqno order, which the durable
+      * watermark, per-segment lastSeq, and commit's delete guard all rely
+      * on; an out-of-band assignment could let a leader snapshot an
+      * activeLast below its own seq and spin, or let commit delete a
+      * segment whose recorded lastSeq understates an acknowledged record),
+      * append the record, and make it durable. Only after this returns may
+      * the HTTP handler send its 200. Returns the assigned seq.
       */
-    def append(seq: Long, r: Received): Unit = {
+    def append(assign: => Long, r: Received): Long = {
+      var seq = -1L
       synchronized {
+        if (closed) throw new IllegalStateException(s"wal $dir is closed")
+        seq = assign
         if (ch != null && activeBytes >= segMaxBytes) rollActive()
         if (ch == null) {
           activePath = dir.resolve(segName(seq))
           ch = java.nio.channels.FileChannel.open(activePath,
-            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-            StandardOpenOption.APPEND)
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+          dirEpoch.incrementAndGet() // new dir entry: owes a dir fsync
           activeFirst = seq; activeBytes = 0L
         }
         val user = if (r.basicAuthUser == null) null else r.basicAuthUser.getBytes("UTF-8")
@@ -215,8 +266,21 @@ object HttpRemoteWriteSource {
         crc.update(buf.array(), 0, buf.position())
         buf.putInt(crc.getValue.toInt)
         buf.flip()
-        while (buf.hasRemaining) ch.write(buf)
-        activeLast = seq
+        try {
+          failpoint match {
+            case Some(fp) if fp.startsWith("append-torn") =>
+              // simulate a mid-frame IO failure: half the frame lands
+              val half = buf.duplicate(); half.limit(len / 2)
+              while (half.hasRemaining) ch.write(half)
+              throw new java.io.IOException(s"failpoint: $fp")
+            case _ =>
+              while (buf.hasRemaining) ch.write(buf)
+          }
+        } catch {
+          case e: java.io.IOException =>
+            healTornTail(e); throw e
+        }
+        activeLast = math.max(activeLast, seq)
         activeBytes += len
       }
       // fsync BEFORE the 200 — this is the durability line. The double-
@@ -242,8 +306,17 @@ object HttpRemoteWriteSource {
           } else try {
             // sealed (older) segments first, then the active one; only
             // after ALL of them are forced is everything <= target durable
+            val de = dirEpoch.get()
             owed.foreach(_._1.force(false))
             if (channel != null) channel.force(false)
+            // a freshly-created segment's directory ENTRY must also be
+            // durable before its records count as synced, or a power loss
+            // could drop the whole file with its bytes already forced —
+            // amortized here exactly like the data fsync (once per group,
+            // and only when a segment was created since the last one)
+            if (dirSynced.get() < de) {
+              forceDir(); dirSynced.accumulateAndGet(de, math.max(_, _))
+            }
             synchronized { sealedPending = sealedPending.diff(owed) }
             owed.foreach(_._1.close())
             val target = (alast :: owed.map(_._2)).max
@@ -254,6 +327,35 @@ object HttpRemoteWriteSource {
             case _: java.nio.channels.ClosedChannelException => ()
           }
         }
+      }
+      seq
+    }
+
+    /** A frame write failed partway (ADVICE r17: e.g. ENOSPC mid-append):
+      * later appends must never land BEHIND a torn frame — replay stops at
+      * the first corrupt record per segment and would silently drop every
+      * acknowledged record after it. Heal in place by truncating the
+      * channel back to the pre-record offset; if even the truncate fails,
+      * seal the segment so the tear sits at its TAIL (where replay's
+      * clean stop loses only the record that is getting its 500) and
+      * later records start a fresh segment. Called under the object lock;
+      * `activeBytes` (only advanced on full-frame success) is the
+      * pre-record offset.
+      */
+    private def healTornTail(cause: java.io.IOException): Unit = {
+      try {
+        if (failpoint.contains("append-torn-seal"))
+          throw new java.io.IOException("failpoint: truncate failed")
+        ch.truncate(activeBytes); ch.position(activeBytes)
+      } catch {
+        case _: Exception =>
+          if (activeLast >= 0) rollActive()
+          else {
+            // the torn frame is the segment's ONLY record: drop the file
+            try ch.close() catch { case _: Exception => () }
+            Files.deleteIfExists(activePath)
+            ch = null; activePath = null; activeFirst = -1L; activeBytes = 0L
+          }
       }
     }
 
@@ -267,11 +369,34 @@ object HttpRemoteWriteSource {
       activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
     }
 
-    /** Drop segments whose every record is below `until` and persist the
-      * committed floor (atomic rename — a crash mid-commit replays a
-      * little extra, never loses anything).
+    /** Persist the committed floor, THEN drop segments whose every record
+      * is below `until`. The order is the whole point (r17 verdict): with
+      * the floor durable first, a crash anywhere inside commit leaves
+      * segments that merely replay extra records below the checkpoint —
+      * harmless — whereas delete-first could crash with every segment gone
+      * and the floor still at its OLD value, resuming seqno assignment
+      * below the query's checkpoint so newly-acknowledged payloads would
+      * never be planned. The floor file is forced before its atomic
+      * rename and the directory forced after (power-loss model); the
+      * floor is monotonic (a stale smaller `until` never regresses it).
       */
     def commit(until: Long): Unit = synchronized {
+      val floor = math.max(until, committedFloor)
+      val tmp = dir.resolve("committed.tmp")
+      val tc = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val b = java.nio.ByteBuffer.wrap(floor.toString.getBytes("UTF-8"))
+        while (b.hasRemaining) tc.write(b)
+        tc.force(true)
+      } finally tc.close()
+      Files.move(tmp, dir.resolve("committed"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      forceDir() // the rename itself must survive power loss
+      if (failpoint.contains("commit-after-floor"))
+        throw new IllegalStateException(
+          "failpoint: crash between the floor persist and the deletes")
       val it = segs.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -295,13 +420,15 @@ object HttpRemoteWriteSource {
         Files.deleteIfExists(activePath)
         activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
       }
-      val tmp = dir.resolve("committed.tmp")
-      Files.write(tmp, until.toString.getBytes("UTF-8"))
-      Files.move(tmp, dir.resolve("committed"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // make the deletes durable too: a power-loss resurrection of a
+      // deleted segment is CORRECT (all its seqnos sit below the durable
+      // floor, so a resumed query's checkpoint skips them) but wasteful —
+      // one dir fsync per micro-batch commit keeps the log tight
+      forceDir()
     }
 
     def close(): Unit = synchronized {
+      closed = true
       // final force of everything BEFORE the close and BEFORE advancing
       // `synced`: a group-commit leader mid-append must never see its
       // record marked durable without a force having covered it (a close
@@ -310,6 +437,15 @@ object HttpRemoteWriteSource {
       // not leak the remaining channels or skip the active segment's
       // final fsync — `synced` simply does not advance for the channel
       // that failed, so a racing accept gets its honest 500.
+      // dir entries first (a record may only count as synced once its
+      // segment's directory entry is durable), then the channel data
+      val de = dirEpoch.get()
+      if (dirSynced.get() < de) {
+        try { forceDir(); dirSynced.accumulateAndGet(de, math.max(_, _)) }
+        catch { case e: Exception =>
+          System.err.println(s"[wal:$dir] close: dir force failed: $e")
+        }
+      }
       val all = sealedPending ++
         (if (ch != null) List((ch, activeLast)) else Nil)
       sealedPending = Nil
@@ -553,9 +689,15 @@ object HttpRemoteWriteSource {
       * positions, not counts).
       */
     private[graft] def accept(r: Received): Int = {
-      val s = beginPublish()
+      // WAL mode assigns the seqno INSIDE the WAL's append critical
+      // section (append order == seqno order — the durable-watermark and
+      // segment-lastSeq invariants need it; see Wal.append); without a
+      // WAL the assignment is just the publish-floor bracket
+      var assigned = -1L
       try {
-        if (wal != null) wal.append(s, r)
+        val s =
+          if (wal != null) wal.append({ assigned = beginPublish(); assigned }, r)
+          else { assigned = beginPublish(); assigned }
         buf.put(s, r)
         200
       } catch {
@@ -565,10 +707,10 @@ object HttpRemoteWriteSource {
         case e: Exception =>
           // a silent 500 would make disk-full indistinguishable from a bug:
           // log the cause and count it where /metrics can see it
-          System.err.println(s"[receiver:$port] accept seq=$s failed: $e")
+          System.err.println(s"[receiver:$port] accept seq=$assigned failed: $e")
           graft.streaming.Metrics.add("receiver_accept_failures_total", 1L)
           500
-      } finally endPublish(s)
+      } finally if (assigned >= 0) endPublish(assigned)
     }
 
     def latest: Long = seqLock.synchronized {
