@@ -25,9 +25,15 @@ object CountMin {
   def params: Column = array(A.indices.map(j =>
     struct(lit(j).as("j"), lit(A(j)).as("a"), lit(B(j)).as("b"))): _*)
 
-  /** Bucket of `key` under hash row constants (a, b). */
+  /** Bucket of `key` under hash row constants (a, b) — total over
+    * arbitrary long keys: the first reduction is `pmod` (Spark's `%`
+    * follows the dividend's sign, so a negative key — e.g. a signed
+    * 64-bit hash — would otherwise land in a NEGATIVE bucket, silently
+    * widening the cell space and weakening the width guarantee); every
+    * later term is then non-negative, so plain `%` stays in [0, Width).
+    */
   def bucket(key: Column, a: Column, b: Column): Column =
-    ((a * (key % P) + b) % P) % Width
+    ((a * pmod(key, lit(P)) + b) % P) % Width
 
   /** Build the sketch over `keyCol`: one row per non-empty (j, bucket)
     * cell with its long count. Map-side partial aggregation; cells merge

@@ -54,12 +54,40 @@ object Privacy {
     * (StreamOps.generalizeRoute; a class absent from the reference counts
     * as size 0 — maximally identifying — and falls through the ladder).
     */
+  /** Broadcast guard default for [[generalizeLadderWith]]: 2M class rows
+    * (~100 MB broadcast at typical QI widths). A sane QI ladder sits
+    * orders below this; a pathological near-unique QI hits the guard's
+    * clear error instead of OOMing the driver under a forced broadcast.
+    */
+  val DefaultMaxClassRows: Long = 2L << 20
+
   def generalizeLadderWith(df: DataFrame, levels: Seq[Seq[String]], k: Int,
-      reference: DataFrame): DataFrame = {
+      reference: DataFrame): DataFrame =
+    generalizeLadderWith(df, levels, k, reference, DefaultMaxClassRows)
+
+  /** [[generalizeLadderWith]] with an explicit broadcast guard: each
+    * level's class table is cached and COUNTED before the forced
+    * `broadcast()` (the count's work is the same aggregation the join
+    * consumes, so the guard adds one tiny action, not a second corpus
+    * pass), and a level whose class count exceeds `maxClassRows` fails
+    * with a clear message naming the level — the self-policing 100 TB
+    * posture: the QI arity bounds the class table, and a near-unique QI
+    * choice degrades to an actionable error instead of a driver OOM.
+    */
+  def generalizeLadderWith(df: DataFrame, levels: Seq[Seq[String]], k: Int,
+      reference: DataFrame, maxClassRows: Long): DataFrame = {
     require(levels.size >= 2, "need at least one consulted level plus the fallback")
     val consulted = levels.dropRight(1)
     val sized = consulted.zipWithIndex.foldLeft(df) { case (acc, (ks, lvl)) =>
-      val sizes = reference.groupBy(ks.map(col): _*).agg(count(lit(1)).as(s"sz$lvl"))
+      val sizes = graft.sources.Caches.ephemeral(
+        reference.groupBy(ks.map(col): _*).agg(count(lit(1)).as(s"sz$lvl")))
+      val n = sizes.count()
+      if (n > maxClassRows)
+        throw new IllegalArgumentException(
+          s"generalization level $lvl (${ks.mkString(", ")}) has $n equivalence " +
+          s"classes, above the broadcast guard of $maxClassRows: a near-unique " +
+          s"quasi-identifier would OOM the driver as a forced broadcast — " +
+          s"coarsen the level or raise maxClassRows")
       acc.join(broadcast(sizes), ks, "left")
     }
     val settle = consulted.indices.foldRight(lit(levels.size - 1): Column) {
@@ -85,4 +113,109 @@ object Privacy {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(sensitive).as("l_distinct"))
       .withColumn("diverse_ok", col("l_distinct") >= l)
+
+  /** t-closeness — the k-anonymity/l-diversity capstone: per `qi` class,
+    * the total-variation (L1/2) distance between the class's distribution
+    * over `sensitive` and the CORPUS distribution, in exact integer
+    * quanta. A class can be k-anonymous AND l-diverse yet still leak: if
+    * its sensitive values skew far from the corpus baseline, membership
+    * alone is informative. Returns one row per class with `class_size`,
+    * `tv_num` = sum over sensitive values v of
+    * |count(class,v)*N - count(corpus,v)*n_class| (the TV distance is
+    * tv_num / (2*n_class*N), kept as an exact BIGINT numerator so an
+    * oracle replays it hash-identically), and `t_ok` = distance <=
+    * tNum/tDen via the cross-multiplied integer compare.
+    *
+    * Shape: two hash aggregations over the corpus (per-cell and
+    * per-value), then everything downstream operates on CELL tables —
+    * |classes x values| rows, orders below the corpus — with the
+    * per-value histogram and per-class sizes joined back by BROADCAST
+    * and the absent-cell mass recovered arithmetically (a value missing
+    * from a class contributes count(corpus,v)*n_class, computed as
+    * (N - sum of the class's PRESENT global counts)*n_class rather than
+    * materializing zero-cells). Integer bound: products reach
+    * count*N <= N^2, exact in int64 up to ~3e9 corpus rows; beyond that
+    * pre-aggregate into coarser sensitive bands or lift to decimal.
+    */
+  def tCloseness(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
+    // both aggregates feed two consumers each (cells -> class sizes + the
+    // cell join; global -> the histogram join + the total): cache them or
+    // the corpus scans run twice
+    val cells = graft.sources.Caches.ephemeral(
+      df.groupBy((qi :+ sensitive.as("__sens")): _*)
+        .agg(count(lit(1)).as("cv")))
+    val qiNames = cells.columns.dropRight(2).toSeq
+    val global = graft.sources.Caches.ephemeral(
+      df.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    val totals = global.agg(sum(col("gv")).as("n_total")) // one row
+    val classes = cells.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("cv")).as("class_size"))
+    cells.join(broadcast(classes), qiNames)
+      .join(broadcast(global), Seq("__sens"))
+      .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
+      .groupBy((qiNames :+ "class_size").map(col): _*)
+      .agg(
+        sum(abs(col("cv") * col("n_total") - col("gv") * col("class_size")))
+          .as("present_num"),
+        sum(col("gv")).as("present_g"),
+        max(col("n_total")).as("n_total"))
+      .withColumn("tv_num",
+        col("present_num") + (col("n_total") - col("present_g")) * col("class_size"))
+      .withColumn("t_ok",
+        col("tv_num") * tDen <= lit(2L) * tNum * col("class_size") * col("n_total"))
+      .select((qiNames.map(col) :+ col("class_size") :+ col("tv_num") :+ col("t_ok")): _*)
+  }
+
+  /** Ordinal t-closeness — [[tCloseness]]'s sibling for ORDERED sensitive
+    * attributes (ages, salary bands, scores): per `qi` class, the Earth
+    * Mover's Distance between the class's distribution over `sensitive`
+    * and the corpus distribution, where mass moved BETWEEN ADJACENT
+    * values costs one step (the standard numeric-attribute t-closeness
+    * measure — TV treats "one band off" and "nine bands off" the same;
+    * EMD charges the travel). In integer quanta: `emd_num` = sum over the
+    * ordered value grid of |running cumulative of (count(class,v)*N -
+    * count(corpus,v)*n_class)|; the distance is emd_num /
+    * ((m-1)*n_class*N) for m distinct sensitive values, and `t_ok`
+    * compares it to tNum/tDen cross-multiplied, all in exact int64.
+    *
+    * Shape: the same two corpus aggregations as [[tCloseness]], then a
+    * DENSE class x value grid (|classes| x m rows — absent cells matter
+    * to the cumulative sum, so they materialize here, still orders below
+    * the corpus) built by a broadcast cross of the class table with the
+    * value histogram, a broadcast left join of the cell counts, and ONE
+    * window partitioned by class over the grid (a bounded-table shuffle,
+    * never the corpus). Same int64 bound as [[tCloseness]].
+    */
+  def tClosenessOrdinal(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
+    val cells = graft.sources.Caches.ephemeral(
+      df.groupBy((qi :+ sensitive.as("__sens")): _*)
+        .agg(count(lit(1)).as("cv")))
+    val qiNames = cells.columns.dropRight(2).toSeq
+    val global = graft.sources.Caches.ephemeral(
+      df.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    val totals = global.agg(sum(col("gv")).as("n_total"),
+      count(lit(1)).as("m_values")) // one row
+    val classes = cells.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("cv")).as("class_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*).orderBy(col("__sens"))
+    classes.crossJoin(broadcast(global)) // the dense |classes| x m grid
+      .join(broadcast(cells), (qiNames :+ "__sens"), "left")
+      .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
+      .withColumn("diff",
+        coalesce(col("cv"), lit(0L)) * col("n_total") - col("gv") * col("class_size"))
+      .withColumn("cum", sum(col("diff")).over(w))
+      .groupBy((qiNames :+ "class_size").map(col): _*)
+      .agg(sum(abs(col("cum"))).as("emd_num"),
+        max(col("n_total")).as("n_total"),
+        max(col("m_values")).as("m_values"))
+      .withColumn("t_ok",
+        col("emd_num") * tDen <=
+          lit(tNum) * (col("m_values") - 1L) * col("class_size") * col("n_total"))
+      .select((qiNames.map(col) :+ col("class_size") :+ col("emd_num") :+ col("t_ok")): _*)
+  }
 }

@@ -108,6 +108,40 @@ object DataQueries23 {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // t-closeness: the privacy family's capstone — per (nation, segment)
+    // class, the total-variation distance between the class's sensitive-
+    // value distribution (2000-wide balance band) and the CORPUS
+    // distribution, in exact integer quanta (tv_num = the L1 numerator;
+    // distance = tv_num / (2*class_size*N); t_ok at t = 1/4 via the
+    // cross-multiplied integer compare — hash-exact for the oracle). A
+    // class can be k-anonymous AND l-diverse yet leak by skewing far from
+    // the corpus baseline. Thin binding of operators/Privacy.tCloseness:
+    // two corpus aggregations, then cell-table joins by broadcast with
+    // the absent-cell mass recovered arithmetically.
+    "d184_tcloseness" -> { (s, dir) =>
+      graft.operators.Privacy.tCloseness(customer(s, dir),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 2000.0), tNum = 1L, tDen = 4L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ordinal t-closeness: EMD over the ORDERED balance bands — TV (d184)
+    // treats "one band off" and "nine bands off" identically; for ordinal
+    // sensitive attributes the Earth Mover's Distance charges the travel,
+    // so a class whose balances sit one band above the corpus baseline
+    // scores near zero while a class piled at the extremes leaks. Exact
+    // integer quanta again (emd_num = the summed |cumulative| numerator;
+    // distance = emd_num / ((m-1)*class_size*N); t_ok at t = 1/10). Thin
+    // binding of operators/Privacy.tClosenessOrdinal: two corpus aggs,
+    // then a dense |classes| x m grid with ONE bounded-table window —
+    // the corpus is never re-shuffled.
+    "d185_tcloseness_emd" -> { (s, dir) =>
+      graft.operators.Privacy.tClosenessOrdinal(customer(s, dir),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 2000.0), tNum = 1L, tDen = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // count-min sketch with exact audit: build the 4x32 sketch over
     // events.user_id (fixed 128-cell state, map-side combined — the cells
     // merge across shards/triggers like any long sum), then estimate each
@@ -231,6 +265,66 @@ object DataQueries23 {
         |       count(DISTINCT class_key) AS n_classes
         |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "d185_tcloseness_emd" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens, count(*) AS cv
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens,
+        |    count(*) AS gv
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+        |mv AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+        |classes AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cv) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+        |    g.sens, g.gv, coalesce(c.cv, 0) AS cv
+        |  FROM classes cl CROSS JOIN gl g
+        |  LEFT JOIN cells c ON c.c_nationkey = cl.c_nationkey
+        |    AND c.c_mktsegment = cl.c_mktsegment AND c.sens = g.sens),
+        |cum AS (SELECT gr.c_nationkey, gr.c_mktsegment, gr.class_size,
+        |    t.n_total,
+        |    CAST(sum(gr.cv * t.n_total - gr.gv * gr.class_size) OVER
+        |      (PARTITION BY gr.c_nationkey, gr.c_mktsegment
+        |       ORDER BY gr.sens) AS BIGINT) AS cum
+        |  FROM grid gr CROSS JOIN tot t)
+        |SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
+        |  CAST(sum(abs(c.cum)) AS BIGINT) AS emd_num,
+        |  CAST(sum(abs(c.cum)) AS BIGINT) * 10
+        |    <= 1 * (max(m.m) - 1) * c.class_size * max(c.n_total) AS t_ok
+        |FROM cum c CROSS JOIN mv m
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "d184_tcloseness" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens,
+        |    count(*) AS cv
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens,
+        |    count(*) AS gv
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+        |classes AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cv) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |present AS (SELECT c.c_nationkey, c.c_mktsegment, cl.class_size,
+        |    CAST(sum(abs(c.cv * t.n_total - g.gv * cl.class_size)) AS BIGINT)
+        |      AS present_num,
+        |    CAST(sum(g.gv) AS BIGINT) AS present_g,
+        |    max(t.n_total) AS n_total
+        |  FROM cells c
+        |  JOIN gl g USING (sens)
+        |  JOIN classes cl ON c.c_nationkey = cl.c_nationkey
+        |    AND c.c_mktsegment = cl.c_mktsegment
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |  present_num + (n_total - present_g) * class_size AS tv_num,
+        |  (present_num + (n_total - present_g) * class_size) * 4
+        |    <= 2 * 1 * class_size * n_total AS t_ok
+        |FROM present ORDER BY 1, 2""".stripMargin,
+
     "d182_ldiversity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
         |       count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l_distinct,
@@ -244,7 +338,8 @@ object DataQueries23 {
         |    (0, 1103515245, 12345), (1, 214013, 2531011),
         |    (2, 134775813, 1), (3, 22695477, 1)) t(j, a, b)),
         |hashed AS (SELECT e.event_id, e.user_id, p.j,
-        |    ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 32 AS bucket
+        |    ((p.a * ((e.user_id % 2147483647 + 2147483647) % 2147483647) + p.b)
+        |      % 2147483647) % 32 AS bucket
         |  FROM events e CROSS JOIN p),
         |shard_a AS (SELECT j, bucket, count(*) AS cnt FROM hashed
         |  WHERE event_id % 2 = 0 GROUP BY 1, 2),
@@ -269,7 +364,8 @@ object DataQueries23 {
         |    (0, 1103515245, 12345), (1, 214013, 2531011),
         |    (2, 134775813, 1), (3, 22695477, 1)) t(j, a, b)),
         |hashed AS (SELECT e.user_id, p.j,
-        |    ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 32 AS bucket
+        |    ((p.a * ((e.user_id % 2147483647 + 2147483647) % 2147483647) + p.b)
+        |      % 2147483647) % 32 AS bucket
         |  FROM events e CROSS JOIN p),
         |sketch AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
         |exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),

@@ -751,5 +751,23 @@ class PlanSpec extends AnyFunSuite {
     // key-partitioned aggregates)
     val p47 = plan("q47_count_min")
     assert(p47.contains("BroadcastHashJoin"), "sketch must broadcast\n" + p47)
+    // d184: two corpus aggregations, then everything joins on CELL tables
+    // (|classes x values| rows) — class sizes, the per-value histogram,
+    // and the one-row total all broadcast; no SortMergeJoin anywhere
+    val p184 = plan("d184_tcloseness")
+    assert("BroadcastHashJoin".r.findAllIn(p184).length >= 2 &&
+      p184.contains("BroadcastNestedLoopJoin") &&
+      !p184.contains("SortMergeJoin"),
+      "t-closeness joins must all broadcast\n" + p184)
+    // d185: same posture plus the ONE window — partitioned by class over
+    // the dense |classes| x m grid (a bounded-table shuffle, never the
+    // corpus), with the grid cross and cell join broadcast
+    val p185 = plan("d185_tcloseness_emd")
+    assert("BroadcastHashJoin".r.findAllIn(p185).length >= 1 &&
+      !p185.contains("SortMergeJoin"),
+      "ordinal t-closeness joins must all broadcast\n" + p185)
+    assert("Window".r.findAllIn(p185).length >= 1 &&
+      p185.contains("windowspecdefinition"),
+      "the grid cumsum runs as one partitioned window\n" + p185)
   }
 }

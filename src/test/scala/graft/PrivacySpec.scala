@@ -105,6 +105,79 @@ class PrivacySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("generalizeLadderWith: a near-unique QI hits the broadcast guard, not a driver OOM") {
+    val s = spark
+    import s.implicits._
+    // every row its own equivalence class at the finest level: with a
+    // tight guard the forced broadcast must fail with an actionable
+    // message instead of materializing the class table on the driver
+    val wide = (0 until 64).map(i => (s"u$i", "x")).toDF("g", "sub")
+      .withColumn("all", lit("*"))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.generalizeLadderWith(wide, Seq(Seq("g", "sub"), Seq("all")),
+        k = 5, reference = wide, maxClassRows = 16L)
+    }
+    assert(e.getMessage.contains("broadcast guard") &&
+      e.getMessage.contains("64") && e.getMessage.contains("level 0"),
+      e.getMessage)
+    // the same ladder passes under the default guard
+    val ok = Privacy.generalizeLadderWith(wide, Seq(Seq("g", "sub"), Seq("all")),
+      k = 5, reference = wide)
+    assert(ok.count() == 64L)
+  }
+
+  test("tCloseness: exact integer TV numerators, including absent-cell mass") {
+    // hand-computed on `df` (N=13; global sens histogram 0->5, 1->4, 2->4):
+    //   A (n=6, cells 0:2,1:2,2:2): |26-30|+|26-24|+|26-24| = 8
+    //   B (n=5, cells 0:2,1:2,2:1): |26-25|+|26-20|+|13-20| = 14
+    //   C (n=2, cells 2:1,0:1; v=1 ABSENT contributes gv*n = 4*2 = 8):
+    //     |13-10|+|13-8| + 8 = 16
+    // t = 1/4: A 32<=156 ok, B 56<=130 ok, C 64>52 leaks
+    val out = Privacy.tCloseness(df, Seq(col("g")), col("sens"), tNum = 1L, tDen = 4L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("A") == ((6L, 8L, true)), out.toString)
+    assert(out("B") == ((5L, 14L, true)), out.toString)
+    assert(out("C") == ((2L, 16L, false)), out.toString)
+  }
+
+  test("tClosenessOrdinal: exact EMD numerators over the dense value grid") {
+    // same df (N=13, global 0->5, 1->4, 2->4, m=3), per-class diffs
+    // cv*N - gv*n cumulated in sens order:
+    //   A (n=6, cells 2,2,2): diffs -4,+2,+2 -> cums -4,-2,0 -> emd 6
+    //   B (n=5, cells 2,2,1): diffs +1,+6,-7 -> cums  1, 7,0 -> emd 8
+    //   C (n=2, cells 1,0,1): diffs +3,-8,+5 -> cums  3,-5,0 -> emd 8
+    //     (v=1 is ABSENT from C: the dense grid materializes its zero)
+    // t = 1/10 against (m-1)*n*N: A 60<=156 ok, B 80<=130 ok, C 80>52
+    val out = Privacy.tClosenessOrdinal(df, Seq(col("g")), col("sens"),
+        tNum = 1L, tDen = 10L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("A") == ((6L, 6L, true)), out.toString)
+    assert(out("B") == ((5L, 8L, true)), out.toString)
+    assert(out("C") == ((2L, 8L, false)), out.toString)
+    // the ordinal point: TV is travel-blind — P (off-mass at band 1) and
+    // R (same off-mass at band 3) score IDENTICAL tv_num 40 against the
+    // corpus (P 0,0,0,1; R 0,0,0,3; F 2,2,2,2 => N=12, global
+    // 0:6,1:1,2:4,3:1) — while EMD separates them by where the mass sits
+    // on the band axis (hand-cumulated: P cums 12,20,4,0 -> 36; R cums
+    // 12,8,-8,0 -> 28: R's far band is nearer the corpus median that F
+    // pulls to band 2, so it travels LESS)
+    val s = spark
+    import s.implicits._
+    val corpus = (Seq.fill(3)(("P", 0)) ++ Seq(("P", 1)) ++
+      Seq.fill(3)(("R", 0)) ++ Seq(("R", 3)) ++
+      Seq.fill(4)(("F", 2))).toDF("g2", "sens2")
+    val emd = Privacy.tClosenessOrdinal(corpus, Seq(col("g2")), col("sens2"), 1L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val tv = Privacy.tCloseness(corpus, Seq(col("g2")), col("sens2"), 1L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(tv("P") == 40L && tv("R") == 40L,
+      s"TV conflates the two shift geometries by design: $tv")
+    assert(emd("P") == 36L && emd("R") == 28L,
+      s"EMD must separate them by travel: $emd")
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),

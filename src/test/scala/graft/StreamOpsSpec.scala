@@ -379,6 +379,21 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(est(7L) >= 3L && est(12L) >= 1L)
       assert(est(99L) == 0L, s"unseen key must estimate 0, got ${est(99L)}")
+      // negative keys (e.g. signed 64-bit hashes): bucket() reduces via
+      // pmod, so every cell lands in [0, Width) and the estimate keeps
+      // the never-underestimate guarantee — a sign-following % would
+      // scatter them into NEGATIVE buckets outside the sketch's width
+      val negSketch = graft.functions.CountMin
+        .build(Seq(-7L, -7L, Long.MinValue, 5L).toDF("uid"), "uid")
+      val negCells = negSketch.collect()
+      assert(negCells.forall { r =>
+        r.getLong(1) >= 0L && r.getLong(1) < graft.functions.CountMin.Width
+      }, s"all buckets in [0, Width): ${negCells.mkString(",")}")
+      val negEst = graft.functions.CountMin.estimate(negSketch,
+        Seq(-7L, Long.MinValue, 5L, -99L).toDF("uid"), "uid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(negEst(-7L) >= 2L && negEst(Long.MinValue) >= 1L && negEst(5L) >= 1L)
+      assert(negEst(-99L) <= 4L, "a bounded overestimate, never a join miss")
     } finally q.stop()
   }
 
