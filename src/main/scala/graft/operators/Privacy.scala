@@ -138,7 +138,22 @@ object Privacy {
     * pre-aggregate into coarser sensitive bands or lift to decimal.
     */
   def tCloseness(df: DataFrame, qi: Seq[Column], sensitive: Column,
-      tNum: Long, tDen: Long): DataFrame = {
+      tNum: Long, tDen: Long): DataFrame =
+    tClosenessWith(df, qi, sensitive, tNum, tDen, df)
+
+  /** [[tCloseness]] with the baseline distribution computed from
+    * `reference` instead of `df` itself — the cross-dump/production shape
+    * (the d183 pattern): today's dump's classes are audited against the
+    * PUBLISHED cohort's sensitive histogram, so the release gate measures
+    * leakage relative to what an attacker already holds. The distance per
+    * class is sum over v of |p_class(v) - p_ref(v)| / 2 with p_class =
+    * cv/n_class and p_ref = gv/N_ref, kept exact as `tv_num` = sum of
+    * |cv*N_ref - gv*n_class| (a value the reference has never seen
+    * contributes its full cv*N_ref — maximally surprising mass). Same
+    * all-broadcast cell-table shape as the self-audit.
+    */
+  def tClosenessWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
     // both aggregates feed two consumers each (cells -> class sizes + the
     // cell join; global -> the histogram join + the total): cache them or
@@ -148,18 +163,23 @@ object Privacy {
         .agg(count(lit(1)).as("cv")))
     val qiNames = cells.columns.dropRight(2).toSeq
     val global = graft.sources.Caches.ephemeral(
-      df.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+      reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
     val totals = global.agg(sum(col("gv")).as("n_total")) // one row
     val classes = cells.groupBy(qiNames.map(col): _*)
       .agg(sum(col("cv")).as("class_size"))
+    // LEFT join: a sensitive value the reference has never seen carries
+    // gv = 0 (its whole cv*N_ref lands in the distance); the absent-cell
+    // direction (reference value missing from the class) stays
+    // arithmetic via present_g
     cells.join(broadcast(classes), qiNames)
-      .join(broadcast(global), Seq("__sens"))
+      .join(broadcast(global), Seq("__sens"), "left")
       .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
+      .withColumn("gv0", coalesce(col("gv"), lit(0L)))
       .groupBy((qiNames :+ "class_size").map(col): _*)
       .agg(
-        sum(abs(col("cv") * col("n_total") - col("gv") * col("class_size")))
+        sum(abs(col("cv") * col("n_total") - col("gv0") * col("class_size")))
           .as("present_num"),
-        sum(col("gv")).as("present_g"),
+        sum(col("gv0")).as("present_g"),
         max(col("n_total")).as("n_total"))
       .withColumn("tv_num",
         col("present_num") + (col("n_total") - col("present_g")) * col("class_size"))

@@ -125,6 +125,23 @@ object DataQueries23 {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // cross-dump t-closeness: today's dump (odd custkeys) audited against
+    // the PUBLISHED cohort's sensitive histogram (even custkeys) — the
+    // release gate measures leakage relative to what an attacker already
+    // holds (the d183 production pattern applied to distributions; a
+    // value the reference has never seen contributes its full cv*N_ref as
+    // maximally surprising mass via the LEFT-join zero). Thin binding of
+    // Privacy.tClosenessWith at t = 2/5; same all-broadcast cell algebra.
+    "d186_tcloseness_ref" -> { (s, dir) =>
+      val all = customer(s, dir)
+      graft.operators.Privacy.tClosenessWith(
+          all.filter(col("c_custkey") % 2 === 1),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 2000.0), tNum = 2L, tDen = 5L,
+          reference = all.filter(col("c_custkey") % 2 === 0))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ordinal t-closeness: EMD over the ORDERED balance bands — TV (d184)
     // treats "one band off" and "nine bands off" identically; for ordinal
     // sensitive attributes the Earth Mover's Distance charges the travel,
@@ -264,6 +281,35 @@ object DataQueries23 {
         |SELECT settle_level, count(*) AS n_rows,
         |       count(DISTINCT class_key) AS n_classes
         |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d186_tcloseness_ref" ->
+      """WITH all_c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens FROM customer),
+        |dump AS (SELECT * FROM all_c WHERE c_custkey % 2 = 1),
+        |ref AS (SELECT * FROM all_c WHERE c_custkey % 2 = 0),
+        |cells AS (SELECT c_nationkey, c_mktsegment, sens, count(*) AS cv
+        |  FROM dump GROUP BY 1, 2, 3),
+        |gl AS (SELECT sens, count(*) AS gv FROM ref GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ref),
+        |classes AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cv) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |present AS (SELECT c.c_nationkey, c.c_mktsegment, cl.class_size,
+        |    CAST(sum(abs(c.cv * t.n_total - coalesce(g.gv, 0) * cl.class_size))
+        |      AS BIGINT) AS present_num,
+        |    CAST(sum(coalesce(g.gv, 0)) AS BIGINT) AS present_g,
+        |    max(t.n_total) AS n_total
+        |  FROM cells c
+        |  LEFT JOIN gl g USING (sens)
+        |  JOIN classes cl ON c.c_nationkey = cl.c_nationkey
+        |    AND c.c_mktsegment = cl.c_mktsegment
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |  present_num + (n_total - present_g) * class_size AS tv_num,
+        |  (present_num + (n_total - present_g) * class_size) * 5
+        |    <= 2 * 2 * class_size * n_total AS t_ok
+        |FROM present ORDER BY 1, 2""".stripMargin,
 
     "d185_tcloseness_emd" ->
       """WITH cells AS (SELECT c_nationkey, c_mktsegment,

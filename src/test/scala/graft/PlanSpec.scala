@@ -759,6 +759,13 @@ class PlanSpec extends AnyFunSuite {
       p184.contains("BroadcastNestedLoopJoin") &&
       !p184.contains("SortMergeJoin"),
       "t-closeness joins must all broadcast\n" + p184)
+    // d186: the cross-dump variant keeps the identical all-broadcast
+    // posture (reference histogram + class sizes + one-row total)
+    val p186 = plan("d186_tcloseness_ref")
+    assert("BroadcastHashJoin".r.findAllIn(p186).length >= 2 &&
+      p186.contains("BroadcastNestedLoopJoin") &&
+      !p186.contains("SortMergeJoin"),
+      "reference t-closeness joins must all broadcast\n" + p186)
     // d185: same posture plus the ONE window — partitioned by class over
     // the dense |classes| x m grid (a bounded-table shuffle, never the
     // corpus), with the grid cross and cell join broadcast

@@ -141,6 +141,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(out("C") == ((2L, 16L, false)), out.toString)
   }
 
+  test("tClosenessWith: reference histogram decides; unseen values carry full mass") {
+    val s = spark
+    import s.implicits._
+    // reference = df (N=13, global 0:5, 1:4, 2:4); dump class D holds one
+    // baseline value and one the reference has NEVER seen (sens=7):
+    //   present: |1*13 - 5*2| = 3 (v0), |1*13 - 0*2| = 13 (v7, gv=0 via
+    //   the LEFT join); present_g = 5, absent mass (13-5)*2 = 16
+    //   -> tv_num = 32, distance 32/52 ~ 0.62: leaks at t = 1/4
+    val dump = Seq(("D", 0), ("D", 7)).toDF("g", "sens")
+    val out = Privacy.tClosenessWith(dump, Seq(col("g")), col("sens"),
+        tNum = 1L, tDen = 4L, reference = df)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("D") == ((2L, 32L, false)), out.toString)
+    // self-reference degenerates to the plain audit
+    val self = Privacy.tClosenessWith(df, Seq(col("g")), col("sens"), 1L, 4L, df)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(self == Map("A" -> 8L, "B" -> 14L, "C" -> 16L), self.toString)
+  }
+
   test("tClosenessOrdinal: exact EMD numerators over the dense value grid") {
     // same df (N=13, global 0->5, 1->4, 2->4, m=3), per-class diffs
     // cv*N - gv*n cumulated in sens order:
