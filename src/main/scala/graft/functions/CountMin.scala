@@ -31,6 +31,14 @@ object CountMin {
     * 64-bit hash — would otherwise land in a NEGATIVE bucket, silently
     * widening the cell space and weakening the width guarantee); every
     * later term is then non-negative, so plain `%` stays in [0, Width).
+    *
+    * Compatibility: this formula changed for NEGATIVE keys (they used to
+    * land in negative buckets). A streaming sketch resumed from a
+    * checkpoint written by the old formula, with negative keys in a
+    * still-open window, would split those keys' counts across the old and
+    * new cells and transiently under-estimate them — drain open windows
+    * (or restart from a fresh checkpoint) when upgrading across this
+    * change if negative keys occur.
     */
   def bucket(key: Column, a: Column, b: Column): Column =
     ((a * pmod(key, lit(P)) + b) % P) % Width

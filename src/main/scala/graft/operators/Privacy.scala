@@ -45,6 +45,13 @@ object Privacy {
   def generalizeLadder(df: DataFrame, levels: Seq[Seq[String]], k: Int): DataFrame =
     generalizeLadderWith(df, levels, k, df)
 
+  /** Broadcast guard default for [[generalizeLadderWith]]: 2M class rows
+    * (~100 MB broadcast at typical QI widths). A sane QI ladder sits
+    * orders below this; a pathological near-unique QI hits the guard's
+    * clear error instead of OOMing the driver under a forced broadcast.
+    */
+  val DefaultMaxClassRows: Long = 2L << 20
+
   /** [[generalizeLadder]] with class sizes computed from `reference`
     * instead of `df` itself — the cross-dump/production shape: today's
     * rows settle against the published cohort's statistics (so the same
@@ -53,14 +60,8 @@ object Privacy {
     * call generalizes a live STREAM against a static reference
     * (StreamOps.generalizeRoute; a class absent from the reference counts
     * as size 0 — maximally identifying — and falls through the ladder).
+    * Broadcast-guarded at [[DefaultMaxClassRows]].
     */
-  /** Broadcast guard default for [[generalizeLadderWith]]: 2M class rows
-    * (~100 MB broadcast at typical QI widths). A sane QI ladder sits
-    * orders below this; a pathological near-unique QI hits the guard's
-    * clear error instead of OOMing the driver under a forced broadcast.
-    */
-  val DefaultMaxClassRows: Long = 2L << 20
-
   def generalizeLadderWith(df: DataFrame, levels: Seq[Seq[String]], k: Int,
       reference: DataFrame): DataFrame =
     generalizeLadderWith(df, levels, k, reference, DefaultMaxClassRows)
@@ -133,13 +134,47 @@ object Privacy {
     * and the absent-cell mass recovered arithmetically (a value missing
     * from a class contributes count(corpus,v)*n_class, computed as
     * (N - sum of the class's PRESENT global counts)*n_class rather than
-    * materializing zero-cells). Integer bound: products reach
-    * count*N <= N^2, exact in int64 up to ~3e9 corpus rows; beyond that
-    * pre-aggregate into coarser sensitive bands or lift to decimal.
+    * materializing zero-cells). Integer bound: the NUMERATOR products
+    * reach count*N <= N^2 — exact in int64 up to ~3e9 corpus rows, beyond
+    * which pre-aggregate into coarser sensitive bands; the `t_ok` compare
+    * itself reaches 2*tDen*n*N and is therefore evaluated in
+    * decimal(38,0), where it is exact at ANY corpus size (a silent int64
+    * wrap there would flip the release verdict fail-open).
+    *
+    * NULL semantics: a NULL in a QI column is a first-class equivalence
+    * class and a NULL sensitive value is a first-class histogram bucket —
+    * the internal joins are null-safe, so missing-value rows are audited,
+    * never silently dropped (dropping them would pass an unchecked class).
     */
   def tCloseness(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long): DataFrame =
     tClosenessWith(df, qi, sensitive, tNum, tDen, df)
+
+  /** The shared first phase of the t-closeness family: the class x value
+    * cell counts over `df` (cached — they feed the class sizes AND the
+    * distance terms), the derived QI output names, the per-value histogram
+    * over `reference` (cached — it feeds the join AND the total), and the
+    * per-class sizes. Everything after the two corpus aggregations is
+    * cell-table algebra.
+    */
+  private def sensCells(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      reference: DataFrame): (DataFrame, Seq[String], DataFrame, DataFrame) = {
+    val cells = graft.sources.Caches.ephemeral(
+      df.groupBy((qi :+ sensitive.as("__sens")): _*)
+        .agg(count(lit(1)).as("cv")))
+    val qiNames = cells.columns.dropRight(2).toSeq
+    val global = graft.sources.Caches.ephemeral(
+      reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    val classes = cells.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("cv")).as("class_size"))
+    (cells, qiNames, global, classes)
+  }
+
+  /** Null-safe equi-join condition over `names` between two aliased sides
+    * (SQL `=` drops NULL keys, silently excluding missing-value classes).
+    */
+  private def nullSafeOn(left: String, right: String, names: Seq[String]): Column =
+    names.map(n => col(s"$left.$n") <=> col(s"$right.$n")).reduce(_ && _)
 
   /** [[tCloseness]] with the baseline distribution computed from
     * `reference` instead of `df` itself — the cross-dump/production shape
@@ -155,36 +190,34 @@ object Privacy {
   def tClosenessWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    // both aggregates feed two consumers each (cells -> class sizes + the
-    // cell join; global -> the histogram join + the total): cache them or
-    // the corpus scans run twice
-    val cells = graft.sources.Caches.ephemeral(
-      df.groupBy((qi :+ sensitive.as("__sens")): _*)
-        .agg(count(lit(1)).as("cv")))
-    val qiNames = cells.columns.dropRight(2).toSeq
-    val global = graft.sources.Caches.ephemeral(
-      reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    val (cells, qiNames, global, classes) = sensCells(df, qi, sensitive, reference)
     val totals = global.agg(sum(col("gv")).as("n_total")) // one row
-    val classes = cells.groupBy(qiNames.map(col): _*)
-      .agg(sum(col("cv")).as("class_size"))
-    // LEFT join: a sensitive value the reference has never seen carries
+    // null-safe joins throughout: NULL QI values are first-class classes
+    // and a NULL sensitive value is a first-class histogram bucket. The
+    // global join is LEFT: a value the reference has never seen carries
     // gv = 0 (its whole cv*N_ref lands in the distance); the absent-cell
-    // direction (reference value missing from the class) stays
-    // arithmetic via present_g
-    cells.join(broadcast(classes), qiNames)
-      .join(broadcast(global), Seq("__sens"), "left")
+    // direction (reference value missing from the class) stays arithmetic
+    // via present_g
+    cells.alias("c")
+      .join(broadcast(classes.alias("cl")), nullSafeOn("c", "cl", qiNames))
+      .join(broadcast(global.alias("g")),
+        col("c.__sens") <=> col("g.__sens"), "left")
       .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
-      .withColumn("gv0", coalesce(col("gv"), lit(0L)))
-      .groupBy((qiNames :+ "class_size").map(col): _*)
+      .withColumn("gv0", coalesce(col("g.gv"), lit(0L)))
+      .groupBy(qiNames.map(n => col(s"c.$n")) :+ col("cl.class_size"): _*)
       .agg(
-        sum(abs(col("cv") * col("n_total") - col("gv0") * col("class_size")))
+        sum(abs(col("c.cv") * col("n_total") - col("gv0") * col("cl.class_size")))
           .as("present_num"),
         sum(col("gv0")).as("present_g"),
         max(col("n_total")).as("n_total"))
       .withColumn("tv_num",
         col("present_num") + (col("n_total") - col("present_g")) * col("class_size"))
+      // the verdict compare in decimal(38,0): it reaches 2*tDen*n*N, which
+      // wraps int64 long before the numerators do — and with ANSI off a
+      // wrap is SILENT and fail-open
       .withColumn("t_ok",
-        col("tv_num") * tDen <= lit(2L) * tNum * col("class_size") * col("n_total"))
+        col("tv_num").cast("decimal(38,0)") * tDen <=
+          lit(2L).cast("decimal(38,0)") * tNum * col("class_size") * col("n_total"))
       .select((qiNames.map(col) :+ col("class_size") :+ col("tv_num") :+ col("t_ok")): _*)
   }
 
@@ -211,31 +244,32 @@ object Privacy {
   def tClosenessOrdinal(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    val cells = graft.sources.Caches.ephemeral(
-      df.groupBy((qi :+ sensitive.as("__sens")): _*)
-        .agg(count(lit(1)).as("cv")))
-    val qiNames = cells.columns.dropRight(2).toSeq
-    val global = graft.sources.Caches.ephemeral(
-      df.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    val (cells, qiNames, global, classes) = sensCells(df, qi, sensitive, df)
     val totals = global.agg(sum(col("gv")).as("n_total"),
       count(lit(1)).as("m_values")) // one row
-    val classes = cells.groupBy(qiNames.map(col): _*)
-      .agg(sum(col("cv")).as("class_size"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qiNames.map(col): _*).orderBy(col("__sens"))
-    classes.crossJoin(broadcast(global)) // the dense |classes| x m grid
-      .join(broadcast(cells), (qiNames :+ "__sens"), "left")
+      .partitionBy(qiNames.map(n => col(s"cl.$n")): _*).orderBy(col("g.__sens"))
+    // the dense |classes| x m grid (absent cells matter to the cumulative
+    // sum); the cell join is null-safe on BOTH the QI and the sensitive
+    // value so missing-value rows stay first-class
+    classes.alias("cl").crossJoin(broadcast(global.alias("g")))
+      .join(broadcast(cells.alias("c")),
+        nullSafeOn("cl", "c", qiNames) && (col("g.__sens") <=> col("c.__sens")),
+        "left")
       .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
       .withColumn("diff",
-        coalesce(col("cv"), lit(0L)) * col("n_total") - col("gv") * col("class_size"))
+        coalesce(col("c.cv"), lit(0L)) * col("n_total") -
+          col("g.gv") * col("cl.class_size"))
       .withColumn("cum", sum(col("diff")).over(w))
-      .groupBy((qiNames :+ "class_size").map(col): _*)
+      .groupBy(qiNames.map(n => col(s"cl.$n")) :+ col("cl.class_size"): _*)
       .agg(sum(abs(col("cum"))).as("emd_num"),
         max(col("n_total")).as("n_total"),
         max(col("m_values")).as("m_values"))
+      // decimal(38,0) verdict compare, as in [[tClosenessWith]]
       .withColumn("t_ok",
-        col("emd_num") * tDen <=
-          lit(tNum) * (col("m_values") - 1L) * col("class_size") * col("n_total"))
+        col("emd_num").cast("decimal(38,0)") * tDen <=
+          lit(tNum).cast("decimal(38,0)") * (col("m_values") - 1L) *
+            col("class_size") * col("n_total"))
       .select((qiNames.map(col) :+ col("class_size") :+ col("emd_num") :+ col("t_ok")): _*)
   }
 }

@@ -380,7 +380,19 @@ object HttpRemoteWriteSource {
       * rename and the directory forced after (power-loss model); the
       * floor is monotonic (a stale smaller `until` never regresses it).
       */
-    def commit(until: Long): Unit = synchronized {
+    // serializes commits with each other (the streaming engine already
+    // calls commit single-threaded; direct spec drives may not) WITHOUT
+    // holding the append monitor across the floor's three fsyncs — a
+    // multi-second force under the append lock would stall every
+    // concurrent handler's 200, the exact freeze the sealedPending design
+    // exists to avoid
+    private val commitLock = new Object
+
+    def commit(until: Long): Unit = commitLock.synchronized {
+      // phase 1, OUTSIDE the append monitor: persist the floor (forced
+      // tmp + atomic rename + dir fsync). Appends never need the floor —
+      // they only assign seqnos above the publish floor >= until — so
+      // handlers keep flowing while these fsyncs run
       val floor = math.max(until, committedFloor)
       val tmp = dir.resolve("committed.tmp")
       val tc = java.nio.channels.FileChannel.open(tmp,
@@ -397,6 +409,21 @@ object HttpRemoteWriteSource {
       if (failpoint.contains("commit-after-floor"))
         throw new IllegalStateException(
           "failpoint: crash between the floor persist and the deletes")
+      // phase 2, under the append monitor: drop fully-committed storage
+      // (metadata-only operations — no fsync under the lock)
+      synchronized { dropCommitted(until) }
+      // phase 3, outside again: make the deletes durable — a power-loss
+      // resurrection of a deleted segment is CORRECT (all its seqnos sit
+      // below the durable floor, so a resumed query's checkpoint skips
+      // them) but wasteful; one dir fsync per micro-batch keeps the log
+      // tight
+      forceDir()
+    }
+
+    /** Drop segments whose every record is below `until`; caller holds the
+      * object monitor and has already made the committed floor durable.
+      */
+    private def dropCommitted(until: Long): Unit = {
       val it = segs.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -420,11 +447,6 @@ object HttpRemoteWriteSource {
         Files.deleteIfExists(activePath)
         activePath = null; activeFirst = -1L; activeLast = -1L; activeBytes = 0L
       }
-      // make the deletes durable too: a power-loss resurrection of a
-      // deleted segment is CORRECT (all its seqnos sit below the durable
-      // floor, so a resumed query's checkpoint skips them) but wasteful —
-      // one dir fsync per micro-batch commit keeps the log tight
-      forceDir()
     }
 
     def close(): Unit = synchronized {

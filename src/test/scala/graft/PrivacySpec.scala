@@ -198,6 +198,30 @@ class PrivacySpec extends AnyFunSuite {
       s"EMD must separate them by travel: $emd")
   }
 
+  test("t-closeness audits NULL quasi-identifiers and NULL sensitive values as first-class") {
+    // a plain (non-null-safe) join would silently DROP the null-QI class
+    // from the audit (fail-open) and double-count null sensitive mass.
+    // corpus: (null,0)x2 (null,null)x1 (Z,0)x1 (Z,null)x2 => N=6, global
+    // histogram {0:3, null:3}; both classes (n=3) have tv_num
+    // |2*6-3*3| + |1*6-3*3| = 6 and emd_num |±3| + |0| = 3
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (Option.empty[String], Option(0)), (None, Option(0)), (None, Option.empty[Int]),
+      (Option("Z"), Option(0)), (Option("Z"), None), (Option("Z"), None))
+      .toDF("g", "sens")
+    val tv = Privacy.tCloseness(corpus, Seq(col("g")), col("sens"), 1L, 4L)
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(tv.keySet == Set(None, Some("Z")),
+      s"the NULL-QI class must appear in the audit: $tv")
+    assert(tv(None) == ((3L, 6L, true)) && tv(Some("Z")) == ((3L, 6L, true)), tv.toString)
+    val emd = Privacy.tClosenessOrdinal(corpus, Seq(col("g")), col("sens"), 1L, 4L)
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(emd(None) == ((3L, 3L, true)) && emd(Some("Z")) == ((3L, 3L, true)), emd.toString)
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),
