@@ -41,6 +41,13 @@ object Privacy {
     * re-shuffles.
     *
     * Columns named `sz0..szN` are claimed internally.
+    *
+    * NULL semantics: NULL QI values form first-class equivalence classes
+    * (class sizes match null-safely). `class_key` uses concat_ws, which
+    * skips NULLs — two classes at one level differing only in WHICH
+    * column is NULL share a key string (disambiguate with a sentinel
+    * recode upstream if that matters to the consumer); settle decisions
+    * are unaffected (they read the sizes, not the key).
     */
   def generalizeLadder(df: DataFrame, levels: Seq[Seq[String]], k: Int): DataFrame =
     generalizeLadderWith(df, levels, k, df)
@@ -89,7 +96,16 @@ object Privacy {
           s"classes, above the broadcast guard of $maxClassRows: a near-unique " +
           s"quasi-identifier would OOM the driver as a forced broadcast — " +
           s"coarsen the level or raise maxClassRows")
-      acc.join(broadcast(sizes), ks, "left")
+      // null-safe join: a NULL QI value is a first-class equivalence class
+      // (groupBy counts it as one), so a row carrying it must match its
+      // own class-size row — a plain name-based join would never match
+      // NULL and the row would silently fall to the fallback even when
+      // its true class reaches k (fail-safe direction, but it diverges
+      // from the documented window-count semantics on corpora with NULLs)
+      val a = acc.alias("a"); val sz = sizes.alias("sz")
+      val joined = a.join(broadcast(sz),
+        ks.map(n2 => col(s"a.$n2") <=> col(s"sz.$n2")).reduce(_ && _), "left")
+      ks.foldLeft(joined)((d, n2) => d.drop(col(s"sz.$n2")))
     }
     val settle = consulted.indices.foldRight(lit(levels.size - 1): Column) {
       case (lvl, rest) => when(col(s"sz$lvl") >= k, lvl).otherwise(rest)
@@ -108,6 +124,14 @@ object Privacy {
     * values and `diverse_ok` = that count >= l. A class can be k-anonymous
     * yet leak the sensitive attribute when every member shares one value.
     * One hash aggregation.
+    *
+    * NULL semantics: `countDistinct` follows SQL and does NOT count NULL
+    * as a sensitive value (a class of all-NULL sensitives has l_distinct
+    * 0 — maximally non-diverse, the conservative reading); NULL QI values
+    * form first-class classes via groupBy. Note this differs from the
+    * t-closeness family, which treats NULL as a first-class histogram
+    * BUCKET — distance needs mass accounted somewhere, diversity counts
+    * disclosures and a NULL discloses nothing.
     */
   def lDiversity(df: DataFrame, qi: Seq[Column], sensitive: Column, l: Int): DataFrame =
     df.groupBy(qi: _*)

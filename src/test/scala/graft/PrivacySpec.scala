@@ -105,6 +105,25 @@ class PrivacySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("generalizeLadder: a NULL-QI class settles by its true size, not the fallback") {
+    val s = spark
+    import s.implicits._
+    // five rows share the (null, "x") class — 5-anonymous at the finest
+    // level; a non-null-safe size join would give them sz0 = NULL and
+    // silently drop them to the fallback
+    val rows = (Seq.fill(5)((Option.empty[String], "x")) ++
+      Seq((Option("B"), "x"), (Option("B"), "y")))
+      .toDF("g", "sub").withColumn("all", lit("*"))
+    val out = Privacy.generalizeLadder(rows,
+        Seq(Seq("g", "sub"), Seq("all")), k = 5)
+      .select("g", "sub", "settle_level")
+      .collect().map(r => ((Option(r.getString(0)), r.getString(1)), r.getInt(2))).toSet
+    assert(out == Set(
+      ((None, "x"), 0),        // its own class of 5: settles at the finest level
+      ((Some("B"), "x"), 1),   // classes of 1: the fallback
+      ((Some("B"), "y"), 1)), out.toString)
+  }
+
   test("generalizeLadderWith: a near-unique QI hits the broadcast guard, not a driver OOM") {
     val s = spark
     import s.implicits._
