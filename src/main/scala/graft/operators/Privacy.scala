@@ -101,11 +101,15 @@ object Privacy {
       // own class-size row — a plain name-based join would never match
       // NULL and the row would silently fall to the fallback even when
       // its true class reaches k (fail-safe direction, but it diverges
-      // from the documented window-count semantics on corpora with NULLs)
-      val a = acc.alias("a"); val sz = sizes.alias("sz")
-      val joined = a.join(broadcast(sz),
-        ks.map(n2 => col(s"a.$n2") <=> col(s"sz.$n2")).reduce(_ && _), "left")
-      ks.foldLeft(joined)((d, n2) => d.drop(col(s"sz.$n2")))
+      // from the documented window-count semantics on corpora with NULLs).
+      // The size side RENAMES its keys (__sz_*): sizes shares lineage with
+      // acc in the self-reference case, where renamed keys are robust and
+      // alias-qualified resolution is not
+      val sizesR = sizes.select(
+        ks.map(n2 => col(n2).as(s"__sz_$n2")) :+ col(s"sz$lvl"): _*)
+      val joined = acc.join(broadcast(sizesR),
+        ks.map(n2 => col(n2) <=> col(s"__sz_$n2")).reduce(_ && _), "left")
+      ks.foldLeft(joined)((d, n2) => d.drop(s"__sz_$n2"))
     }
     val settle = consulted.indices.foldRight(lit(levels.size - 1): Column) {
       case (lvl, rest) => when(col(s"sz$lvl") >= k, lvl).otherwise(rest)
@@ -194,11 +198,6 @@ object Privacy {
     (cells, qiNames, global, classes)
   }
 
-  /** Null-safe equi-join condition over `names` between two aliased sides
-    * (SQL `=` drops NULL keys, silently excluding missing-value classes).
-    */
-  private def nullSafeOn(left: String, right: String, names: Seq[String]): Column =
-    names.map(n => col(s"$left.$n") <=> col(s"$right.$n")).reduce(_ && _)
 
   /** [[tCloseness]] with the baseline distribution computed from
     * `reference` instead of `df` itself — the cross-dump/production shape
@@ -214,23 +213,64 @@ object Privacy {
   def tClosenessWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    val (cells, qiNames, global, classes) = sensCells(df, qi, sensitive, reference)
+    val (cells, qiNames, global, _) = sensCells(df, qi, sensitive, reference)
+    tvFromCells(cells, qiNames, global, tNum, tDen)
+  }
+
+  /** [[tClosenessWith]] over PRE-AGGREGATED cells instead of raw rows:
+    * `cells` holds one row per (qi..., sensitive value) with its count —
+    * the shape a windowed STREAMING aggregation emits
+    * (StreamOps.tClosenessCells), a shard rollup ships, or a prior
+    * groupBy produced. The window-start column is just another QI column
+    * here, so per-window live distances are this exact call over the
+    * emitted cells (StreamOpsSpec pins stream cells -> this read ==
+    * the batch tClosenessWith of the same window's rows). The reference
+    * histogram is aggregated from `reference` via `sensitive`; cell
+    * counts are summed per (class, value) first, so duplicate cell rows
+    * (per-shard partials) merge correctly.
+    */
+  def tClosenessOfCells(cells: DataFrame, qi: Seq[String], sensCol: String,
+      cvCol: String, tNum: Long, tDen: Long,
+      reference: DataFrame, sensitive: Column): DataFrame = {
+    require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
+    val norm = graft.sources.Caches.ephemeral(
+      cells.groupBy(qi.map(col) :+ col(sensCol).as("__sens"): _*)
+        .agg(sum(col(cvCol).cast("long")).as("cv")))
+    val global = graft.sources.Caches.ephemeral(
+      reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    tvFromCells(norm, qi, global, tNum, tDen)
+  }
+
+  /** The shared TV distance read over a normalized cell table
+    * (qi..., __sens, cv) against a (__sens, gv) histogram. Null-safe
+    * joins throughout: NULL QI values are first-class classes and a NULL
+    * sensitive value is a first-class histogram bucket. The global join
+    * is LEFT: a value the reference has never seen carries gv = 0 (its
+    * whole cv*N_ref lands in the distance); the absent-cell direction
+    * (reference value missing from the class) stays arithmetic via
+    * present_g.
+    */
+  private def tvFromCells(cells: DataFrame, qiNames: Seq[String],
+      global: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val totals = global.agg(sum(col("gv")).as("n_total")) // one row
-    // null-safe joins throughout: NULL QI values are first-class classes
-    // and a NULL sensitive value is a first-class histogram bucket. The
-    // global join is LEFT: a value the reference has never seen carries
-    // gv = 0 (its whole cv*N_ref lands in the distance); the absent-cell
-    // direction (reference value missing from the class) stays arithmetic
-    // via present_g
-    cells.alias("c")
-      .join(broadcast(classes.alias("cl")), nullSafeOn("c", "cl", qiNames))
-      .join(broadcast(global.alias("g")),
-        col("c.__sens") <=> col("g.__sens"), "left")
+    // the small join sides RENAME their key columns (__cl_* / __g_sens)
+    // instead of relying on frame aliases: classes/global derive from the
+    // same lineage as cells, and alias-qualified resolution over a
+    // self-join is fragile (shared attribute ids) where plain unique
+    // names are not
+    val classes = cells.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("cv")).as("class_size"))
+      .select(qiNames.map(n => col(n).as(s"__cl_$n")) :+ col("class_size"): _*)
+    val hist = global.select(col("__sens").as("__g_sens"), col("gv"))
+    cells
+      .join(broadcast(classes),
+        qiNames.map(n => col(n) <=> col(s"__cl_$n")).reduce(_ && _))
+      .join(broadcast(hist), col("__sens") <=> col("__g_sens"), "left")
       .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
-      .withColumn("gv0", coalesce(col("g.gv"), lit(0L)))
-      .groupBy(qiNames.map(n => col(s"c.$n")) :+ col("cl.class_size"): _*)
+      .withColumn("gv0", coalesce(col("gv"), lit(0L)))
+      .groupBy((qiNames :+ "class_size").map(col): _*)
       .agg(
-        sum(abs(col("c.cv") * col("n_total") - col("gv0") * col("cl.class_size")))
+        sum(abs(col("cv") * col("n_total") - col("gv0") * col("class_size")))
           .as("present_num"),
         sum(col("gv0")).as("present_g"),
         max(col("n_total")).as("n_total"))
@@ -272,20 +312,26 @@ object Privacy {
     val totals = global.agg(sum(col("gv")).as("n_total"),
       count(lit(1)).as("m_values")) // one row
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qiNames.map(n => col(s"cl.$n")): _*).orderBy(col("g.__sens"))
+      .partitionBy(qiNames.map(col): _*).orderBy(col("__sens"))
     // the dense |classes| x m grid (absent cells matter to the cumulative
     // sum); the cell join is null-safe on BOTH the QI and the sensitive
-    // value so missing-value rows stay first-class
-    classes.alias("cl").crossJoin(broadcast(global.alias("g")))
-      .join(broadcast(cells.alias("c")),
-        nullSafeOn("cl", "c", qiNames) && (col("g.__sens") <=> col("c.__sens")),
+    // value so missing-value rows stay first-class. The cell side RENAMES
+    // its key columns (__c_*) — classes/cells share lineage, and renamed
+    // keys sidestep the self-join resolution fragility frame aliases hit
+    val cellsR = cells.select(
+      qiNames.map(n => col(n).as(s"__c_$n")) ++
+        Seq(col("__sens").as("__c_sens"), col("cv")): _*)
+    classes.crossJoin(broadcast(global))
+      .join(broadcast(cellsR),
+        qiNames.map(n => col(n) <=> col(s"__c_$n")).reduce(_ && _) &&
+          (col("__sens") <=> col("__c_sens")),
         "left")
       .crossJoin(broadcast(totals)) // one-row stat broadcast (bounded)
       .withColumn("diff",
-        coalesce(col("c.cv"), lit(0L)) * col("n_total") -
-          col("g.gv") * col("cl.class_size"))
+        coalesce(col("cv"), lit(0L)) * col("n_total") -
+          col("gv") * col("class_size"))
       .withColumn("cum", sum(col("diff")).over(w))
-      .groupBy(qiNames.map(n => col(s"cl.$n")) :+ col("cl.class_size"): _*)
+      .groupBy((qiNames :+ "class_size").map(col): _*)
       .agg(sum(abs(col("cum"))).as("emd_num"),
         max(col("n_total")).as("n_total"),
         max(col("m_values")).as("m_values"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming analogs of the batch north-star operators.
@@ -305,6 +305,28 @@ object StreamOps {
           .as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("j"), col("bucket"), col("cnt"))
+
+  /** Live t-closeness cells (the streaming half of the d184/d186 release
+    * gate): per event-time tumbling window, one row per (window, qi...,
+    * sensitive value) with its count — plain mergeable long sums, so
+    * per-shard partials combine map-side and across triggers like any
+    * counter, and live state is |windows x classes x values| rows,
+    * nothing corpus-sized. The distance read is
+    * [[graft.operators.Privacy.tClosenessOfCells]] over the emitted
+    * cells with `w_start` passed as just another QI column — per-window
+    * TV distance of the arriving metadata against the published cohort,
+    * the drift monitor a release dashboard shows live (StreamOpsSpec
+    * pins cells == a batch replay and the read == the batch
+    * tClosenessWith of the same window's rows).
+    */
+  def tClosenessCells(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, qi: Seq[Column], sensitive: Column): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w") +:
+        qi :+ sensitive.as("sens"): _*)
+      .agg(count(lit(1)).as("cv"))
+      .withColumn("w_start", col("w.start"))
+      .drop("w")
 
   /** Live token-yield ledger (d166's streaming sibling, composed from the
     * deployed twins): each arriving doc runs the filter-waterfall narrow

@@ -397,6 +397,50 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live t-closeness cells merge across triggers; the from-cells read matches batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val ms = MemoryStream[(Timestamp, String, Int)](spark)
+    val cellsQ = StreamOps.tClosenessCells(
+      ms.toDF().toDF("et", "g", "sens"), "et", "5 seconds", "10 seconds",
+      Seq(col("g")), col("sens"))
+    val q = cellsQ.writeStream.format("memory").queryName("tcells_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): class A rows split ACROSS two triggers, class B one
+      ms.addData((ts(1), "A", 0), (ts(2), "A", 1))
+      q.processAllAvailable()
+      ms.addData((ts(3), "A", 2), (ts(4), "B", 0))
+      q.processAllAvailable()
+      ms.addData((ts(30), "Z", 9)) // advance watermark past window end
+      q.processAllAvailable()
+      val live = spark.table("tcells_out")
+        .filter(col("w_start") === lit(new Timestamp(0L)))
+      val liveCells = live.collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+      // counts merged across the two triggers, exactly the batch groupBy
+      assert(liveCells == Map(("A", 0) -> 1L, ("A", 1) -> 1L, ("A", 2) -> 1L,
+        ("B", 0) -> 1L), liveCells.toString)
+      // the distance read over the EMITTED cells (w_start as one more QI
+      // column) equals the batch audit of the same window's raw rows
+      val windowRows = Seq(("A", 0), ("A", 1), ("A", 2), ("B", 0)).toDF("g", "sens")
+      val ofCells = graft.operators.Privacy.tClosenessOfCells(
+          live, Seq("w_start", "g"), "sens", "cv", tNum = 1L, tDen = 4L,
+          reference = windowRows, sensitive = col("sens"))
+        .collect().map(r => (r.getString(1),
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val batch = graft.operators.Privacy.tCloseness(
+          windowRows, Seq(col("g")), col("sens"), 1L, 4L)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(ofCells == batch && batch.nonEmpty,
+        s"ofCells=$ofCells batch=$batch")
+      // hand check: A (n=3) tv_num 4 passes t=1/4, B (n=1) tv_num 4 leaks
+      assert(batch("A") == ((3L, 4L, true)) && batch("B") == ((1L, 4L, false)))
+    } finally q.stop()
+  }
+
   test("live langid confusion counts (lang, pred) per window via the shared map") {
     val s = spark
     import s.implicits._
