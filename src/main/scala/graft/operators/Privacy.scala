@@ -306,9 +306,33 @@ object Privacy {
     * never the corpus). Same int64 bound as [[tCloseness]].
     */
   def tClosenessOrdinal(df: DataFrame, qi: Seq[Column], sensitive: Column,
-      tNum: Long, tDen: Long): DataFrame = {
+      tNum: Long, tDen: Long): DataFrame =
+    tClosenessOrdinalWith(df, qi, sensitive, tNum, tDen, df)
+
+  /** [[tClosenessOrdinal]] with the baseline histogram computed from
+    * `reference` — the cross-dump EMD (the [[tClosenessWith]] production
+    * shape for ORDERED sensitive attributes): today's dump's classes pay
+    * per-band travel against the PUBLISHED cohort's distribution. The
+    * ordered value grid is the UNION of the dump's and the reference's
+    * distinct values (a dump value the reference lacks still occupies a
+    * grid position — its mass must travel somewhere — with gv = 0; a
+    * reference value absent from the dump contributes through the dense
+    * grid's zero cells as in the self-audit), and m counts that union.
+    */
+  def tClosenessOrdinalWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    val (cells, qiNames, global, classes) = sensCells(df, qi, sensitive, df)
+    val (cells, qiNames, refHist, classes) = sensCells(df, qi, sensitive, reference)
+    // the ordered grid axis: union of both sides' values, with the
+    // reference count read null-safely (0 for reference-unseen values);
+    // in the self-audit the union degenerates to the corpus's own values
+    val global = graft.sources.Caches.ephemeral {
+      val vals = refHist.select(col("__sens"))
+        .union(cells.select(col("__sens"))).distinct()
+      val histR = refHist.select(col("__sens").as("__g_sens"), col("gv"))
+      vals.join(broadcast(histR), col("__sens") <=> col("__g_sens"), "left")
+        .select(col("__sens"), coalesce(col("gv"), lit(0L)).as("gv"))
+    }
     val totals = global.agg(sum(col("gv")).as("n_total"),
       count(lit(1)).as("m_values")) // one row
     val w = org.apache.spark.sql.expressions.Window

@@ -159,6 +159,24 @@ object DataQueries23 {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // cross-dump ordinal t-closeness: the fourth cell of the t-closeness
+    // matrix (TV-self d184, EMD-self d185, TV-reference d186, and this —
+    // EMD against the published cohort): today's dump's classes pay
+    // per-band TRAVEL against the reference distribution, on a value grid
+    // that is the UNION of both sides' bands (a dump band the cohort
+    // lacks still occupies a grid position with gv=0 — its mass must
+    // travel somewhere). Thin binding of Privacy.tClosenessOrdinalWith at
+    // t = 1/6; same bounded-grid single-window shape as d185.
+    "d187_tcloseness_emd_ref" -> { (s, dir) =>
+      val all = customer(s, dir)
+      graft.operators.Privacy.tClosenessOrdinalWith(
+          all.filter(col("c_custkey") % 2 === 1),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          floor(col("c_acctbal") / 2000.0), tNum = 1L, tDen = 6L,
+          reference = all.filter(col("c_custkey") % 2 === 0))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // count-min sketch with exact audit: build the 4x32 sketch over
     // events.user_id (fixed 128-cell state, map-side combined — the cells
     // merge across shards/triggers like any long sum), then estimate each
@@ -281,6 +299,41 @@ object DataQueries23 {
         |SELECT settle_level, count(*) AS n_rows,
         |       count(DISTINCT class_key) AS n_classes
         |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d187_tcloseness_emd_ref" ->
+      """WITH all_c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens FROM customer),
+        |dump AS (SELECT * FROM all_c WHERE c_custkey % 2 = 1),
+        |ref AS (SELECT * FROM all_c WHERE c_custkey % 2 = 0),
+        |cells AS (SELECT c_nationkey, c_mktsegment, sens, count(*) AS cv
+        |  FROM dump GROUP BY 1, 2, 3),
+        |rh AS (SELECT sens, count(*) AS gv FROM ref GROUP BY 1),
+        |vals AS (SELECT sens FROM rh UNION SELECT DISTINCT sens FROM cells),
+        |gl AS (SELECT v.sens, coalesce(rh.gv, 0) AS gv FROM vals v
+        |  LEFT JOIN rh ON v.sens = rh.sens),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ref),
+        |mv AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+        |classes AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cv) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+        |    g.sens, g.gv, coalesce(c.cv, 0) AS cv
+        |  FROM classes cl CROSS JOIN gl g
+        |  LEFT JOIN cells c ON c.c_nationkey = cl.c_nationkey
+        |    AND c.c_mktsegment = cl.c_mktsegment AND c.sens = g.sens),
+        |cum AS (SELECT gr.c_nationkey, gr.c_mktsegment, gr.class_size,
+        |    t.n_total,
+        |    CAST(sum(gr.cv * t.n_total - gr.gv * gr.class_size) OVER
+        |      (PARTITION BY gr.c_nationkey, gr.c_mktsegment
+        |       ORDER BY gr.sens) AS BIGINT) AS cum
+        |  FROM grid gr CROSS JOIN tot t)
+        |SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
+        |  CAST(sum(abs(c.cum)) AS BIGINT) AS emd_num,
+        |  CAST(sum(abs(c.cum)) AS BIGINT) * 6
+        |    <= 1 * (max(m.m) - 1) * c.class_size * max(c.n_total) AS t_ok
+        |FROM cum c CROSS JOIN mv m
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "d186_tcloseness_ref" ->
       """WITH all_c AS (SELECT c_custkey, c_nationkey, c_mktsegment,

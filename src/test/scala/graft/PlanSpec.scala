@@ -776,5 +776,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p185).length >= 1 &&
       p185.contains("windowspecdefinition"),
       "the grid cumsum runs as one partitioned window\n" + p185)
+    // d187: the cross-dump EMD keeps the d185 shape — union value grid,
+    // all-broadcast joins, one partitioned window, no SortMergeJoin
+    val p187 = plan("d187_tcloseness_emd_ref")
+    assert("BroadcastHashJoin".r.findAllIn(p187).length >= 1 &&
+      !p187.contains("SortMergeJoin") &&
+      p187.contains("windowspecdefinition"),
+      "cross-dump EMD must stay all-broadcast with one window\n" + p187)
   }
 }

@@ -217,6 +217,28 @@ class PrivacySpec extends AnyFunSuite {
       s"EMD must separate them by travel: $emd")
   }
 
+  test("tClosenessOrdinalWith: the union grid prices travel for reference-unseen values") {
+    val s = spark
+    import s.implicits._
+    // dump class D = {0:1, 7:1} vs reference df (values 0,1,2; N=13,
+    // gv 5,4,4). Union grid 0,1,2,7 (m=4); diffs cv*13 - gv*2 =
+    // +3,-8,-8,+13 -> cums 3,-5,-13,0 -> emd_num 21. t = 1/4:
+    // 21*4 = 84 > 1*(4-1)*2*13 = 78 -> leaks (the unseen band must
+    // travel the whole axis). A grid built from the reference alone
+    // would DROP value 7 and miss that mass entirely.
+    val dump = Seq(("D", 0), ("D", 7)).toDF("g", "sens")
+    val out = Privacy.tClosenessOrdinalWith(dump, Seq(col("g")), col("sens"),
+        tNum = 1L, tDen = 4L, reference = df)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("D") == ((2L, 21L, false)), out.toString)
+    // self-reference degenerates to the plain ordinal audit
+    val self = Privacy.tClosenessOrdinalWith(df, Seq(col("g")), col("sens"),
+        1L, 10L, df)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(self == Map("A" -> 6L, "B" -> 8L, "C" -> 8L), self.toString)
+  }
+
   test("t-closeness audits NULL quasi-identifiers and NULL sensitive values as first-class") {
     // a plain (non-null-safe) join would silently DROP the null-QI class
     // from the audit (fail-open) and double-count null sensitive mass.
