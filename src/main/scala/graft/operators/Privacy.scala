@@ -178,25 +178,51 @@ object Privacy {
       tNum: Long, tDen: Long): DataFrame =
     tClosenessWith(df, qi, sensitive, tNum, tDen, df)
 
+  /** Output/internal column names the t-closeness family claims; a QI
+    * column with one of these names (or a `__` prefix) would collide with
+    * the pipeline's own columns, so the entry points refuse it loudly.
+    */
+  private val TClaimedCols = Set("cv", "gv", "gv0", "class_size", "n_total",
+    "m_values", "present_num", "present_g", "tv_num", "emd_num", "t_ok",
+    "diff", "cum")
+
+  private def guardQiNames(qiNames: Seq[String]): Unit = {
+    val bad = qiNames.filter(n => TClaimedCols.contains(n) || n.startsWith("__"))
+    require(bad.isEmpty,
+      s"QI column name(s) ${bad.mkString(", ")} collide with names the " +
+      s"t-closeness pipeline claims (${TClaimedCols.toSeq.sorted.mkString(", ")} " +
+      s"and the __ prefix) — rename them upstream")
+  }
+
   /** The shared first phase of the t-closeness family: the class x value
     * cell counts over `df` (cached — they feed the class sizes AND the
-    * distance terms), the derived QI output names, the per-value histogram
-    * over `reference` (cached — it feeds the join AND the total), and the
-    * per-class sizes. Everything after the two corpus aggregations is
-    * cell-table algebra.
+    * distance terms), the derived QI output names, and the per-value
+    * histogram over `reference` (cached — it feeds the join AND the
+    * total). Refuses an EMPTY reference: n_total = 0 would make every
+    * verdict vacuously/NULL-ly pass — a fail-open release gate pointed at
+    * a cohort that does not exist (a wrong filter, a stale path).
+    * Everything after the two corpus aggregations is cell-table algebra.
     */
   private def sensCells(df: DataFrame, qi: Seq[Column], sensitive: Column,
-      reference: DataFrame): (DataFrame, Seq[String], DataFrame, DataFrame) = {
+      reference: DataFrame): (DataFrame, Seq[String], DataFrame) = {
     val cells = graft.sources.Caches.ephemeral(
       df.groupBy((qi :+ sensitive.as("__sens")): _*)
         .agg(count(lit(1)).as("cv")))
     val qiNames = cells.columns.dropRight(2).toSeq
+    guardQiNames(qiNames)
     val global = graft.sources.Caches.ephemeral(
       reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
-    val classes = cells.groupBy(qiNames.map(col): _*)
-      .agg(sum(col("cv")).as("class_size"))
-    (cells, qiNames, global, classes)
+    require(!global.isEmpty,
+      "the reference corpus is empty — refusing a vacuous privacy verdict " +
+      "(every class would pass t-closeness against a cohort that does not exist)")
+    (cells, qiNames, global)
   }
+
+  /** Per-class sizes from a normalized cell table — defined ONCE so the
+    * TV and EMD variants can never drift.
+    */
+  private def classesOf(cells: DataFrame, qiNames: Seq[String]): DataFrame =
+    cells.groupBy(qiNames.map(col): _*).agg(sum(col("cv")).as("class_size"))
 
 
   /** [[tCloseness]] with the baseline distribution computed from
@@ -213,7 +239,7 @@ object Privacy {
   def tClosenessWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    val (cells, qiNames, global, _) = sensCells(df, qi, sensitive, reference)
+    val (cells, qiNames, global) = sensCells(df, qi, sensitive, reference)
     tvFromCells(cells, qiNames, global, tNum, tDen)
   }
 
@@ -227,17 +253,24 @@ object Privacy {
     * the batch tClosenessWith of the same window's rows). The reference
     * histogram is aggregated from `reference` via `sensitive`; cell
     * counts are summed per (class, value) first, so duplicate cell rows
-    * (per-shard partials) merge correctly.
+    * (per-shard partials) merge correctly. QI columns must not use the
+    * pipeline's claimed names (cv, gv, class_size, n_total, tv_num,
+    * t_ok, ... or a `__` prefix) — refused loudly; an empty reference is
+    * refused too (a vacuous pass would be a fail-open gate).
     */
   def tClosenessOfCells(cells: DataFrame, qi: Seq[String], sensCol: String,
       cvCol: String, tNum: Long, tDen: Long,
       reference: DataFrame, sensitive: Column): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
+    guardQiNames(qi)
     val norm = graft.sources.Caches.ephemeral(
       cells.groupBy(qi.map(col) :+ col(sensCol).as("__sens"): _*)
         .agg(sum(col(cvCol).cast("long")).as("cv")))
     val global = graft.sources.Caches.ephemeral(
       reference.groupBy(sensitive.as("__sens")).agg(count(lit(1)).as("gv")))
+    require(!global.isEmpty,
+      "the reference corpus is empty — refusing a vacuous privacy verdict " +
+      "(every class would pass t-closeness against a cohort that does not exist)")
     tvFromCells(norm, qi, global, tNum, tDen)
   }
 
@@ -258,8 +291,7 @@ object Privacy {
     // same lineage as cells, and alias-qualified resolution over a
     // self-join is fragile (shared attribute ids) where plain unique
     // names are not
-    val classes = cells.groupBy(qiNames.map(col): _*)
-      .agg(sum(col("cv")).as("class_size"))
+    val classes = classesOf(cells, qiNames)
       .select(qiNames.map(n => col(n).as(s"__cl_$n")) :+ col("class_size"): _*)
     val hist = global.select(col("__sens").as("__g_sens"), col("gv"))
     cells
@@ -322,17 +354,22 @@ object Privacy {
   def tClosenessOrdinalWith(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long, reference: DataFrame): DataFrame = {
     require(tDen > 0 && tNum >= 0, s"need a non-negative t = tNum/tDen, got $tNum/$tDen")
-    val (cells, qiNames, refHist, classes) = sensCells(df, qi, sensitive, reference)
+    val (cells, qiNames, refHist) = sensCells(df, qi, sensitive, reference)
+    val classes = classesOf(cells, qiNames)
     // the ordered grid axis: union of both sides' values, with the
-    // reference count read null-safely (0 for reference-unseen values);
-    // in the self-audit the union degenerates to the corpus's own values
-    val global = graft.sources.Caches.ephemeral {
-      val vals = refHist.select(col("__sens"))
-        .union(cells.select(col("__sens"))).distinct()
-      val histR = refHist.select(col("__sens").as("__g_sens"), col("gv"))
-      vals.join(broadcast(histR), col("__sens") <=> col("__g_sens"), "left")
-        .select(col("__sens"), coalesce(col("gv"), lit(0L)).as("gv"))
-    }
+    // reference count read null-safely (0 for reference-unseen values).
+    // In the SELF-audit the union provably equals the corpus's own value
+    // set, so that path skips the union/distinct/join entirely and keeps
+    // the d185 cost
+    val global =
+      if (reference eq df) refHist
+      else graft.sources.Caches.ephemeral {
+        val vals = refHist.select(col("__sens"))
+          .union(cells.select(col("__sens"))).distinct()
+        val histR = refHist.select(col("__sens").as("__g_sens"), col("gv"))
+        vals.join(broadcast(histR), col("__sens") <=> col("__g_sens"), "left")
+          .select(col("__sens"), coalesce(col("gv"), lit(0L)).as("gv"))
+      }
     val totals = global.agg(sum(col("gv")).as("n_total"),
       count(lit(1)).as("m_values")) // one row
     val w = org.apache.spark.sql.expressions.Window

@@ -320,13 +320,21 @@ object StreamOps {
     * tClosenessWith of the same window's rows).
     */
   def tClosenessCells(df: DataFrame, eventTimeCol: String, delay: String,
-      width: String, qi: Seq[Column], sensitive: Column): DataFrame =
-    df.withWatermark(eventTimeCol, delay)
+      width: String, qi: Seq[Column], sensitive: Column): DataFrame = {
+    val out = df.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), width).as("w") +:
         qi :+ sensitive.as("sens"): _*)
       .agg(count(lit(1)).as("cv"))
       .withColumn("w_start", col("w.start"))
       .drop("w")
+    // the cell schema claims sens/cv/w_start: a QI column reusing one of
+    // them would emit duplicate-named columns that break the downstream
+    // tClosenessOfCells read — refuse loudly at build time
+    require(out.columns.toSeq.distinct.size == out.columns.length,
+      s"QI column names collide with the claimed cell columns " +
+      s"(sens, cv, w_start): ${out.columns.mkString(", ")}")
+    out
+  }
 
   /** Live token-yield ledger (d166's streaming sibling, composed from the
     * deployed twins): each arriving doc runs the filter-waterfall narrow

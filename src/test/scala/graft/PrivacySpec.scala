@@ -239,6 +239,36 @@ class PrivacySpec extends AnyFunSuite {
     assert(self == Map("A" -> 6L, "B" -> 8L, "C" -> 8L), self.toString)
   }
 
+  test("t-closeness refuses an empty reference and claimed QI names instead of passing vacuously") {
+    val s = spark
+    import s.implicits._
+    val dump = Seq(("D", 0), ("D", 7)).toDF("g", "sens")
+    // an empty cohort (wrong filter, stale path) must fail LOUD: with
+    // n_total = 0 every class would pass t-closeness (0 <= 0, or a NULL
+    // verdict a leak-filter never sees) — a fail-open release gate
+    val emptyRef = df.filter(lit(false))
+    val e1 = intercept[IllegalArgumentException] {
+      Privacy.tClosenessWith(dump, Seq(col("g")), col("sens"), 1L, 4L, emptyRef)
+    }
+    assert(e1.getMessage.contains("reference corpus is empty"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.tClosenessOrdinalWith(dump, Seq(col("g")), col("sens"), 1L, 4L, emptyRef)
+    }
+    assert(e2.getMessage.contains("reference corpus is empty"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Privacy.tClosenessOfCells(dump.groupBy("g", "sens").count(),
+        Seq("g"), "sens", "count", 1L, 4L, emptyRef, col("sens"))
+    }
+    assert(e3.getMessage.contains("reference corpus is empty"), e3.getMessage)
+    // a QI column named after a pipeline-claimed column collides with the
+    // internals — refused with the claimed list in the message
+    val e4 = intercept[IllegalArgumentException] {
+      Privacy.tCloseness(dump.withColumnRenamed("g", "cv"),
+        Seq(col("cv")), col("sens"), 1L, 4L)
+    }
+    assert(e4.getMessage.contains("collide"), e4.getMessage)
+  }
+
   test("t-closeness audits NULL quasi-identifiers and NULL sensitive values as first-class") {
     // a plain (non-null-safe) join would silently DROP the null-QI class
     // from the audit (fail-open) and double-count null sensitive mass.
