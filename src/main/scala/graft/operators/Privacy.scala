@@ -336,6 +336,19 @@ object Privacy {
     * value histogram, a broadcast left join of the cell counts, and ONE
     * window partitioned by class over the grid (a bounded-table shuffle,
     * never the corpus). Same int64 bound as [[tCloseness]].
+    *
+    * NULL grid position: a NULL sensitive value is a first-class bucket
+    * (as in [[tCloseness]]) but EMD must also place it ON the travel
+    * axis, and an unordered value has no natural position — this family
+    * pins it explicitly to the BOTTOM of the grid (`asc_nulls_first`,
+    * matched by `NULLS FIRST` in the query oracles, because Spark and
+    * DuckDB DEFAULT to opposite ends and an unpinned grid would make the
+    * cumulative sums engine-dependent). Consequence: missing-value mass
+    * is priced as one step below the lowest real band — maximally distant
+    * from the high bands. If that charge is wrong for a consumer (e.g.
+    * NULL means "band unknown", not "below every band"), recode NULL to a
+    * chosen band — or pre-filter it — upstream; the TV sibling is
+    * position-free and needs no such choice.
     */
   def tClosenessOrdinal(df: DataFrame, qi: Seq[Column], sensitive: Column,
       tNum: Long, tDen: Long): DataFrame =
@@ -372,8 +385,11 @@ object Privacy {
       }
     val totals = global.agg(sum(col("gv")).as("n_total"),
       count(lit(1)).as("m_values")) // one row
+    // the travel axis: NULLS FIRST explicitly (Spark's asc default, but
+    // DuckDB's is NULLS LAST — the oracle pins the same end, and the
+    // scaladoc documents the NULL band as the grid's bottom)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qiNames.map(col): _*).orderBy(col("__sens"))
+      .partitionBy(qiNames.map(col): _*).orderBy(col("__sens").asc_nulls_first)
     // the dense |classes| x m grid (absent cells matter to the cumulative
     // sum); the cell join is null-safe on BOTH the QI and the sensitive
     // value so missing-value rows stay first-class. The cell side RENAMES

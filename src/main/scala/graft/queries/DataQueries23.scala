@@ -310,7 +310,7 @@ object DataQueries23 {
         |rh AS (SELECT sens, count(*) AS gv FROM ref GROUP BY 1),
         |vals AS (SELECT sens FROM rh UNION SELECT DISTINCT sens FROM cells),
         |gl AS (SELECT v.sens, coalesce(rh.gv, 0) AS gv FROM vals v
-        |  LEFT JOIN rh ON v.sens = rh.sens),
+        |  LEFT JOIN rh ON v.sens IS NOT DISTINCT FROM rh.sens),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ref),
         |mv AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
         |classes AS (SELECT c_nationkey, c_mktsegment,
@@ -319,13 +319,14 @@ object DataQueries23 {
         |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
         |    g.sens, g.gv, coalesce(c.cv, 0) AS cv
         |  FROM classes cl CROSS JOIN gl g
-        |  LEFT JOIN cells c ON c.c_nationkey = cl.c_nationkey
-        |    AND c.c_mktsegment = cl.c_mktsegment AND c.sens = g.sens),
+        |  LEFT JOIN cells c ON c.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+        |    AND c.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
+        |    AND c.sens IS NOT DISTINCT FROM g.sens),
         |cum AS (SELECT gr.c_nationkey, gr.c_mktsegment, gr.class_size,
         |    t.n_total,
         |    CAST(sum(gr.cv * t.n_total - gr.gv * gr.class_size) OVER
         |      (PARTITION BY gr.c_nationkey, gr.c_mktsegment
-        |       ORDER BY gr.sens) AS BIGINT) AS cum
+        |       ORDER BY gr.sens NULLS FIRST) AS BIGINT) AS cum
         |  FROM grid gr CROSS JOIN tot t)
         |SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
         |  CAST(sum(abs(c.cum)) AS BIGINT) AS emd_num,
@@ -353,9 +354,9 @@ object DataQueries23 {
         |    CAST(sum(coalesce(g.gv, 0)) AS BIGINT) AS present_g,
         |    max(t.n_total) AS n_total
         |  FROM cells c
-        |  LEFT JOIN gl g USING (sens)
-        |  JOIN classes cl ON c.c_nationkey = cl.c_nationkey
-        |    AND c.c_mktsegment = cl.c_mktsegment
+        |  LEFT JOIN gl g ON c.sens IS NOT DISTINCT FROM g.sens
+        |  JOIN classes cl ON c.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+        |    AND c.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
         |  CROSS JOIN tot t
         |  GROUP BY 1, 2, 3)
         |SELECT c_nationkey, c_mktsegment, class_size,
@@ -379,13 +380,14 @@ object DataQueries23 {
         |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
         |    g.sens, g.gv, coalesce(c.cv, 0) AS cv
         |  FROM classes cl CROSS JOIN gl g
-        |  LEFT JOIN cells c ON c.c_nationkey = cl.c_nationkey
-        |    AND c.c_mktsegment = cl.c_mktsegment AND c.sens = g.sens),
+        |  LEFT JOIN cells c ON c.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+        |    AND c.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
+        |    AND c.sens IS NOT DISTINCT FROM g.sens),
         |cum AS (SELECT gr.c_nationkey, gr.c_mktsegment, gr.class_size,
         |    t.n_total,
         |    CAST(sum(gr.cv * t.n_total - gr.gv * gr.class_size) OVER
         |      (PARTITION BY gr.c_nationkey, gr.c_mktsegment
-        |       ORDER BY gr.sens) AS BIGINT) AS cum
+        |       ORDER BY gr.sens NULLS FIRST) AS BIGINT) AS cum
         |  FROM grid gr CROSS JOIN tot t)
         |SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
         |  CAST(sum(abs(c.cum)) AS BIGINT) AS emd_num,
@@ -413,9 +415,9 @@ object DataQueries23 {
         |    CAST(sum(g.gv) AS BIGINT) AS present_g,
         |    max(t.n_total) AS n_total
         |  FROM cells c
-        |  JOIN gl g USING (sens)
-        |  JOIN classes cl ON c.c_nationkey = cl.c_nationkey
-        |    AND c.c_mktsegment = cl.c_mktsegment
+        |  JOIN gl g ON c.sens IS NOT DISTINCT FROM g.sens
+        |  JOIN classes cl ON c.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+        |    AND c.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
         |  CROSS JOIN tot t
         |  GROUP BY 1, 2, 3)
         |SELECT c_nationkey, c_mktsegment, class_size,

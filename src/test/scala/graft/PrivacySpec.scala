@@ -293,6 +293,41 @@ class PrivacySpec extends AnyFunSuite {
     assert(emd(None) == ((3L, 3L, true)) && emd(Some("Z")) == ((3L, 3L, true)), emd.toString)
   }
 
+  test("tClosenessOrdinal: the NULL band sits at the BOTTOM of the travel axis") {
+    // three-band grid where the NULL band's position CHANGES the answer:
+    // corpus E:{null:1, 1:1} F:{0:2, 1:2} => N=6, global {null:1, 0:2, 1:3}.
+    // Grid pinned NULLS FIRST (null, 0, 1); diffs cv*N - gv*n:
+    //   E (n=2): null +4, 0 -4, 1 0 -> cums 4, 0, 0 -> emd_num 4
+    //   F (n=4): null -4, 0 +4, 1 0 -> cums -4, 0, 0 -> emd_num 4
+    // a NULLS-LAST grid (DuckDB's asc default) would cumulate (0, 1, null)
+    // and read 8 for BOTH classes — the exact cross-engine divergence this
+    // pin (asc_nulls_first in Privacy, NULLS FIRST in the d185/d187
+    // oracles) exists to prevent
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (Option("E"), Option.empty[Int]), (Option("E"), Option(1)),
+      (Option("F"), Option(0)), (Option("F"), Option(0)),
+      (Option("F"), Option(1)), (Option("F"), Option(1)))
+      .toDF("g", "sens")
+    val emd = Privacy.tClosenessOrdinal(corpus, Seq(col("g")), col("sens"), 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(emd == Map("E" -> 4L, "F" -> 4L),
+      s"NULL must cumulate as the grid's FIRST band (a NULLS-LAST axis reads 8): $emd")
+    // and the cross-dump grid places a dump-only NULL band the same way:
+    // dump D:{null:1, 1:1} vs reference F-rows-only {0:2, 1:2} (N=4,
+    // union grid null,0,1 with gv null:0). diffs: null 1*4-0*2=+4,
+    // 0 0-2*2=-4, 1 1*4-2*2=0 -> cums 4, 0, 0 -> emd_num 4 (NULLS LAST: 8)
+    val dump = Seq((Option("D"), Option.empty[Int]), (Option("D"), Option(1)))
+      .toDF("g", "sens")
+    val ref = corpus.filter(col("g") === "F")
+    val cross = Privacy.tClosenessOrdinalWith(dump, Seq(col("g")), col("sens"),
+        1L, 4L, reference = ref)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(cross == Map("D" -> 4L),
+      s"the union grid must also pin NULL first: $cross")
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),
