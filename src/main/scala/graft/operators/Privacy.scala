@@ -419,4 +419,126 @@ object Privacy {
             col("class_size") * col("n_total"))
       .select((qiNames.map(col) :+ col("class_size") :+ col("emd_num") :+ col("t_ok")): _*)
   }
+
+  /** Resolution of the release-noise inverse-CDF: the uniform draw is 24
+    * bits (6 md5 hex chars), so each noise atom's probability is quantized
+    * to multiples of 2^-24.
+    */
+  val NoiseScale: Long = 1L << 24
+
+  /** Inverse-CDF table for the two-sided geometric ("discrete Laplace")
+    * distribution with parameter alpha = exp(-(epsNum/epsDen)/sensitivity)
+    * — the integer-valued noise an (epsilon)-DP count release adds. Returns
+    * ascending `(z, hi)` pairs meaning "a 24-bit uniform u falls on noise z
+    * iff u < hi and u >= the previous pair's hi"; zero-width atoms are
+    * pruned and the last `hi` is exactly [[NoiseScale]]. The table is
+    * computed ONCE driver-side and baked into both the Spark plan and the
+    * query oracles as integer literals, so the mechanism is engine-exact by
+    * construction — no runtime exp/log whose ulp could diverge between
+    * engines. Tails beyond the table's reach (total mass < 2^-25) collapse
+    * into the extreme atoms: the realized distribution deviates from the
+    * ideal geometric by < 2^-24 per atom, the resolution's honest limit.
+    *
+    * Refuses a budget so small the table would exceed 2 x 4096 atoms
+    * (epsilon/sensitivity below ~0.002): a CASE chain that long is a plan
+    * bug, not a release — coarsen the release or raise epsilon.
+    */
+  def geometricThresholds(epsNum: Long, epsDen: Long,
+      sensitivity: Long = 1L): Seq[(Long, Long)] = {
+    require(epsNum > 0 && epsDen > 0 && sensitivity > 0,
+      s"need a positive epsilon = epsNum/epsDen and sensitivity, got $epsNum/$epsDen, $sensitivity")
+    val alpha = math.exp(-(epsNum.toDouble / epsDen) / sensitivity)
+    val scale = NoiseScale.toDouble
+    // P(Z <= z): alpha^(-z)/(1+alpha) below zero, 1 - alpha^(z+1)/(1+alpha)
+    // from zero up (two-sided geometric: P(z) = (1-alpha)/(1+alpha)*alpha^|z|)
+    def cdf(z: Long): Double =
+      if (z < 0) math.pow(alpha, -z.toDouble) / (1.0 + alpha)
+      else 1.0 - math.pow(alpha, z.toDouble + 1.0) / (1.0 + alpha)
+    var zMax = 0L
+    while (math.rint(scale * cdf(zMax)) < scale && zMax < 4096) zMax += 1
+    require(zMax < 4096,
+      s"epsilon/sensitivity = ($epsNum/$epsDen)/$sensitivity is too small for " +
+      s"the ${24}-bit inverse-CDF table (more than ${2 * 4096 + 1} atoms) — " +
+      "coarsen the release or raise epsilon")
+    val raw = (-zMax to zMax).map { z =>
+      val hi = if (z == zMax) NoiseScale
+        else math.min(math.rint(scale * cdf(z)).toLong, NoiseScale)
+      (z, hi)
+    }
+    // rint of a monotone CDF is monotone; equal neighbours are zero-width
+    // atoms (unreachable tails at this resolution) — prune them
+    raw.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (z, hi)) =>
+      if (hi <= acc.lastOption.map(_._2).getOrElse(0L)) acc else acc :+ (z, hi)
+    }
+  }
+
+  /** Sequential composition of release budgets: the exact rational sum of
+    * `(epsNum, epsDen)` parts, reduced. Releases over the same individuals
+    * spend additively (parallel composition over DISJOINT populations would
+    * spend the max — that bookkeeping is the caller's, this is the
+    * conservative default a release ledger wants).
+    */
+  def composeBudget(parts: Seq[(Long, Long)]): (Long, Long) = {
+    require(parts.nonEmpty, "no budget parts to compose")
+    val (n, d) = parts.foldLeft((BigInt(0), BigInt(1))) { case ((an, ad), (pn, pd)) =>
+      require(pn >= 0 && pd > 0, s"bad budget part $pn/$pd")
+      val nn = an * pd + BigInt(pn) * ad
+      val nd = ad * pd
+      val g = nn.gcd(nd)
+      (nn / g, nd / g)
+    }
+    require(n.isValidLong && d.isValidLong, s"composed budget $n/$d overflows long")
+    (n.toLong, d.toLong)
+  }
+
+  /** Noised count release: adds two-sided-geometric noise (the
+    * [[geometricThresholds]] mechanism at epsilon = epsNum/epsDen and the
+    * given L1 `sensitivity`) to `countCol`, keyed DETERMINISTICALLY on the
+    * release tag + the cell's key columns — md5 chars 1-6 of
+    * `"dp:<tag>|" + concat_ws("|", keys)` as the 24-bit uniform. The same
+    * cell always draws the same noise across re-runs, shards and dumps, so
+    * repeated publication cannot be averaged away, and the whole mechanism
+    * replays engine-exactly in a SQL oracle (the `Sampling` discipline; the
+    * `dp:` prefix keys a digest no Sampling window ever hashes, and the tag
+    * decorrelates releases — two releases of the same cells MUST use
+    * distinct tags or their noise is identical, correlated, and the second
+    * release is free information).
+    *
+    * Honesty note: with a PUBLIC tag this is the reproducible-release
+    * mechanism, not formal DP — an adversary who knows the tag recomputes
+    * the noise. The DP guarantee holds when the tag carries a secret salt
+    * (a keyed PRF in place of the public hash); this engine fixes the tag
+    * so the oracle gate can replay the draw, and the epsilon ledger
+    * ([[composeBudget]]) prices the salted mechanism.
+    *
+    * Returns `released` plus `noise` and `released_count` =
+    * max(0, count + noise) (the non-negativity clamp is post-processing —
+    * DP-safe). One narrow map over the released cell table: no shuffle, no
+    * join; the CASE chain is bounded by the threshold table
+    * (|atoms| <= 2*4096+1, typically ~70 at epsilon 1/2).
+    */
+  def noisedCounts(released: DataFrame, keyCols: Seq[String], countCol: String,
+      releaseTag: String, epsNum: Long, epsDen: Long,
+      sensitivity: Long = 1L): DataFrame = {
+    require(releaseTag.nonEmpty && !releaseTag.contains("|"),
+      s"release tag '$releaseTag' must be non-empty and '|'-free (it delimits the keyspace)")
+    val claimed = Set("noise", "released_count", "__u24")
+    val clash = released.columns.filter(claimed.contains)
+    require(clash.isEmpty,
+      s"released frame already has column(s) ${clash.mkString(", ")} the noise pipeline claims")
+    val thr = geometricThresholds(epsNum, epsDen, sensitivity)
+    val u = conv(substring(md5(concat(lit(s"dp:$releaseTag|"),
+      concat_ws("|", keyCols.map(col): _*))), 1, 6), 16, 10).cast("long")
+    val noiseCol =
+      if (thr.size == 1) lit(thr.head._1)
+      else thr.init.tail.foldLeft(
+          when(col("__u24") < thr.head._2, lit(thr.head._1))) {
+        case (acc, (z, hi)) => acc.when(col("__u24") < hi, lit(z))
+      }.otherwise(lit(thr.last._1))
+    released.withColumn("__u24", u)
+      .withColumn("noise", noiseCol)
+      .withColumn("released_count",
+        greatest(lit(0L), col(countCol).cast("long") + col("noise")))
+      .drop("__u24")
+  }
 }

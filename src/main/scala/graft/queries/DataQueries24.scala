@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Twenty-fourth wave: differentially-private release noise as the privacy
+  * family's coda (deterministic two-sided-geometric noise on the count
+  * releases d180-d187 gate, plus the sequential-composition epsilon ledger
+  * — thin bindings of `operators/Privacy.noisedCounts`/`composeBudget`),
+  * and exact longest-duplicated-run forensics closing the d84 winnow
+  * estimate's estimate-vs-exact loop (the d32/d65 verify discipline applied
+  * to aligned runs — `operators/TextDedup.exactAlignedRuns`).
+  *
+  * Scale posture: the noise queries are one corpus aggregation then a
+  * NARROW map over the released cell table (the inverse-CDF is a bounded
+  * literal CASE chain — no join, no second shuffle, stream-safe); the
+  * exact-run pass semi-joins the token tables down to the d84-FLAGGED docs
+  * before anything widens and prices on |pairs| x token-matches, never
+  * corpus^2.
+  */
+object DataQueries24 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def customer(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** d189's composed budget (1/2 + 1/4), computed ONCE and interpolated
+    * into both the Spark plan and the oracle so the ledger's total can
+    * never drift between them.
+    */
+  private val (budNum, budDen) =
+    graft.operators.Privacy.composeBudget(Seq((1L, 2L), (1L, 4L)))
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // noised count release: the (nation, segment) class sizes with
+    // deterministic two-sided-geometric noise at epsilon = 1/2 (L1
+    // sensitivity 1 — one individual moves one class count by one). The
+    // draw is md5-keyed on the release tag + cell key, so the same cell
+    // releases the same noised count across re-runs/dumps (no averaging
+    // attack) and the DuckDB oracle replays the identical inverse-CDF
+    // CASE chain from the same driver-computed integer thresholds.
+    "d188_dp_noise" -> { (s, dir) =>
+      val sizes = customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"))
+      graft.operators.Privacy.noisedCounts(sizes,
+          Seq("c_nationkey", "c_mktsegment"), "class_size",
+          releaseTag = "sizes", epsNum = 1L, epsDen = 2L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // epsilon ledger: two releases over the same individuals — the class
+    // sizes at eps 1/2 and the sensitive-band histogram at eps 1/4 — each
+    // reported with its cell count and realized noise mass (L1 and Linf),
+    // plus the sequential-composition total 3/4 (Privacy.composeBudget:
+    // exact rational arithmetic, same-population releases spend
+    // additively). Distinct release tags decorrelate the two draws.
+    "d189_dp_budget" -> { (s, dir) =>
+      val c = customer(s, dir)
+      val sizes = graft.sources.Caches.ephemeral(
+        graft.operators.Privacy.noisedCounts(
+          c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("cnt")),
+          Seq("c_nationkey", "c_mktsegment"), "cnt", "sizes", 1L, 2L))
+      val hist = graft.sources.Caches.ephemeral(
+        graft.operators.Privacy.noisedCounts(
+          c.groupBy(floor(col("c_acctbal") / 2000.0).as("band"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("band"), "cnt", "hist", 1L, 4L))
+      def stat(df: DataFrame, name: String, en: Long, ed: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_cells"),
+            sum(abs(col("noise"))).as("l1_noise"),
+            max(abs(col("noise"))).as("linf_noise"))
+          .select(lit(name).as("release"),
+            lit(en).as("eps_num"), lit(ed).as("eps_den"),
+            col("n_cells"), col("l1_noise"), col("linf_noise"))
+      val per = stat(sizes, "sizes", 1L, 2L).unionByName(stat(hist, "hist", 1L, 4L))
+      val total = per
+        .agg(sum(col("n_cells")).as("n_cells"),
+          sum(col("l1_noise")).as("l1_noise"),
+          max(col("linf_noise")).as("linf_noise"))
+        .select(lit("total").as("release"),
+          lit(budNum).as("eps_num"), lit(budDen).as("eps_den"),
+          col("n_cells"), col("l1_noise"), col("linf_noise"))
+      per.unionByName(total).orderBy("release")
+    },
+
+    // exact longest-duplicated-run forensics over the d84-flagged pairs:
+    // the winnow span can overshoot (gapped diagonal) AND undershoot (run
+    // edges lose the winnow lottery), so the audit reports the signed
+    // error and pins the one real guarantee — every flagged pair shares a
+    // fingerprint, so its exact longest common token run is >= gramN = 3
+    // (witness_ok). Priced on |pairs| x token-matches after a semi-join
+    // to the flagged docs (the d32/d65 verify discipline).
+    "d190_exact_runs" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.operators.TextDedup.winnowAlignedRuns(
+        d, "doc_id", "text", gramN = 3, window = 4, minShared = 2, maxBucket = 16)
+      graft.operators.TextDedup.exactAlignedRuns(d, "doc_id", "text", pairs)
+        .select(col("a"), col("b"), col("est_run"), col("exact_run"),
+          (col("est_run") - col("exact_run")).as("est_err"),
+          (col("exact_run") >= 3L).as("witness_ok"))
+        .orderBy("a", "b")
+    })
+
+  /** The inverse-CDF CASE chain over a 24-bit uniform column named `u24`,
+    * built from the SAME driver-computed thresholds the Spark plan bakes in
+    * — both engines compare against identical integer literals, so the
+    * mechanism is engine-exact by construction.
+    */
+  private def dpCase(epsNum: Long, epsDen: Long): String = {
+    val thr = graft.operators.Privacy.geometricThresholds(epsNum, epsDen)
+    val arms = thr.init.map { case (z, hi) =>
+      s"WHEN u24 < $hi THEN CAST($z AS BIGINT)" }
+    s"CASE ${arms.mkString(" ")} ELSE CAST(${thr.last._1} AS BIGINT) END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d188_dp_noise" ->
+      s"""WITH s AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS class_size
+         |  FROM customer GROUP BY 1, 2),
+         |u AS (SELECT *, CAST(('0x' || substr(md5('dp:sizes|' ||
+         |    concat_ws('|', c_nationkey, c_mktsegment)), 1, 6)) AS BIGINT) AS u24
+         |  FROM s),
+         |n AS (SELECT c_nationkey, c_mktsegment, class_size,
+         |    ${dpCase(1L, 2L)} AS noise FROM u)
+         |SELECT c_nationkey, c_mktsegment, class_size, noise,
+         |  greatest(CAST(0 AS BIGINT), class_size + noise) AS released_count
+         |FROM n ORDER BY 1, 2""".stripMargin,
+
+    "d189_dp_budget" ->
+      s"""WITH s AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+         |  FROM customer GROUP BY 1, 2),
+         |su AS (SELECT *, CAST(('0x' || substr(md5('dp:sizes|' ||
+         |    concat_ws('|', c_nationkey, c_mktsegment)), 1, 6)) AS BIGINT) AS u24
+         |  FROM s),
+         |sn AS (SELECT ${dpCase(1L, 2L)} AS noise FROM su),
+         |h AS (SELECT CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band, count(*) AS cnt
+         |  FROM customer GROUP BY 1),
+         |hu AS (SELECT *, CAST(('0x' || substr(md5('dp:hist|' ||
+         |    concat_ws('|', band)), 1, 6)) AS BIGINT) AS u24
+         |  FROM h),
+         |hn AS (SELECT ${dpCase(1L, 4L)} AS noise FROM hu),
+         |per AS (
+         |  SELECT 'sizes' AS release, CAST(1 AS BIGINT) AS eps_num,
+         |    CAST(2 AS BIGINT) AS eps_den, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(abs(noise)) AS BIGINT) AS l1_noise,
+         |    CAST(max(abs(noise)) AS BIGINT) AS linf_noise
+         |  FROM sn
+         |  UNION ALL
+         |  SELECT 'hist', CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+         |    CAST(count(*) AS BIGINT), CAST(sum(abs(noise)) AS BIGINT),
+         |    CAST(max(abs(noise)) AS BIGINT)
+         |  FROM hn)
+         |SELECT * FROM per
+         |UNION ALL
+         |SELECT 'total', CAST($budNum AS BIGINT), CAST($budDen AS BIGINT),
+         |  CAST(sum(n_cells) AS BIGINT), CAST(sum(l1_noise) AS BIGINT),
+         |  CAST(max(linf_noise) AS BIGINT)
+         |FROM per
+         |ORDER BY release""".stripMargin,
+
+    "d190_exact_runs" ->
+      (s"WITH ${DataQueries9.winnowRunCtes},\n" +
+        """pairs AS (SELECT sh.a, sh.b, best.est_run
+          |  FROM sh JOIN best USING (a, b) WHERE sh.shared >= 2),
+          |tok AS (SELECT doc_id, i AS p, w[i] AS w
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)),
+          |m AS (SELECT p.a, p.b, ta.p AS pa, tb.p AS pb
+          |  FROM pairs p
+          |  JOIN tok ta ON ta.doc_id = p.a
+          |  JOIN tok tb ON tb.doc_id = p.b AND tb.w = ta.w),
+          |isl AS (SELECT a, b, pa - pb AS diff, pa,
+          |    row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS rn
+          |  FROM m),
+          |runs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS run_len
+          |  FROM isl GROUP BY a, b, diff, pa - rn),
+          |x AS (SELECT a, b, max(run_len) AS exact_run FROM runs GROUP BY a, b)
+          |SELECT p.a, p.b, p.est_run,
+          |  coalesce(x.exact_run, 0) AS exact_run,
+          |  p.est_run - coalesce(x.exact_run, 0) AS est_err,
+          |  coalesce(x.exact_run, 0) >= 3 AS witness_ok
+          |FROM pairs p LEFT JOIN x USING (a, b)
+          |ORDER BY p.a, p.b""".stripMargin))
+}

@@ -642,6 +642,28 @@ object DataQueries9 {
       ls.map(l => s"SELECT * FROM a$l").mkString("\nUNION ALL ") + "\nORDER BY seq_len"
   }
 
+  /** The d84 winnow-pair CTEs (fingerprints -> df-valved pairs -> per-offset
+    * aligned groups -> best offset per pair), shared with the d190 exact-run
+    * forensics oracle so the pair set the exact pass audits can never drift
+    * from the pair set d84 reports.
+    */
+  private[queries] val winnowRunCtes: String =
+    (s"${DataQueries8.winnowCte}," +
+      """fp AS (SELECT DISTINCT doc_id, i, h FROM sel),
+        |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM fp GROUP BY h)
+        |        WHERE df BETWEEN 2 AND 16),
+        |fo AS (SELECT f.doc_id, f.i, f.h FROM fp f JOIN dfh USING (h)),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.i AS pa, y.i AS pb, x.h AS h
+        |       FROM fo x JOIN fo y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |gg AS (SELECT a, b, pa - pb AS diff, CAST(count(*) AS BIGINT) AS n_aligned,
+        |         CAST(max(pa) - min(pa) + 3 AS BIGINT) AS est_run
+        |       FROM pr GROUP BY a, b, pa - pb),
+        |sh AS (SELECT a, b, CAST(count(DISTINCT h) AS BIGINT) AS shared FROM pr GROUP BY a, b),
+        |best AS (SELECT a, b, est_run, n_aligned FROM (
+        |    SELECT gg.*, row_number() OVER (PARTITION BY a, b
+        |      ORDER BY est_run DESC, n_aligned DESC, diff) AS rn FROM gg)
+        |  WHERE rn = 1)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "d76_bpe_merges" -> bpeOracle,
     "d80_bpe_encode" -> bpeEncodeOracle,
@@ -771,22 +793,8 @@ object DataQueries9 {
         |FROM a ORDER BY doc_id""".stripMargin),
 
     "d84_winnow_runs" ->
-      (s"WITH ${DataQueries8.winnowCte}," +
-        """fp AS (SELECT DISTINCT doc_id, i, h FROM sel),
-          |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM fp GROUP BY h)
-          |        WHERE df BETWEEN 2 AND 16),
-          |fo AS (SELECT f.doc_id, f.i, f.h FROM fp f JOIN dfh USING (h)),
-          |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.i AS pa, y.i AS pb, x.h AS h
-          |       FROM fo x JOIN fo y ON x.h = y.h AND x.doc_id < y.doc_id),
-          |gg AS (SELECT a, b, pa - pb AS diff, CAST(count(*) AS BIGINT) AS n_aligned,
-          |         CAST(max(pa) - min(pa) + 3 AS BIGINT) AS est_run
-          |       FROM pr GROUP BY a, b, pa - pb),
-          |sh AS (SELECT a, b, CAST(count(DISTINCT h) AS BIGINT) AS shared FROM pr GROUP BY a, b),
-          |best AS (SELECT a, b, est_run, n_aligned FROM (
-          |    SELECT gg.*, row_number() OVER (PARTITION BY a, b
-          |      ORDER BY est_run DESC, n_aligned DESC, diff) AS rn FROM gg)
-          |  WHERE rn = 1)
-          |SELECT sh.a, sh.b, sh.shared, best.est_run, best.n_aligned
+      (s"WITH $winnowRunCtes\n" +
+        """SELECT sh.a, sh.b, sh.shared, best.est_run, best.n_aligned
           |FROM sh JOIN best USING (a, b) WHERE sh.shared >= 2
           |ORDER BY sh.a, sh.b""".stripMargin),
 

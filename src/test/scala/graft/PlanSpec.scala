@@ -784,4 +784,20 @@ class PlanSpec extends AnyFunSuite {
       p187.contains("windowspecdefinition"),
       "cross-dump EMD must stay all-broadcast with one window\n" + p187)
   }
+
+  test("d188/d190: DP noise is a join-free narrow map; exact runs semi-join before widening") {
+    // d188: one corpus aggregation, then the inverse-CDF CASE chain as a
+    // narrow projection — no join, no second shuffle beyond the groupBy
+    // (+ the orderBy's range exchange); the release noise costs nothing at
+    // 100 TB beyond the aggregation the release already pays
+    val p188 = plan("d188_dp_noise")
+    assert(!p188.contains("Join"), "noise must not join\n" + p188)
+    assert(p188.contains("CASE WHEN") || p188.contains("casewhen"),
+      "the inverse-CDF chain must be in-plan\n" + p188)
+    // d190: the token tables shrink to the FLAGGED docs via broadcast
+    // semi-joins BEFORE the (doc, token) match join widens anything
+    val p190 = plan("d190_exact_runs")
+    assert(p190.contains("LeftSemi"), "token tables must semi-join to flagged docs\n" + p190)
+    assert(!p190.contains("CartesianProduct"), p190)
+  }
 }

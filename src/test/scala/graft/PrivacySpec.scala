@@ -328,6 +328,73 @@ class PrivacySpec extends AnyFunSuite {
       s"the union grid must also pin NULL first: $cross")
   }
 
+  test("geometricThresholds: a valid, symmetric, zero-moded 24-bit inverse CDF") {
+    val thr = Privacy.geometricThresholds(1L, 2L)
+    // covers the full 24-bit range, strictly increasing, z ascending
+    assert(thr.last._2 == Privacy.NoiseScale, thr.last.toString)
+    assert(thr.map(_._2) == thr.map(_._2).sorted && thr.map(_._2).distinct.size == thr.size)
+    assert(thr.map(_._1) == thr.map(_._1).sorted)
+    // atom widths: mode at z = 0; near-symmetric (rounding allows 1 quantum)
+    val widths = thr.zip(0L +: thr.map(_._2).init)
+      .map { case ((z, hi), lo) => (z, hi - lo) }
+    assert(widths.maxBy(_._2)._1 == 0L, widths.toString)
+    val wm = widths.toMap
+    widths.foreach { case (z, w) =>
+      wm.get(-z).foreach(w2 => assert(math.abs(w - w2) <= 1L, s"asymmetric at z=$z: $w vs $w2")) }
+    // width ratio alpha = exp(-1/2): width(1)/width(0) within 1% of 0.6065
+    val ratio = wm(1L).toDouble / wm(0L)
+    assert(math.abs(ratio - math.exp(-0.5)) < 0.01, ratio.toString)
+    // a budget too small for the table is refused with an actionable message
+    val e = intercept[IllegalArgumentException](Privacy.geometricThresholds(1L, 10000L))
+    assert(e.getMessage.contains("coarsen the release or raise epsilon"), e.getMessage)
+  }
+
+  test("noisedCounts: deterministic md5-keyed draw, JVM-replayable, clamped at zero") {
+    val s = spark
+    import s.implicits._
+    // the expected noise recomputed OUTSIDE Spark: md5 chars 1-6 of
+    // "dp:t|<key>" as a 24-bit int through the same threshold table
+    val thr = Privacy.geometricThresholds(1L, 2L)
+    def expectedNoise(key: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:t|$key".getBytes("UTF-8"))
+      val hex = dig.map("%02x".format(_)).mkString.substring(0, 6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      thr.find(u < _._2).get._1
+    }
+    val keys = (0 until 256).map(i => s"k$i")
+    val df = keys.map(k => (k, 2L)).toDF("k", "cnt").repartition(5)
+    val out = Privacy.noisedCounts(df, Seq("k"), "cnt", "t", 1L, 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    keys.foreach { k =>
+      val z = expectedNoise(k)
+      assert(out(k) == ((z, math.max(0L, 2L + z))), s"$k: ${out(k)} vs noise $z")
+    }
+    // with count 2 and eps 1/2 some draws MUST clamp (negative noise < -2)
+    assert(keys.exists(k => expectedNoise(k) < -2L), "test needs a clamping key")
+    assert(out.values.forall(_._2 >= 0L))
+    // a different tag decorrelates; the same tag replays identically
+    val out2 = Privacy.noisedCounts(df.repartition(2), Seq("k"), "cnt", "t", 1L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(keys.forall(k => out2(k) == out(k)._1), "same tag must replay")
+    val outB = Privacy.noisedCounts(df, Seq("k"), "cnt", "t2", 1L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(keys.exists(k => outB(k) != out(k)._1), "distinct tags must decorrelate")
+    // claimed-name and tag guards refuse loudly
+    intercept[IllegalArgumentException](
+      Privacy.noisedCounts(df.withColumn("noise", lit(0)), Seq("k"), "cnt", "t", 1L, 2L))
+    intercept[IllegalArgumentException](
+      Privacy.noisedCounts(df, Seq("k"), "cnt", "a|b", 1L, 2L))
+  }
+
+  test("composeBudget: exact rational sequential composition") {
+    assert(Privacy.composeBudget(Seq((1L, 2L), (1L, 4L))) == ((3L, 4L)))
+    assert(Privacy.composeBudget(Seq((1L, 4L), (1L, 4L))) == ((1L, 2L)))
+    assert(Privacy.composeBudget(Seq((2L, 6L), (1L, 3L), (0L, 5L))) == ((2L, 3L)))
+    intercept[IllegalArgumentException](Privacy.composeBudget(Seq.empty))
+    intercept[IllegalArgumentException](Privacy.composeBudget(Seq((1L, 0L))))
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),

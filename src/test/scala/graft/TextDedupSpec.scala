@@ -396,6 +396,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!cand.keys.exists { case (a, b) => a >= 13L || b >= 13L }, cand)
   }
 
+  test("exactAlignedRuns: the exact longest common token run, including the overshoot case") {
+    val s = spark
+    import s.implicits._
+    // pair (1,2): two SEPARATE 3-token runs at the same alignment with a
+    // one-token gap — a same-offset span estimate would bridge the gap and
+    // read 7, but the exact longest run is 3 (the documented overshoot
+    // direction). pair (1,3): one clean 5-token run. pair (1,4): no
+    // shared token at all -> exact_run 0.
+    val docs = Seq(
+      (1L, "a b c GAP1 e f g t1 t2 t3"),
+      (2L, "a b c GAP2 e f g u1 u2 u3"),
+      (3L, "z1 a b c GAP1 e z2 z3 z4 z5"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = TextDedup.exactAlignedRuns(docs, "id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 3L, s"gapped diagonal must NOT bridge: $out")
+    assert(out((1L, 3L)) == 5L, out.toString)
+    assert(out((1L, 4L)) == 0L, s"no shared token -> 0: $out")
+    // pass-through: extra pair columns survive
+    val withExtra = TextDedup.exactAlignedRuns(docs, "id", "text",
+      pairs.withColumn("est_run", lit(7L)))
+    assert(withExtra.columns.toSet == Set("a", "b", "est_run", "exact_run"))
+  }
+
   test("dedupClusters memo: same frame per (session, dir); invalidate forces recompute") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.queries.DataQueries3.dedupClusters(spark, dir)
