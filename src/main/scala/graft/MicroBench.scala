@@ -38,7 +38,8 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // run a single section: SPARK_GRAFT_MB_ONLY=serialize|batcher|bridge|wal|consume
+    // run a single section:
+    // SPARK_GRAFT_MB_ONLY=serialize|batcher|bridge|wal|recovery|consume
     val only = sys.env.get("SPARK_GRAFT_MB_ONLY")
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_ == name)) body
@@ -297,6 +298,84 @@ object MicroBench {
           val mbps = requests.toDouble * b.length / times.min / 1e6
           println(s"""{"bench":"wal_ingest","mode":"$mode","handler_threads":$handlers,"requests":$requests,"clients":$clientsN,"body_bytes":${b.length},"sec":${times.min},"req_per_sec":$rps,"mb_per_sec":${math.round(mbps * 10) / 10.0}}""")
         } finally graft.sources.HttpRemoteWriteSource.shutdown(port)
+      }
+    }
+
+    // ---- WAL recovery: replay throughput + time-to-first-200 ----
+    // the crash specs prove replay CORRECTNESS; this measures its price —
+    // the restart-latency number next to wal_ingest's steady-state one.
+    // Fill a WAL (no commit, so every record survives), kill the receiver,
+    // then time (a) the fresh receiver's construction — which replays and
+    // CRC-checks every multi-segment record before binding — and (b) the
+    // first accepted 200 after it, the operator's "how long is ingest down
+    // after a crash" answer.
+    section("recovery") {
+      val requests = 4000; val clients = 8
+      val b = {
+        val series = (0 until 50).map { sid =>
+          graft.functions.PromKernel.PbTimeSeries(
+            Seq(graft.functions.PromKernel.PbLabel("__name__", "foo"),
+              graft.functions.PromKernel.PbLabel("instance", s"i$sid")),
+            (0 until 4).map(k => graft.functions.PromKernel.PbSample(0.5 + k, 10000L + k)))
+        }
+        graft.functions.PromKernel.snappyCompress(
+          graft.functions.PromKernel.encodeWriteRequest(
+            graft.functions.PromKernel.PbWriteRequest(series)))
+      }
+      val port = 19315
+      val walDir = java.nio.file.Files.createTempDirectory("graft-mb-recover")
+      // 256 KB segments (the test seam): the fill spans ~8 segments, so the
+      // number measures MULTI-segment replay — file listing, per-segment
+      // open/scan, CRC per record — not one warm sequential read
+      sys.props("graft.wal.segMaxBytes") = (256 << 10).toString
+      val r1 = graft.sources.HttpRemoteWriteSource.receiver(
+        port, "/write", validate = true, walDir = walDir.toString,
+        handlerThreads = 16)
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(): Int = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/write"))
+          .header("X-Scope-OrgID", "bench")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(b)).build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+      val done = new java.util.concurrent.CountDownLatch(clients)
+      val bad = new java.util.concurrent.atomic.AtomicLong(0L)
+      (0 until clients).foreach { _ =>
+        pool.execute { () =>
+          try {
+            var i = 0
+            while (i < requests / clients) {
+              if (post() != 200) bad.incrementAndGet(); i += 1
+            }
+          } catch { case _: Exception => bad.incrementAndGet() }
+          finally done.countDown()
+        }
+      }
+      require(done.await(120, java.util.concurrent.TimeUnit.SECONDS), "fill stalled")
+      pool.shutdown()
+      require(bad.get() == 0L && r1.latest == requests.toLong,
+        s"fill: ${bad.get()} non-200s, latest ${r1.latest}")
+      val segBytes = java.nio.file.Files.list(walDir).toArray.map(
+        p => java.nio.file.Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+      val nSegs = java.nio.file.Files.list(walDir).toArray.count(
+        _.toString.endsWith(".wal"))
+      // kill without commit: the whole fill must replay on restart
+      graft.sources.HttpRemoteWriteSource.shutdown(port)
+      val t0 = System.nanoTime()
+      val r2 = graft.sources.HttpRemoteWriteSource.receiver(
+        port, "/write", validate = true, walDir = walDir.toString,
+        handlerThreads = 16)
+      val tReplay = (System.nanoTime() - t0) / 1e9
+      require(post() == 200, "first post after recovery must be accepted")
+      val tReady = (System.nanoTime() - t0) / 1e9
+      try {
+        require(r2.latest == requests.toLong + 1L,
+          s"replay must restore every record: latest ${r2.latest}")
+        println(s"""{"bench":"wal_recovery","records":$requests,"segments":$nSegs,"wal_bytes":$segBytes,"replay_sec":${tReplay},"replay_records_per_sec":${(requests / tReplay).toLong},"replay_mb_per_sec":${math.round(segBytes / tReplay / 1e5) / 10.0},"time_to_first_200_sec":$tReady}""")
+      } finally {
+        graft.sources.HttpRemoteWriteSource.shutdown(port)
+        sys.props.remove("graft.wal.segMaxBytes")
       }
     }
 

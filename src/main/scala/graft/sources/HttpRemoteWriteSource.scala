@@ -140,9 +140,32 @@ object HttpRemoteWriteSource {
     // BEFORE advancing the durable watermark.
     private val dirEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
     private val dirSynced = new java.util.concurrent.atomic.AtomicLong(0L)
-    private def forceDir(): Unit = {
-      val dc = java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
-      try dc.force(true) finally dc.close()
+    // POSIX lets a directory be opened and fsynced; Windows (and some
+    // filesystems) refuse the OPEN itself. That refusal is a platform
+    // incapability, not an IO fault — and the directory fsync is a
+    // durability REFINEMENT (it pins segment-file metadata against power
+    // loss; the record fsyncs are untouched), so turning every accept
+    // into a 500 over it would be strictly worse than degrading. Degrade
+    // once, loudly, to the process-crash-only model. A force() failure on
+    // a successfully OPENED channel is a real IO error (EIO-class) and
+    // still propagates — only the open is platform-probed.
+    @volatile private var dirSyncUnsupported = false
+    private def forceDir(): Unit = if (!dirSyncUnsupported) {
+      val dc =
+        try {
+          if (failpoint.contains("dir-open-unsupported"))
+            throw new java.io.IOException("failpoint: platform refuses directory open")
+          java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
+        } catch {
+          case e @ (_: java.io.IOException | _: UnsupportedOperationException) =>
+            dirSyncUnsupported = true
+            System.err.println(s"[wal:$dir] this platform refuses directory " +
+              s"fsync ($e): degrading the crash model to process-crash-only " +
+              "(power loss may drop the newest segment's directory entry); " +
+              "record fsyncs are unaffected")
+            null
+        }
+      if (dc != null) try dc.force(true) finally dc.close()
     }
 
     /** Highest committed offset persisted so far (0 when none). */

@@ -55,6 +55,32 @@ class WalCrashWindowSpec extends AnyFunSuite {
     try f finally sys.props.remove("graft.wal.failpoint")
   }
 
+  test("a platform refusing directory opens degrades dir fsync; accepts stay 200 and replay") {
+    // ADVICE r18: on Windows/odd filesystems FileChannel.open(dir) throws —
+    // the directory fsync is a power-loss refinement, so the WAL must
+    // degrade to the process-crash model instead of turning every accept
+    // into a 500. The failpoint simulates the refusing platform.
+    val port = 19507
+    val wal = tmpDir("dirunsup")
+    val r1 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
+      walDir = wal)
+    try {
+      withFailpoint("dir-open-unsupported") {
+        assert(post(port, body(1.0, 100L)) == 200,
+          "accept must not 500 over a refused directory fsync")
+        assert(post(port, body(2.0, 200L)) == 200)
+      }
+      // the degrade is sticky for this wal; records were still fsync'd
+      assert(post(port, body(3.0, 300L)) == 200)
+      assert(r1.latest == 3L)
+    } finally HttpRemoteWriteSource.shutdown(port)
+    // process-crash durability is unaffected: a fresh receiver replays all
+    val r2 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
+      walDir = wal)
+    try assert(r2.range(0L, 3L).length == 3)
+    finally HttpRemoteWriteSource.shutdown(port)
+  }
+
   test("crash between floor persist and deletes: latest never regresses, new accepts are planned") {
     val port = 19501
     val wal = tmpDir("midcommit")
