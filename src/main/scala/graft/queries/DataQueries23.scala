@@ -228,6 +228,34 @@ object DataQueries23 {
         .orderBy("user_id")
     })
 
+  /** The d181 generalization-ladder CTEs (bands -> per-level window sizes
+    * -> settle decision -> class key), shared with the d191 noised-release
+    * pipeline oracle so the settled classes the release publishes can
+    * never drift from the classes d181 audits.
+    */
+  private[queries] val ladderKeyedCtes: String =
+    """c AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band1k,
+      |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band5k
+      |  FROM customer),
+      |sized AS (SELECT *,
+      |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band1k) AS sz0,
+      |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band5k) AS sz1,
+      |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS sz2,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS sz3
+      |  FROM c),
+      |settled AS (SELECT *,
+      |    CASE WHEN sz0 >= 6 THEN 0 WHEN sz1 >= 6 THEN 1
+      |         WHEN sz2 >= 6 THEN 2 ELSE 3 END AS settle_level
+      |  FROM sized),
+      |keyed AS (SELECT settle_level,
+      |    CASE settle_level
+      |      WHEN 0 THEN concat_ws('|', c_nationkey, c_mktsegment, band1k)
+      |      WHEN 1 THEN concat_ws('|', c_nationkey, c_mktsegment, band5k)
+      |      WHEN 2 THEN concat_ws('|', c_nationkey, c_mktsegment)
+      |      ELSE c_mktsegment END AS class_key
+      |  FROM settled)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d180_kanon_audit" ->
       """SELECT c_nationkey, c_mktsegment,
@@ -239,30 +267,10 @@ object DataQueries23 {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "d181_kanon_generalize" ->
-      """WITH c AS (SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band1k,
-        |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band5k
-        |  FROM customer),
-        |sized AS (SELECT *,
-        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band1k) AS sz0,
-        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band5k) AS sz1,
-        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS sz2,
-        |    count(*) OVER (PARTITION BY c_mktsegment) AS sz3
-        |  FROM c),
-        |settled AS (SELECT *,
-        |    CASE WHEN sz0 >= 6 THEN 0 WHEN sz1 >= 6 THEN 1
-        |         WHEN sz2 >= 6 THEN 2 ELSE 3 END AS settle_level
-        |  FROM sized),
-        |keyed AS (SELECT settle_level,
-        |    CASE settle_level
-        |      WHEN 0 THEN concat_ws('|', c_nationkey, c_mktsegment, band1k)
-        |      WHEN 1 THEN concat_ws('|', c_nationkey, c_mktsegment, band5k)
-        |      WHEN 2 THEN concat_ws('|', c_nationkey, c_mktsegment)
-        |      ELSE c_mktsegment END AS class_key
-        |  FROM settled)
-        |SELECT settle_level, count(*) AS n_rows,
-        |       count(DISTINCT class_key) AS n_classes
-        |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
+      (s"WITH $ladderKeyedCtes\n" +
+        """SELECT settle_level, count(*) AS n_rows,
+          |       count(DISTINCT class_key) AS n_classes
+          |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "d183_kanon_reference" ->
       """WITH all_c AS (SELECT c_custkey, c_nationkey, c_mktsegment,

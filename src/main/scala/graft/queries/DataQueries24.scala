@@ -87,6 +87,30 @@ object DataQueries24 {
       per.unionByName(total).orderBy("release")
     },
 
+    // the release-pipeline capstone — the privacy family composed end to
+    // end the way a real metadata release runs: every row settles at its
+    // d181 generalization level (k = 6, all-broadcast ladder), the SETTLED
+    // classes' sizes become the release, and the sizes ship with the
+    // deterministic eps = 1/2 noise (tag "pipeline"). What leaves the
+    // building is (settle_level, class_key, noised count) — k-anonymous
+    // classes with DP-noised sizes; the d181 oracle CTEs are shared so the
+    // released classes can never drift from the audited ones.
+    "d191_dp_pipeline" -> { (s, dir) =>
+      val c = customer(s, dir)
+        .withColumn("band1k", floor(col("c_acctbal") / 1000.0))
+        .withColumn("band5k", floor(col("c_acctbal") / 5000.0))
+      val settled = graft.operators.Privacy.generalizeLadder(c, Seq(
+          Seq("c_nationkey", "c_mktsegment", "band1k"),
+          Seq("c_nationkey", "c_mktsegment", "band5k"),
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq("c_mktsegment")), k = 6)
+        .groupBy("settle_level", "class_key")
+        .agg(count(lit(1)).as("class_size"))
+      graft.operators.Privacy.noisedCounts(settled,
+          Seq("settle_level", "class_key"), "class_size", "pipeline", 1L, 2L)
+        .orderBy("settle_level", "class_key")
+    },
+
     // exact longest-duplicated-run forensics over the d84-flagged pairs:
     // the winnow span can overshoot (gapped diagonal) AND undershoot (run
     // edges lose the winnow lottery), so the audit reports the signed
@@ -162,6 +186,20 @@ object DataQueries24 {
          |  CAST(max(linf_noise) AS BIGINT)
          |FROM per
          |ORDER BY release""".stripMargin,
+
+    "d191_dp_pipeline" ->
+      (s"WITH ${DataQueries23.ladderKeyedCtes},\n" +
+        s"""g AS (SELECT settle_level, class_key,
+           |    CAST(count(*) AS BIGINT) AS class_size
+           |  FROM keyed GROUP BY 1, 2),
+           |u AS (SELECT *, CAST(('0x' || substr(md5('dp:pipeline|' ||
+           |    concat_ws('|', settle_level, class_key)), 1, 6)) AS BIGINT) AS u24
+           |  FROM g),
+           |n AS (SELECT settle_level, class_key, class_size,
+           |    ${dpCase(1L, 2L)} AS noise FROM u)
+           |SELECT settle_level, class_key, class_size, noise,
+           |  greatest(CAST(0 AS BIGINT), class_size + noise) AS released_count
+           |FROM n ORDER BY 1, 2""".stripMargin),
 
     "d190_exact_runs" ->
       (s"WITH ${DataQueries9.winnowRunCtes},\n" +

@@ -336,6 +336,35 @@ object StreamOps {
     out
   }
 
+  /** Live noised release (d188's streaming twin): per event-time tumbling
+    * window, per-class counts carrying the SAME deterministic two-sided-
+    * geometric noise the batch release draws —
+    * [[graft.operators.Privacy.noisedCounts]] is a stateless narrow map
+    * over the windowed aggregation, so the stream equals a batch replay
+    * row-for-row (StreamOpsSpec pins it) and a live dashboard publishes
+    * noised counts whose noise never re-randomizes across triggers or
+    * restarts (re-publication cannot be averaged away). The window start
+    * (as epoch seconds) joins the noise key — each window is its own
+    * release cell, so two windows of the same class draw INDEPENDENT
+    * noise and the per-window budget accounting stays per-release. State
+    * is the windowed aggregation's |windows x classes| rows.
+    */
+  def noisedRelease(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, keys: Seq[Column], releaseTag: String,
+      epsNum: Long, epsDen: Long): DataFrame = {
+    val cells = df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w") +: keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w_start", col("w.start").cast("long"))
+      .drop("w")
+    require(cells.columns.toSeq.distinct.size == cells.columns.length,
+      s"key column names collide with the claimed cell columns " +
+      s"(cnt, w_start): ${cells.columns.mkString(", ")}")
+    val keyNames = cells.columns.filterNot(Set("cnt", "w_start").contains).toSeq
+    graft.operators.Privacy.noisedCounts(cells, "w_start" +: keyNames, "cnt",
+      releaseTag, epsNum, epsDen)
+  }
+
   /** Live token-yield ledger (d166's streaming sibling, composed from the
     * deployed twins): each arriving doc runs the filter-waterfall narrow
     * map, is tagged duplicate-vs-new against a STATIC reference corpus by

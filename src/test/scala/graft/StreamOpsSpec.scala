@@ -441,6 +441,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live noised release: per-window noised counts equal a batch replay (d188 twin)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val ms = MemoryStream[(Timestamp, String)](spark)
+    val rel = StreamOps.noisedRelease(ms.toDF().toDF("et", "g"),
+      "et", "5 seconds", "10 seconds", Seq(col("g")), "live", 1L, 2L)
+    val q = rel.writeStream.format("memory").queryName("noised_out")
+      .outputMode("append").start()
+    try {
+      // class counts split across two triggers; window [0,10) closes on
+      // the watermark-advancing third trigger
+      ms.addData((ts(1), "A"), (ts(2), "A"), (ts(3), "B"))
+      q.processAllAvailable()
+      ms.addData((ts(4), "A"), (ts(6), "B"))
+      q.processAllAvailable()
+      ms.addData((ts(30), "Z"))
+      q.processAllAvailable()
+      val live = spark.table("noised_out")
+        .filter(col("w_start") === lit(0L))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+        .toMap
+      // batch replay of the same rows through the same windowed agg + the
+      // same tag: identical cells, identical noise (never re-randomized)
+      val batch = graft.operators.Privacy.noisedCounts(
+          Seq((ts(1), "A"), (ts(2), "A"), (ts(3), "B"), (ts(4), "A"), (ts(6), "B"))
+            .toDF("et", "g")
+            .groupBy(window(col("et"), "10 seconds").as("w"), col("g"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("w_start", col("w.start").cast("long")).drop("w"),
+          Seq("w_start", "g"), "cnt", "live", 1L, 2L)
+        .filter(col("w_start") === lit(0L))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(live == batch && live.keySet == Set("A", "B"),
+        s"live=$live batch=$batch")
+      assert(live("A")._1 == 3L && live("B")._1 == 2L, live.toString)
+      assert(live.values.forall(_._3 >= 0L), "released counts must clamp at 0")
+    } finally q.stop()
+  }
+
   test("live langid confusion counts (lang, pred) per window via the shared map") {
     val s = spark
     import s.implicits._
