@@ -516,6 +516,11 @@ object Privacy {
     * DP-safe). One narrow map over the released cell table: no shuffle, no
     * join; the CASE chain is bounded by the threshold table
     * (|atoms| <= 2*4096+1, typically ~70 at epsilon 1/2).
+    *
+    * NULL key components are skipped by concat_ws (the
+    * [[generalizeLadder]] class_key caveat): two cells differing only in
+    * WHICH key column is NULL share a draw — sentinel-recode upstream if
+    * the released keys can be NULL.
     */
   def noisedCounts(released: DataFrame, keyCols: Seq[String], countCol: String,
       releaseTag: String, epsNum: Long, epsDen: Long,

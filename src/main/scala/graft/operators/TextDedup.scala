@@ -391,7 +391,8 @@ object TextDedup {
     * diagonal is by definition the longest common token substring —
     * computed with the gaps-and-islands trick (group = pos - rank), never
     * a quadratic DP. Returns `pairs`'s columns plus `exact_run` (0 when no
-    * token is shared).
+    * token is shared). `pairs` should be unique per (a, b) — a duplicate
+    * pair row returns duplicated result rows (the rejoin is on (a, b)).
     *
     * Why this exists: the winnow estimate can OVERSHOOT (its span bridges
     * same-offset gaps — two separate runs at one alignment read as one)
