@@ -385,13 +385,19 @@ object TextDedup {
   /** Exact longest duplicated token run per candidate pair — the forensics
     * step that closes [[winnowAlignedRuns]]'s estimate-vs-exact loop the
     * way the Jaccard verifiers close LSH's: `pairs` (any frame with `a`,
-    * `b` doc ids, e.g. the d84 output) is joined to both docs' token
-    * streams, token-equal positions become diagonal matches
+    * `b` doc ids, e.g. the d84 output) is joined to both docs'
+    * POSITIONAL gram-hash streams (the same 60-bit `ngram_g` kernel the
+    * winnow sketch hashes), gram-equal positions become diagonal matches
     * (diff = pos_a - pos_b), and the longest CONSECUTIVE stretch on any
-    * diagonal is by definition the longest common token substring —
-    * computed with the gaps-and-islands trick (group = pos - rank), never
-    * a quadratic DP. Returns `pairs`'s columns plus `exact_run` (0 when no
-    * token is shared). `pairs` should be unique per (a, b) — a duplicate
+    * diagonal plus gramN-1 is by definition the longest common token
+    * substring — overlapping consecutive grams force every token between
+    * them to match, so the gram formulation is EXACT for any run >=
+    * gramN, computed with the gaps-and-islands trick (group = pos -
+    * rank), never a quadratic DP. Returns `pairs`'s columns plus
+    * `exact_run` (0 when the docs share no gram — i.e. every common run
+    * is shorter than gramN, below the operator's stated resolution;
+    * exactness rides on the same 60-bit hash collisions the whole winnow
+    * family accepts). `pairs` should be unique per (a, b) — a duplicate
     * pair row returns duplicated result rows (the rejoin is on (a, b)).
     *
     * Why this exists: the winnow estimate can OVERSHOOT (its span bridges
@@ -400,30 +406,37 @@ object TextDedup {
     * last window when neighbouring hashes are smaller), so neither
     * direction is a safe bound; the only spec-pinnable guarantee is
     * `exact_run >= gramN` for every flagged pair (each shared fingerprint
-    * witnesses one gramN-token match, modulo the 60-bit hash collisions
-    * the whole winnow family already rides on).
+    * witnesses one gramN-token match).
     *
-    * Scale shape: the token tables are semi-joined down to the FLAGGED
+    * Scale shape: the gram tables are semi-joined down to the FLAGGED
     * docs before anything widens, the match join is an equi-join on
-    * (pair doc, token) — never all-positions x all-positions — and the
-    * islands window partitions by (pair, diagonal), so cost is
-    * |pairs| x token-matches (the d32/d65 verify discipline: priced on
-    * candidates, never corpus^2). Zipf-heavy corpora should pre-filter
-    * stopword tokens upstream if the match fan-out bites.
+    * (pair doc, gram hash) — grams are near-unique within a doc, so the
+    * fan-out is ~|shared grams| per pair where a single-TOKEN join would
+    * pay cnt_a(w)*cnt_b(w) on every stopword (measured 5x slower at
+    * sf0.1) — and the islands window partitions by (pair, diagonal):
+    * cost is |pairs| x gram-matches (the d32/d65 verify discipline,
+    * priced on candidates, never corpus^2).
     */
   def exactAlignedRuns(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame): DataFrame = {
-    val ids = pairs.select(col("a").as("__id"))
-      .union(pairs.select(col("b").as("__id"))).distinct()
-    val tok = docs
+      pairs: DataFrame, gramN: Int = 3): DataFrame = {
+    require(gramN >= 1, s"gramN must be positive, got $gramN")
+    // the pair frame feeds THREE consumers (the id semi-join, the match
+    // join, the final rejoin) and is typically itself an expensive
+    // candidate computation (d190 passes the d84 corpus self-join) —
+    // cache it or it re-runs per consumer (measured 2.5x the query cost)
+    val p = graft.sources.Caches.ephemeral(pairs)
+    val ids = p.select(col("a").as("__id"))
+      .union(p.select(col("b").as("__id"))).distinct()
+    val gr = docs
       .join(broadcast(ids), col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__p", "__w")))
-    val ta = tok.select(col("__id").as("a"), col("__p").as("__pa"), col("__w"))
-    val tb = tok.select(col("__id").as("b"), col("__p").as("__pb"), col("__w"))
-    val m = pairs.select(col("a"), col("b"))
-      .join(ta, Seq("a"))
-      .join(tb, Seq("b", "__w"))
+        posexplode(graft.functions.prom.ngram_g(col(textCol), gramN))
+          .as(Seq("__p", "__h")))
+    val ga = gr.select(col("__id").as("a"), col("__p").as("__pa"), col("__h"))
+    val gb = gr.select(col("__id").as("b"), col("__p").as("__pb"), col("__h"))
+    val m = p.select(col("a"), col("b"))
+      .join(ga, Seq("a"))
+      .join(gb, Seq("b", "__h"))
       .select(col("a"), col("b"), col("__pa"), col("__pb"))
     val diag = Window.partitionBy(col("a"), col("b"), col("__diff"))
       .orderBy(col("__pa"))
@@ -432,8 +445,8 @@ object TextDedup {
       .groupBy(col("a"), col("b"), col("__diff"), col("__grp"))
       .agg(count(lit(1)).as("__run"))
       .groupBy(col("a"), col("b"))
-      .agg(max(col("__run")).cast("long").as("exact_run"))
-    pairs.join(runs, Seq("a", "b"), "left")
+      .agg((max(col("__run")) + lit(gramN - 1)).cast("long").as("exact_run"))
+    p.join(runs, Seq("a", "b"), "left")
       .withColumn("exact_run", coalesce(col("exact_run"), lit(0L)))
   }
 

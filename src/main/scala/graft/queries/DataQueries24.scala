@@ -116,8 +116,12 @@ object DataQueries24 {
     // edges lose the winnow lottery), so the audit reports the signed
     // error and pins the one real guarantee — every flagged pair shares a
     // fingerprint, so its exact longest common token run is >= gramN = 3
-    // (witness_ok). Priced on |pairs| x token-matches after a semi-join
-    // to the flagged docs (the d32/d65 verify discipline).
+    // (witness_ok). The exact pass runs on POSITIONAL gram-hash
+    // diagonals (exact for any run >= gramN — overlapping consecutive
+    // grams force every token between them to match), priced on
+    // |pairs| x gram-matches after a semi-join to the flagged docs (the
+    // d32/d65 verify discipline; grams are near-unique within a doc
+    // where a token join would fan out on every stopword).
     "d190_exact_runs" -> { (s, dir) =>
       val d = docs(s, dir)
       val pairs = graft.operators.TextDedup.winnowAlignedRuns(
@@ -205,18 +209,16 @@ object DataQueries24 {
       (s"WITH ${DataQueries9.winnowRunCtes},\n" +
         """pairs AS (SELECT sh.a, sh.b, best.est_run
           |  FROM sh JOIN best USING (a, b) WHERE sh.shared >= 2),
-          |tok AS (SELECT doc_id, i AS p, w[i] AS w
-          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)),
-          |m AS (SELECT p.a, p.b, ta.p AS pa, tb.p AS pb
+          |m AS (SELECT p.a, p.b, ga.i AS pa, gb.i AS pb
           |  FROM pairs p
-          |  JOIN tok ta ON ta.doc_id = p.a
-          |  JOIN tok tb ON tb.doc_id = p.b AND tb.w = ta.w),
+          |  JOIN g ga ON ga.doc_id = p.a
+          |  JOIN g gb ON gb.doc_id = p.b AND gb.h = ga.h),
           |isl AS (SELECT a, b, pa - pb AS diff, pa,
           |    row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS rn
           |  FROM m),
           |runs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS run_len
           |  FROM isl GROUP BY a, b, diff, pa - rn),
-          |x AS (SELECT a, b, max(run_len) AS exact_run FROM runs GROUP BY a, b)
+          |x AS (SELECT a, b, max(run_len) + 2 AS exact_run FROM runs GROUP BY a, b)
           |SELECT p.a, p.b, p.est_run,
           |  coalesce(x.exact_run, 0) AS exact_run,
           |  p.est_run - coalesce(x.exact_run, 0) AS est_err,

@@ -402,8 +402,10 @@ class TextDedupSpec extends AnyFunSuite {
     // pair (1,2): two SEPARATE 3-token runs at the same alignment with a
     // one-token gap — a same-offset span estimate would bridge the gap and
     // read 7, but the exact longest run is 3 (the documented overshoot
-    // direction). pair (1,3): one clean 5-token run. pair (1,4): no
-    // shared token at all -> exact_run 0.
+    // direction; each run is one isolated gram-diagonal match, 1 + gramN-1
+    // = 3). pair (1,3): one clean 5-token run (3 consecutive gram matches
+    // on one diagonal). pair (1,4): no shared gram -> exact_run 0 (every
+    // common run is below the gramN resolution).
     val docs = Seq(
       (1L, "a b c GAP1 e f g t1 t2 t3"),
       (2L, "a b c GAP2 e f g u1 u2 u3"),
