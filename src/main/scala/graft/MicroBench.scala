@@ -356,10 +356,13 @@ object MicroBench {
       pool.shutdown()
       require(bad.get() == 0L && r1.latest == requests.toLong,
         s"fill: ${bad.get()} non-200s, latest ${r1.latest}")
-      val segBytes = java.nio.file.Files.list(walDir).toArray.map(
-        p => java.nio.file.Files.size(p.asInstanceOf[java.nio.file.Path])).sum
-      val nSegs = java.nio.file.Files.list(walDir).toArray.count(
-        _.toString.endsWith(".wal"))
+      val walFiles = {
+        val s = java.nio.file.Files.list(walDir)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+        finally s.close()
+      }
+      val segBytes = walFiles.map(java.nio.file.Files.size).sum
+      val nSegs = walFiles.count(_.toString.endsWith(".wal"))
       // kill without commit: the whole fill must replay on restart
       graft.sources.HttpRemoteWriteSource.shutdown(port)
       val t0 = System.nanoTime()

@@ -140,9 +140,15 @@ object DataQueries24 {
     */
   private def dpCase(epsNum: Long, epsDen: Long): String = {
     val thr = graft.operators.Privacy.geometricThresholds(epsNum, epsDen)
-    val arms = thr.init.map { case (z, hi) =>
-      s"WHEN u24 < $hi THEN CAST($z AS BIGINT)" }
-    s"CASE ${arms.mkString(" ")} ELSE CAST(${thr.last._1} AS BIGINT) END"
+    // a single-atom table (huge epsilon: noise is always 0 at this
+    // resolution) has no WHEN arms, and "CASE ELSE x END" is a syntax
+    // error — emit the bare literal
+    if (thr.size == 1) s"CAST(${thr.head._1} AS BIGINT)"
+    else {
+      val arms = thr.init.map { case (z, hi) =>
+        s"WHEN u24 < $hi THEN CAST($z AS BIGINT)" }
+      s"CASE ${arms.mkString(" ")} ELSE CAST(${thr.last._1} AS BIGINT) END"
+    }
   }
 
   val oracles: Map[String, String] = Map(

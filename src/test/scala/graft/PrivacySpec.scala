@@ -347,6 +347,14 @@ class PrivacySpec extends AnyFunSuite {
     // a budget too small for the table is refused with an actionable message
     val e = intercept[IllegalArgumentException](Privacy.geometricThresholds(1L, 10000L))
     assert(e.getMessage.contains("coarsen the release or raise epsilon"), e.getMessage)
+    // a huge epsilon degenerates to the single zero atom (noise below the
+    // 24-bit resolution) — and the single-atom release is still total
+    assert(Privacy.geometricThresholds(30L, 1L) == Seq((0L, Privacy.NoiseScale)))
+    val s = spark
+    import s.implicits._
+    val one = Privacy.noisedCounts(Seq(("k", 5L)).toDF("k", "cnt"),
+      Seq("k"), "cnt", "t", 30L, 1L).collect().head
+    assert(one.getLong(2) == 0L && one.getLong(3) == 5L, one.toString)
   }
 
   test("noisedCounts: deterministic md5-keyed draw, JVM-replayable, clamped at zero") {
