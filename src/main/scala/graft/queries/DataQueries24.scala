@@ -111,6 +111,36 @@ object DataQueries24 {
         .orderBy("settle_level", "class_key")
     },
 
+    // consistency repair — the released-histogram problem DP noise
+    // creates: independently noised bins never sum to the independently
+    // noised total, and a consumer who can see the inconsistency learns
+    // the noise is sitting right there. The standard post-processing fix
+    // re-apportions the noised TOTAL over the noised bins — here by the
+    // public Allocation.apportion (Hamilton largest-remainder: integer-
+    // exact, sums EXACTLY to the total by construction) over the SAME
+    // "hist" release d189 already drew (same tag + same cells = the
+    // identical draw: re-publishing a release costs no fresh budget, the
+    // reproducible-release point) plus a scalar "tot" release of the
+    // corpus count. Post-processing on released values is DP-safe. The
+    // noised total crosses the driver as a one-row bounded collect (the
+    // established one-row-argmax discipline).
+    "d192_dp_consistent" -> { (s, dir) =>
+      val c = graft.sources.Caches.ephemeral(customer(s, dir))
+      val bins = graft.operators.Privacy.noisedCounts(
+        c.groupBy(floor(col("c_acctbal") / 2000.0).as("band"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("band"), "cnt", "hist", 1L, 4L)
+      val noisedTotal = graft.operators.Privacy.noisedCounts(
+          c.groupBy(lit("all").as("k")).agg(count(lit(1)).as("cnt")),
+          Seq("k"), "cnt", "tot", 1L, 4L)
+        .select("released_count").collect()(0).getLong(0)
+      graft.operators.Allocation.apportion(
+          bins.select(col("band"), col("released_count").as("noised_bin")),
+          "band", "noised_bin", noisedTotal)
+        .withColumnRenamed("alloc", "repaired")
+        .orderBy("band")
+    },
+
     // exact longest-duplicated-run forensics over the d84-flagged pairs:
     // the winnow span can overshoot (gapped diagonal) AND undershoot (run
     // edges lose the winnow lottery), so the audit reports the signed
@@ -196,6 +226,35 @@ object DataQueries24 {
          |  CAST(max(linf_noise) AS BIGINT)
          |FROM per
          |ORDER BY release""".stripMargin,
+
+    "d192_dp_consistent" ->
+      s"""WITH h AS (SELECT CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+         |    count(*) AS cnt
+         |  FROM customer GROUP BY 1),
+         |hu AS (SELECT *, CAST(('0x' || substr(md5('dp:hist|' ||
+         |    concat_ws('|', band)), 1, 6)) AS BIGINT) AS u24
+         |  FROM h),
+         |hn AS (SELECT band,
+         |    greatest(CAST(0 AS BIGINT), cnt + ${dpCase(1L, 4L)}) AS noised_bin
+         |  FROM hu),
+         |tc AS (SELECT 'all' AS k, count(*) AS cnt FROM customer),
+         |tu AS (SELECT *, CAST(('0x' || substr(md5('dp:tot|' ||
+         |    concat_ws('|', k)), 1, 6)) AS BIGINT) AS u24
+         |  FROM tc),
+         |tn AS (SELECT greatest(CAST(0 AS BIGINT), cnt + ${dpCase(1L, 4L)}) AS T
+         |  FROM tu),
+         |w AS (SELECT sum(noised_bin) AS W FROM hn),
+         |base AS (SELECT band, noised_bin,
+         |    (t.T * noised_bin) // w.W AS base,
+         |    (t.T * noised_bin) % w.W AS rem
+         |  FROM hn CROSS JOIN tn t CROSS JOIN w),
+         |lr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, band) AS rr,
+         |    (SELECT max(T) FROM tn) - (SELECT sum(base) FROM base) AS leftover
+         |  FROM base)
+         |SELECT band, CAST(noised_bin AS BIGINT) AS noised_bin,
+         |  CAST(base AS BIGINT) AS base_alloc,
+         |  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS repaired
+         |FROM lr ORDER BY band""".stripMargin,
 
     "d191_dp_pipeline" ->
       (s"WITH ${DataQueries23.ladderKeyedCtes},\n" +

@@ -52,6 +52,9 @@ class PlanSpec extends AnyFunSuite {
       // per-source/domain stat tables (|sources| rows; d139/d53 are the
       // one-row whole-table stat broadcast written as an empty-order window)
       "d107_apportion", "d108_waterfill", "d143_epoch_plan",
+      // d192: apportion's remainder-rank window over the noised-bin table
+      // (|sensitive bands| rows — value-domain bounded, the d107 shape)
+      "d192_dp_consistent",
       "d139_doremi_reweight", "d53_temp_mix",
       // value-domain-bounded rollups: distinct lengths / bins / bands
       "d171_cap_solver", "d26_length_band", "d34_prep_pipeline",

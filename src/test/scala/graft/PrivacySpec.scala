@@ -395,6 +395,20 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.noisedCounts(df, Seq("k"), "cnt", "a|b", 1L, 2L))
   }
 
+  test("consistency repair: Hamilton over noised bins sums exactly to the noised total") {
+    // the d192 composition on a crafted frame: bins (3,1,0), repaired to a
+    // noised total of 7 — Hamilton bases (5,1,0) leave 1 unit, which goes
+    // to the largest remainder (band b, rem 3): repaired (5,2,0) sums 7
+    // while naive per-bin rounding of 7*(3/4, 1/4, 0) would give (5,1,0)=6
+    val s = spark
+    import s.implicits._
+    val bins = Seq(("a", 3L), ("b", 1L), ("c", 0L)).toDF("band", "noised_bin")
+    val out = graft.operators.Allocation.apportion(bins, "band", "noised_bin", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("a" -> 5L, "b" -> 2L, "c" -> 0L), out.toString)
+    assert(out.values.sum == 7L, "repaired release must sum to the released total")
+  }
+
   test("composeBudget: exact rational sequential composition") {
     assert(Privacy.composeBudget(Seq((1L, 2L), (1L, 4L))) == ((3L, 4L)))
     assert(Privacy.composeBudget(Seq((1L, 4L), (1L, 4L))) == ((1L, 2L)))
