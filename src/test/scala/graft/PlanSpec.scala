@@ -797,10 +797,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p188.contains("Join"), "noise must not join\n" + p188)
     assert(p188.contains("CASE WHEN") || p188.contains("casewhen"),
       "the inverse-CDF chain must be in-plan\n" + p188)
-    // d190: the token tables shrink to the FLAGGED docs via broadcast
-    // semi-joins BEFORE the (doc, token) match join widens anything
+    // d190: the gram tables shrink to the FLAGGED docs via broadcast
+    // semi-joins BEFORE the (doc, gram) match join widens anything
     val p190 = plan("d190_exact_runs")
-    assert(p190.contains("LeftSemi"), "token tables must semi-join to flagged docs\n" + p190)
+    assert(p190.contains("LeftSemi"), "gram tables must semi-join to flagged docs\n" + p190)
     assert(!p190.contains("CartesianProduct"), p190)
+    // d191: the ladder inherits d181's all-broadcast posture and the noise
+    // stays a narrow map on top — no SortMergeJoin anywhere in the release
+    val p191 = plan("d191_dp_pipeline")
+    assert("BroadcastHashJoin".r.findAllIn(p191).length == 3 &&
+      !p191.contains("SortMergeJoin"),
+      "the released ladder must keep the broadcast class joins\n" + p191)
   }
 }

@@ -395,6 +395,30 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.noisedCounts(df, Seq("k"), "cnt", "a|b", 1L, 2L))
   }
 
+  test("noisedCounts: the realized draw matches the geometric distribution, not just the mechanics") {
+    // 4096 deterministic keys through the eps=1 mechanism: the zero-noise
+    // fraction must sit near P(0) = (1-alpha)/(1+alpha) and the sign split
+    // must be near-even. Deterministic (md5 draws), so the tolerances are
+    // one-time checks, not flaky statistics: with n=4096 the binomial sd
+    // of the zero-fraction is ~0.0074 — a ±0.03 band is ~4 sd.
+    val s = spark
+    import s.implicits._
+    val n = 4096
+    val df = (0 until n).map(i => (s"cell$i", 10L)).toDF("k", "cnt")
+    val zs = Privacy.noisedCounts(df, Seq("k"), "cnt", "dist", 1L, 1L)
+      .select("noise").collect().map(_.getLong(0))
+    val alpha = math.exp(-1.0)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val frac0 = zs.count(_ == 0L).toDouble / n
+    assert(math.abs(frac0 - p0) < 0.03, s"zero fraction $frac0 vs expected $p0")
+    val fracPos = zs.count(_ > 0L).toDouble / n
+    val fracNeg = zs.count(_ < 0L).toDouble / n
+    assert(math.abs(fracPos - fracNeg) < 0.03, s"sign skew: +$fracPos vs -$fracNeg")
+    // mean near zero (the unbiasedness the clamp deliberately trades away
+    // is measured pre-clamp, on the raw noise column)
+    assert(math.abs(zs.sum.toDouble / n) < 0.15, s"mean ${zs.sum.toDouble / n}")
+  }
+
   test("consistency repair: Hamilton over noised bins sums exactly to the noised total") {
     // the d192 composition on a crafted frame: bins (3,1,0), repaired to a
     // noised total of 7 — Hamilton bases (5,1,0) leave 1 unit, which goes
