@@ -447,13 +447,18 @@ object Privacy {
       sensitivity: Long = 1L): Seq[(Long, Long)] = {
     require(epsNum > 0 && epsDen > 0 && sensitivity > 0,
       s"need a positive epsilon = epsNum/epsDen and sensitivity, got $epsNum/$epsDen, $sensitivity")
-    val alpha = math.exp(-(epsNum.toDouble / epsDen) / sensitivity)
+    // StrictMath, not Math: the determinism claim ("the same cell draws
+    // the same noise across re-runs") extends across JVMs and hardware
+    // only if the table itself is bit-identical everywhere — Math.exp/pow
+    // may use platform intrinsics that differ by an ulp, which can shift
+    // a rounded threshold by one and flip a cell's draw between machines
+    val alpha = StrictMath.exp(-(epsNum.toDouble / epsDen) / sensitivity)
     val scale = NoiseScale.toDouble
     // P(Z <= z): alpha^(-z)/(1+alpha) below zero, 1 - alpha^(z+1)/(1+alpha)
     // from zero up (two-sided geometric: P(z) = (1-alpha)/(1+alpha)*alpha^|z|)
     def cdf(z: Long): Double =
-      if (z < 0) math.pow(alpha, -z.toDouble) / (1.0 + alpha)
-      else 1.0 - math.pow(alpha, z.toDouble + 1.0) / (1.0 + alpha)
+      if (z < 0) StrictMath.pow(alpha, -z.toDouble) / (1.0 + alpha)
+      else 1.0 - StrictMath.pow(alpha, z.toDouble + 1.0) / (1.0 + alpha)
     var zMax = 0L
     while (math.rint(scale * cdf(zMax)) < scale && zMax < 4096) zMax += 1
     require(zMax < 4096,
