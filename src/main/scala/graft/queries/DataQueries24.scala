@@ -26,6 +26,7 @@ object DataQueries24 {
 
   private def customer(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
   /** d189's composed budget (1/2 + 1/4), computed ONCE and interpolated
     * into both the Spark plan and the oracle so the ledger's total can
@@ -85,6 +86,43 @@ object DataQueries24 {
           lit(budNum).as("eps_num"), lit(budDen).as("eps_den"),
           col("n_cells"), col("l1_noise"), col("linf_noise"))
       per.unionByName(total).orderBy("release")
+    },
+
+    // HyperLogLog register table: q13 exercises Spark's private-format
+    // approx_count_distinct; this is the sketch itself with ENGINE-EXACT
+    // registers (md5 60-bit hash, low 8 bits pick one of 256 registers,
+    // rho = leading zeros of the rest + 1 via exact shift/bin arithmetic)
+    // so the 256-row state crosses the oracle hash-exactly AND merges
+    // register-wise by max across shards/windows — the same table
+    // StreamOps.hllSketch keeps live per window. One hash aggregation;
+    // fixed state at any corpus size.
+    "q49_hll_registers" -> { (s, dir) =>
+      graft.functions.Hll.registers(events(s, dir), "user_id")
+        .orderBy("register")
+    },
+
+    // HLL estimate vs exact: the cardinality read over the q49 registers
+    // (raw harmonic estimate, linear counting below 2.5m — at sf0.01 the
+    // ~150 distinct users land in the linear-counting regime, at sf0.1
+    // the raw path takes over) audited against the exact distinct count
+    // with a REGIME-dependent band: 5% linear (measured +0.6% at sf0.01),
+    // 20% raw — ~3 sigma of m=256's 6.5% standard error, because the
+    // CLASSIC raw estimator is biased high below ~10m distincts (measured
+    // +13.7% at sf0.1; the bias HLL++'s empirical table corrects, and
+    // what q13's built-in ships). The draw is deterministic md5, so these
+    // are one-time checks, not statistics. Floats live only in this read
+    // — the mergeable register table stays integer — and both engines
+    // recompute their own estimate, the q13 bound-check pattern.
+    "q50_hll_estimate" -> { (s, dir) =>
+      val ev = graft.sources.Caches.ephemeral(events(s, dir))
+      val est = graft.functions.Hll.estimate(
+        graft.functions.Hll.registers(ev, "user_id"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      est.crossJoin(exact)
+        .select(col("n_exact"), col("n_registers"), col("linear"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * when(col("linear"), lit(0.05)).otherwise(lit(0.2)))
+            .as("hll_ok"))
     },
 
     // the release-pipeline capstone — the privacy family composed end to
@@ -181,7 +219,42 @@ object DataQueries24 {
     }
   }
 
+  /** The q49/q50 register CTEs: 60-bit md5 value, register = low 8 bits,
+    * rho = leading zeros of the remaining 52 bits + 1 (minimal-width
+    * `bin` length — exact integer arithmetic, no floats).
+    */
+  private val hllRegCtes: String =
+    """v AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) AS v FROM events),
+      |r AS (SELECT v % 256 AS register,
+      |    CASE WHEN v // 256 = 0 THEN 53
+      |         ELSE 53 - length(bin(v // 256)) END AS rho
+      |  FROM v),
+      |reg AS (SELECT register, CAST(max(rho) AS BIGINT) AS rho
+      |  FROM r GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q49_hll_registers" ->
+      (s"WITH $hllRegCtes\n" +
+        "SELECT register, rho FROM reg ORDER BY register"),
+
+    "q50_hll_estimate" ->
+      (s"WITH $hllRegCtes,\n" +
+        s"""s AS (SELECT sum(power(2.0, -rho)) AS ps, count(*) AS nr FROM reg),
+           |e AS (SELECT
+           |    ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) <= 640.0
+           |      AND (256 - nr) > 0 AS linear,
+           |    CASE WHEN ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) <= 640.0
+           |              AND (256 - nr) > 0
+           |         THEN 256.0 * ln(256.0 / (256 - nr))
+           |         ELSE ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) END AS est,
+           |       nr FROM s),
+           |x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+           |SELECT x.n_exact, CAST(e.nr AS BIGINT) AS n_registers, e.linear,
+           |  abs(e.est - x.n_exact) <=
+           |    x.n_exact * (CASE WHEN e.linear THEN 0.05 ELSE 0.2 END) AS hll_ok
+           |FROM e CROSS JOIN x""".stripMargin),
+
     "d188_dp_noise" ->
       s"""WITH s AS (SELECT c_nationkey, c_mktsegment,
          |    CAST(count(*) AS BIGINT) AS class_size

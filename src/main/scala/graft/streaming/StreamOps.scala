@@ -306,6 +306,27 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("j"), col("bucket"), col("cnt"))
 
+  /** Per-window HyperLogLog registers (the streaming twin of q49/q50 and
+    * the distinct-count sibling of [[countMinSketch]]): one row per
+    * (window, touched register) holding max(rho) — the register value IS
+    * a max, so per-shard partials and late triggers combine register-wise
+    * exactly like the classic HLL merge, and live state is
+    * |windows| x <=256 rows no matter how many distinct keys flow. The
+    * cardinality read is [[graft.functions.Hll.estimate]] over one
+    * window's rows (floats live only in the read; the mergeable state is
+    * exact integers — StreamOpsSpec pins cells == a batch replay and the
+    * read == the batch estimate).
+    */
+  def hllSketch(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, keyCol: String): DataFrame = {
+    val (reg, rho) = graft.functions.Hll.regRho(col(keyCol))
+    df.withWatermark(eventTimeCol, delay)
+      .select(col(eventTimeCol), reg.as("register"), rho.as("rho"))
+      .groupBy(window(col(eventTimeCol), width).as("w"), col("register"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("w.start").as("w_start"), col("register"), col("rho"))
+  }
+
   /** Live t-closeness cells (the streaming half of the d184/d186 release
     * gate): per event-time tumbling window, one row per (window, qi...,
     * sensitive value) with its count — plain mergeable long sums, so

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hll
+
+/** The engine-exact HLL register table: recomputed against a plain-JVM
+  * reference, the register-wise-max merge law, and the two estimator
+  * regimes. (q49/q50 pin the same arithmetic against DuckDB; the streaming
+  * twin is pinned in StreamOpsSpec.)
+  */
+class HllSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def jvmRegRho(key: String): (Long, Long) = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = dig.map("%02x".format(_)).mkString.substring(0, 15)
+    val v = java.lang.Long.parseLong(hex, 16)
+    val w = v >>> 8
+    val rho = if (w == 0L) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    (v % Hll.M, rho)
+  }
+
+  test("registers match a plain-JVM recompute of the md5/shift arithmetic") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 500).map(i => s"user$i")
+    val out = Hll.registers(keys.toDF("k").repartition(3), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = keys.map(jvmRegRho).groupBy(_._1)
+      .map { case (reg, rs) => reg -> rs.map(_._2).max }
+    assert(out == expect, s"registers diverge from the JVM reference")
+  }
+
+  test("merge law: register-wise max of two shards equals the whole build") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 400).map(i => s"u$i")
+    val whole = Hll.registers(keys.toDF("k"), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = Hll.registers(keys.filter(_.hashCode % 2 == 0).toDF("k"), "k")
+    val b = Hll.registers(keys.filter(_.hashCode % 2 != 0).toDF("k"), "k")
+    val merged = a.unionByName(b).groupBy("register")
+      .agg(max(col("rho")).as("rho"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == whole, "HLL merge must be register-wise max")
+  }
+
+  test("estimate regimes: linear counting small, raw harmonic large, both within band") {
+    val s = spark
+    import s.implicits._
+    // 100 distincts: linear regime. Its accuracy at t = n/m = 0.39 is
+    // sigma = sqrt(m(e^t - t - 1))/n ~ 4.2%, so band at ~2 sigma (this
+    // fixed draw reads 94.5 — one-time, deterministic)
+    val small = Hll.estimate(
+      Hll.registers((0 until 100).map(i => s"s$i").toDF("k"), "k")).collect().head
+    assert(small.getBoolean(2), "100 distincts must read via linear counting")
+    assert(math.abs(small.getDouble(0) - 100.0) <= 8.5, small.toString)
+    // 20000 distincts (n/m ~ 78): raw regime, past the classic bias zone;
+    // 20% band = ~3 sigma of m=256's 6.5% standard error
+    val big = Hll.estimate(
+      Hll.registers((0 until 20000).map(i => s"b$i").toDF("k"), "k")).collect().head
+    assert(!big.getBoolean(2), "20000 distincts must read via the raw estimate")
+    assert(math.abs(big.getDouble(0) - 20000.0) <= 4000.0, big.toString)
+  }
+}

@@ -441,6 +441,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live HLL registers merge across triggers; the estimate read matches batch (q49/q50 twin)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamOps.hllSketch(ms.toDF().toDF("et", "uid"),
+        "et", "5 seconds", "10 seconds", "uid")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      // 60 distinct users in window [0,10), split across two triggers with
+      // overlap (u20-u39 arrive twice — registers must dedupe via max)
+      ms.addData((0L until 40L).map(u => (ts(1), u)): _*)
+      q.processAllAvailable()
+      ms.addData((20L until 60L).map(u => (ts(7), u)): _*)
+      q.processAllAvailable()
+      ms.addData((ts(30), 999L)) // advance watermark past window end
+      q.processAllAvailable()
+      val live = spark.table("hll_out")
+        .filter(col("w_start") === lit(new Timestamp(0L)))
+        .select("register", "rho")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.functions.Hll.registers(
+          (0L until 60L).toDF("uid"), "uid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live == batch && live.nonEmpty, s"live=$live batch=$batch")
+      // the estimate read over the emitted window cells equals the batch
+      // estimate of the same keys (floats only in the read)
+      val liveEst = graft.functions.Hll.estimate(
+        spark.table("hll_out").filter(col("w_start") === lit(new Timestamp(0L)))
+          .select("register", "rho")).collect().head
+      val batchEst = graft.functions.Hll.estimate(
+        graft.functions.Hll.registers((0L until 60L).toDF("uid"), "uid"))
+        .collect().head
+      assert(liveEst.getDouble(0) == batchEst.getDouble(0) &&
+        liveEst.getBoolean(2) == batchEst.getBoolean(2),
+        s"live=$liveEst batch=$batchEst")
+    } finally q.stop()
+  }
+
   test("live noised release: per-window noised counts equal a batch replay (d188 twin)") {
     val s = spark
     import s.implicits._
