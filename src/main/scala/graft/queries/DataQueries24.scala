@@ -7,17 +7,22 @@ import graft.sources.Tables
 
 /** Twenty-fourth wave: differentially-private release noise as the privacy
   * family's coda (deterministic two-sided-geometric noise on the count
-  * releases d180-d187 gate, plus the sequential-composition epsilon ledger
-  * — thin bindings of `operators/Privacy.noisedCounts`/`composeBudget`),
-  * and exact longest-duplicated-run forensics closing the d84 winnow
-  * estimate's estimate-vs-exact loop (the d32/d65 verify discipline applied
-  * to aligned runs — `operators/TextDedup.exactAlignedRuns`).
+  * releases d180-d187 gate; the sequential-composition epsilon ledger; the
+  * d181-composed release pipeline; Hamilton consistency repair of noised
+  * histograms — thin bindings of `operators/Privacy.noisedCounts`/
+  * `composeBudget` + `Allocation.apportion`), engine-exact HyperLogLog
+  * registers with the regime-banded estimate read (`functions/Hll`,
+  * q13's sketch with oracle-crossing state), and exact
+  * longest-duplicated-run forensics closing the d84 winnow estimate's
+  * estimate-vs-exact loop (the d32/d65 verify discipline applied to
+  * aligned runs — `operators/TextDedup.exactAlignedRuns`).
   *
   * Scale posture: the noise queries are one corpus aggregation then a
   * NARROW map over the released cell table (the inverse-CDF is a bounded
-  * literal CASE chain — no join, no second shuffle, stream-safe); the
-  * exact-run pass semi-joins the token tables down to the d84-FLAGGED docs
-  * before anything widens and prices on |pairs| x token-matches, never
+  * literal CASE chain — no join, no second shuffle, stream-safe); the HLL
+  * table is one hash aggregation into <=256 max-mergeable rows; the
+  * exact-run pass semi-joins the gram tables down to the d84-FLAGGED docs
+  * before anything widens and prices on |pairs| x gram-matches, never
   * corpus^2.
   */
 object DataQueries24 {
