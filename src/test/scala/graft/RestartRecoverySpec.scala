@@ -185,4 +185,95 @@ class RestartRecoverySpec extends AnyFunSuite {
         s"restart ledger $got must equal batch ledger $expect")
     }
   }
+
+  test("per-window HLL registers merge across stop + resume (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    withRocksDb {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val ckpt = tempDir("graft-hll-ckpt-")
+      val out = tempDir("graft-hll-out-")
+      val ms = MemoryStream[(Timestamp, Long)](spark)
+      def start() =
+        StreamOps.hllSketch(ms.toDF().toDF("et", "uid"),
+            "et", "5 seconds", "10 seconds", "uid")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+
+      // run 1: users 0-39 land in window [0,10); the watermark never
+      // reaches the window end, so the registers live ONLY in state
+      val q1 = start()
+      ms.addData((0L until 40L).map(u => (ts(1), u)): _*)
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2: resume; users 20-59 join the SAME window (their rhos must
+      // MAX-merge into the recovered registers — a fresh store would hold
+      // only the post-restart half), then a late row closes the window
+      val q2 = start()
+      try {
+        ms.addData((20L until 60L).map(u => (ts(7), u)): _*)
+        q2.processAllAvailable()
+        ms.addData((ts(30), 999L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val expect = graft.functions.Hll.registers((0L until 60L).toDF("uid"), "uid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect && got.nonEmpty,
+        s"recovered registers must equal the batch build of ALL 60 users")
+    }
+  }
+
+  test("noised release replays identical noise across stop + resume (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    withRocksDb {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val ckpt = tempDir("graft-noise-ckpt-")
+      val out = tempDir("graft-noise-out-")
+      val ms = MemoryStream[(Timestamp, String)](spark)
+      def start() =
+        StreamOps.noisedRelease(ms.toDF().toDF("et", "g"),
+            "et", "5 seconds", "10 seconds",
+            Seq(org.apache.spark.sql.functions.col("g")), "rr", 1L, 2L)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+
+      // counts split across the restart: A x2 + B x1 before, A x1 + B x1
+      // after — the released cells are right only if the windowed counts
+      // recovered, and the noise is right only if the draw is a pure
+      // function of (tag, window, class), not of run lifetime
+      val q1 = start()
+      ms.addData((ts(1), "A"), (ts(2), "A"), (ts(3), "B"))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      try {
+        ms.addData((ts(4), "A"), (ts(6), "B"))
+        q2.processAllAvailable()
+        ms.addData((ts(30), "Z"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .filter(_.getLong(2) == 0L) // w_start 0
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      import org.apache.spark.sql.functions.{col, count, lit, window}
+      val batch = graft.operators.Privacy.noisedCounts(
+          Seq((ts(1), "A"), (ts(2), "A"), (ts(3), "B"), (ts(4), "A"), (ts(6), "B"))
+            .toDF("et", "g")
+            .groupBy(window(col("et"), "10 seconds").as("w"), col("g"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("w_start", col("w.start").cast("long")).drop("w"),
+          Seq("w_start", "g"), "cnt", "rr", 1L, 2L)
+        .filter(col("w_start") === lit(0L))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch && got.map(_._1) == Set("A", "B"),
+        s"restarted release $got must equal the batch replay $batch")
+    }
+  }
 }
