@@ -55,6 +55,45 @@ object Hll {
       .groupBy(col("register")).agg(max(col("rho")).as("rho"))
   }
 
+  /** [[registers]] per GROUP — the production shape (distinct users per
+    * dimension): one row per (group..., touched register), state
+    * |groups| x <=256 rows, still one hash aggregation with map-side
+    * partials and still max-mergeable per group across shards/windows
+    * (the streaming twin's `w_start` is exactly this with the window as
+    * the group).
+    */
+  def registersBy(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    require(!groupCols.contains("register") && !groupCols.contains("rho"),
+      s"group columns ${groupCols.mkString(", ")} collide with the register schema")
+    val (reg, rho) = regRho(col(keyCol))
+    df.select(groupCols.map(col) ++ Seq(reg.as("register"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** The per-group cardinality read over a [[registersBy]] table: the same
+    * raw-harmonic / linear-counting switch as [[estimate]], one row per
+    * group `(group..., est, n_registers, linear)`. Pure aggregation over
+    * the bounded register table — never the corpus.
+    */
+  def estimateBy(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("__present_sum"),
+        count(lit(1)).as("n_registers"))
+      .select(groupCols.map(col) ++ Seq(
+        (col("__present_sum") + (lit(M.toLong) - col("n_registers"))).as("__s"),
+        (lit(M.toLong) - col("n_registers")).cast("double").as("__v"),
+        col("n_registers")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (lit(AlphaM2) / col("__s") <= lit(2.5 * M) && col("__v") > 0d).as("linear"),
+        col("__s"), col("__v"), col("n_registers")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        when(col("linear"),
+            lit(M.toDouble) * log(lit(M.toDouble) / col("__v")))
+          .otherwise(lit(AlphaM2) / col("__s")).as("est"),
+        col("n_registers"), col("linear")): _*)
+
   /** The cardinality estimate read over a register table: the raw harmonic
     * estimate alpha_m m^2 / (sum 2^-rho + absent), switching to linear
     * counting m ln(m/V) when the raw estimate is below 2.5m and zero

@@ -130,6 +130,30 @@ object DataQueries24 {
             .as("hll_ok"))
     },
 
+    // per-dimension HLL: distinct users per event_type — the production
+    // shape a dashboard actually asks for (q49 grouped by a dimension;
+    // state |event_types| x <=256 rows, per-group max-mergeable). Each
+    // group's estimate is banded by ITS OWN regime against its exact
+    // distinct count: at sf0.01 every type sits in linear counting
+    // (~150 users/type), at sf0.1 every type sees all ~1500 users and
+    // reads through the raw path (all 256 registers touched) — so the
+    // gate exercises both regimes per group across the two SFs.
+    "q51_hll_by_type" -> { (s, dir) =>
+      val ev = graft.sources.Caches.ephemeral(events(s, dir))
+      val est = graft.functions.Hll.estimateBy(
+        graft.functions.Hll.registersBy(ev, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_registers"),
+          col("linear"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * when(col("linear"), lit(0.05)).otherwise(lit(0.2)))
+            .as("hll_ok"))
+        .orderBy("event_type")
+    },
+
     // the release-pipeline capstone — the privacy family composed end to
     // end the way a real metadata release runs: every row settles at its
     // d181 generalization level (k = 6, all-broadcast ladder), the SETTLED
@@ -259,6 +283,35 @@ object DataQueries24 {
            |  abs(e.est - x.n_exact) <=
            |    x.n_exact * (CASE WHEN e.linear THEN 0.05 ELSE 0.2 END) AS hll_ok
            |FROM e CROSS JOIN x""".stripMargin),
+
+    "q51_hll_by_type" ->
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS v FROM events),
+         |r AS (SELECT event_type, v % 256 AS register,
+         |    CASE WHEN v // 256 = 0 THEN 53
+         |         ELSE 53 - length(bin(v // 256)) END AS rho
+         |  FROM v),
+         |reg AS (SELECT event_type, register, max(rho) AS rho
+         |  FROM r GROUP BY 1, 2),
+         |s AS (SELECT event_type, sum(power(2.0, -rho)) AS ps, count(*) AS nr
+         |  FROM reg GROUP BY 1),
+         |e AS (SELECT event_type,
+         |    ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) <= 640.0
+         |      AND (256 - nr) > 0 AS linear,
+         |    CASE WHEN ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) <= 640.0
+         |              AND (256 - nr) > 0
+         |         THEN 256.0 * ln(256.0 / (256 - nr))
+         |         ELSE ${graft.functions.Hll.AlphaM2} / (ps + (256 - nr)) END AS est,
+         |    nr FROM s),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT x.event_type, x.n_exact, CAST(e.nr AS BIGINT) AS n_registers,
+         |  e.linear,
+         |  abs(e.est - x.n_exact) <=
+         |    x.n_exact * (CASE WHEN e.linear THEN 0.05 ELSE 0.2 END) AS hll_ok
+         |FROM e JOIN x USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "d188_dp_noise" ->
       s"""WITH s AS (SELECT c_nationkey, c_mktsegment,
