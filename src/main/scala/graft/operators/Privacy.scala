@@ -522,10 +522,16 @@ object Privacy {
     * join; the CASE chain is bounded by the threshold table
     * (|atoms| <= 2*4096+1, typically ~70 at epsilon 1/2).
     *
-    * NULL key components are skipped by concat_ws (the
-    * [[generalizeLadder]] class_key caveat): two cells differing only in
-    * WHICH key column is NULL share a draw — sentinel-recode upstream if
-    * the released keys can be NULL.
+    * Key-encoding caveats (both inherited from concat_ws, both fixed by a
+    * sentinel recode upstream): NULL key components are SKIPPED (the
+    * [[generalizeLadder]] class_key caveat), so two cells differing only
+    * in WHICH key column is NULL share a draw; and a '|' INSIDE a key
+    * VALUE injects the delimiter — keys ('x|y','z') and ('x','y|z')
+    * concatenate identically and draw identical, correlated noise within
+    * one release (the tag is checked for '|', key values are not — an
+    * in-engine escape would have to replay byte-identically in the SQL
+    * oracle, so the discipline is: recode keys that can contain '|'
+    * before releasing).
     */
   def noisedCounts(released: DataFrame, keyCols: Seq[String], countCol: String,
       releaseTag: String, epsNum: Long, epsDen: Long,

@@ -40,6 +40,16 @@ object DataQueries24 {
   private val (budNum, budDen) =
     graft.operators.Privacy.composeBudget(Seq((1L, 2L), (1L, 4L)))
 
+  /** d190's gram width, interpolated into BOTH the Spark binding and the
+    * oracle's `+ (gramN-1)` / `>= gramN` literals so the pair cannot drift
+    * (ADVICE r19). Must stay 3 while the oracle builds on
+    * `DataQueries9.winnowRunCtes`, whose est_run term pins the same width
+    * (`max(pa) - min(pa) + 3`) — the require makes a future change loud.
+    */
+  private val RunGramN = 3
+  require(RunGramN == 3,
+    "d190's oracle reuses DataQueries9.winnowRunCtes, which pins gramN = 3")
+
   val queries: Map[String, Q] = Map[String, Q](
     // noised count release: the (nation, segment) class sizes with
     // deterministic two-sided-geometric noise at epsilon = 1/2 (L1
@@ -222,11 +232,13 @@ object DataQueries24 {
     "d190_exact_runs" -> { (s, dir) =>
       val d = docs(s, dir)
       val pairs = graft.operators.TextDedup.winnowAlignedRuns(
-        d, "doc_id", "text", gramN = 3, window = 4, minShared = 2, maxBucket = 16)
-      graft.operators.TextDedup.exactAlignedRuns(d, "doc_id", "text", pairs)
+        d, "doc_id", "text", gramN = RunGramN, window = 4, minShared = 2,
+        maxBucket = 16)
+      graft.operators.TextDedup.exactAlignedRuns(d, "doc_id", "text", pairs,
+          gramN = RunGramN)
         .select(col("a"), col("b"), col("est_run"), col("exact_run"),
           (col("est_run") - col("exact_run")).as("est_err"),
-          (col("exact_run") >= 3L).as("witness_ok"))
+          (col("exact_run") >= RunGramN.toLong).as("witness_ok"))
         .orderBy("a", "b")
     })
 
@@ -403,7 +415,7 @@ object DataQueries24 {
 
     "d190_exact_runs" ->
       (s"WITH ${DataQueries9.winnowRunCtes},\n" +
-        """pairs AS (SELECT sh.a, sh.b, best.est_run
+        s"""pairs AS (SELECT sh.a, sh.b, best.est_run
           |  FROM sh JOIN best USING (a, b) WHERE sh.shared >= 2),
           |m AS (SELECT p.a, p.b, ga.i AS pa, gb.i AS pb
           |  FROM pairs p
@@ -414,11 +426,11 @@ object DataQueries24 {
           |  FROM m),
           |runs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS run_len
           |  FROM isl GROUP BY a, b, diff, pa - rn),
-          |x AS (SELECT a, b, max(run_len) + 2 AS exact_run FROM runs GROUP BY a, b)
+          |x AS (SELECT a, b, max(run_len) + ${RunGramN - 1} AS exact_run FROM runs GROUP BY a, b)
           |SELECT p.a, p.b, p.est_run,
           |  coalesce(x.exact_run, 0) AS exact_run,
           |  p.est_run - coalesce(x.exact_run, 0) AS est_err,
-          |  coalesce(x.exact_run, 0) >= 3 AS witness_ok
+          |  coalesce(x.exact_run, 0) >= $RunGramN AS witness_ok
           |FROM pairs p LEFT JOIN x USING (a, b)
           |ORDER BY p.a, p.b""".stripMargin))
 }

@@ -146,26 +146,47 @@ object HttpRemoteWriteSource {
     // durability REFINEMENT (it pins segment-file metadata against power
     // loss; the record fsyncs are untouched), so turning every accept
     // into a 500 over it would be strictly worse than degrading. Degrade
-    // once, loudly, to the process-crash-only model. A force() failure on
-    // a successfully OPENED channel is a real IO error (EIO-class) and
-    // still propagates — only the open is platform-probed.
+    // once, loudly, to the process-crash-only model — but ONLY for
+    // incapability-class failures (UnsupportedOperationException,
+    // AccessDenied): a TRANSIENT open failure (EMFILE fd exhaustion, a
+    // momentary EIO) must not permanently weaken the crash model, so it
+    // logs, skips THIS force, and retries at the next group commit
+    // (ADVICE r19). A force() failure on a successfully OPENED channel is
+    // a real IO error (EIO-class) and still propagates — only the open is
+    // platform-probed.
     @volatile private var dirSyncUnsupported = false
-    private def forceDir(): Unit = if (!dirSyncUnsupported) {
+    /** Test seam: whether the platform-incapability latch has fired. */
+    private[graft] def dirSyncDegraded: Boolean = dirSyncUnsupported
+    /** Returns false ONLY on a transient open failure (the caller may
+      * retry later); true when the directory was forced or the platform
+      * permanently lacks the capability (nothing to retry).
+      */
+    private def forceDir(): Boolean = if (dirSyncUnsupported) true else {
       val dc =
         try {
           if (failpoint.contains("dir-open-unsupported"))
-            throw new java.io.IOException("failpoint: platform refuses directory open")
+            throw new UnsupportedOperationException(
+              "failpoint: platform refuses directory open")
+          if (failpoint.contains("dir-open-transient"))
+            throw new java.io.IOException("failpoint: transient directory-open failure")
           java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
         } catch {
-          case e @ (_: java.io.IOException | _: UnsupportedOperationException) =>
+          case e @ (_: UnsupportedOperationException |
+              _: java.nio.file.AccessDeniedException) =>
             dirSyncUnsupported = true
             System.err.println(s"[wal:$dir] this platform refuses directory " +
               s"fsync ($e): degrading the crash model to process-crash-only " +
               "(power loss may drop the newest segment's directory entry); " +
               "record fsyncs are unaffected")
             null
+          case e: java.io.IOException =>
+            System.err.println(s"[wal:$dir] transient directory-open failure " +
+              s"($e): skipping this directory fsync, retrying at the next " +
+              "group commit (crash model NOT degraded)")
+            return false
         }
       if (dc != null) try dc.force(true) finally dc.close()
+      true
     }
 
     /** Highest committed offset persisted so far (0 when none). */
@@ -337,8 +358,12 @@ object HttpRemoteWriteSource {
             // could drop the whole file with its bytes already forced —
             // amortized here exactly like the data fsync (once per group,
             // and only when a segment was created since the last one)
-            if (dirSynced.get() < de) {
-              forceDir(); dirSynced.accumulateAndGet(de, math.max(_, _))
+            // only advance dirSynced when the force actually happened (or
+            // the platform permanently lacks it) — a transient open
+            // failure leaves the epoch owed so the NEXT group commit
+            // retries instead of silently dropping the entry's durability
+            if (dirSynced.get() < de && forceDir()) {
+              dirSynced.accumulateAndGet(de, math.max(_, _))
             }
             synchronized { sealedPending = sealedPending.diff(owed) }
             owed.foreach(_._1.close())
@@ -771,6 +796,9 @@ object HttpRemoteWriteSource {
       if (server != null) { server.stop(0); server = null }
       if (wal != null) wal.close()
     }
+    /** Test seam: the WAL's dir-fsync degrade latch (None without a WAL). */
+    private[graft] def walDirSyncDegraded: Option[Boolean] =
+      Option(wal).map(_.dirSyncDegraded)
   }
 
   private val receivers = new ConcurrentHashMap[Int, Receiver]()

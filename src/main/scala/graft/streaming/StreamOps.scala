@@ -342,19 +342,22 @@ object StreamOps {
     */
   def tClosenessCells(df: DataFrame, eventTimeCol: String, delay: String,
       width: String, qi: Seq[Column], sensitive: Column): DataFrame = {
-    val out = df.withWatermark(eventTimeCol, delay)
+    val grouped = df.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), width).as("w") +:
         qi :+ sensitive.as("sens"): _*)
       .agg(count(lit(1)).as("cv"))
+    // the cell schema claims sens/cv/w_start: a QI column reusing sens/cv
+    // emits duplicate-named columns (caught by the distinct-size check),
+    // but one named w_start would be silently REPLACED by the rename below
+    // — so refuse it explicitly BEFORE the withColumn (the noisedRelease
+    // guard, ADVICE r19)
+    require(!grouped.columns.contains("w_start") &&
+        grouped.columns.toSeq.distinct.size == grouped.columns.length,
+      s"QI column names collide with the claimed cell columns " +
+      s"(w, sens, cv, w_start): ${grouped.columns.mkString(", ")}")
+    grouped
       .withColumn("w_start", col("w.start"))
       .drop("w")
-    // the cell schema claims sens/cv/w_start: a QI column reusing one of
-    // them would emit duplicate-named columns that break the downstream
-    // tClosenessOfCells read — refuse loudly at build time
-    require(out.columns.toSeq.distinct.size == out.columns.length,
-      s"QI column names collide with the claimed cell columns " +
-      s"(sens, cv, w_start): ${out.columns.mkString(", ")}")
-    out
   }
 
   /** Live noised release (d188's streaming twin): per event-time tumbling
@@ -373,14 +376,22 @@ object StreamOps {
   def noisedRelease(df: DataFrame, eventTimeCol: String, delay: String,
       width: String, keys: Seq[Column], releaseTag: String,
       epsNum: Long, epsDen: Long): DataFrame = {
-    val cells = df.withWatermark(eventTimeCol, delay)
+    val grouped = df.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), width).as("w") +: keys: _*)
       .agg(count(lit(1)).as("cnt"))
+    // guard BEFORE the w_start rename: withColumn would silently REPLACE a
+    // key column already named w_start (dropping it from the noise key and
+    // the output) rather than produce the duplicate the distinct-size
+    // check below could catch (ADVICE r19) — so refuse the claimed names
+    // (w, cnt, w_start) up front, mirroring noisedCounts' claimed-name
+    // guard. The distinct-size check stays as the general duplicate net.
+    require(!grouped.columns.contains("w_start") &&
+        grouped.columns.toSeq.distinct.size == grouped.columns.length,
+      s"key column names collide with the claimed cell columns " +
+      s"(w, cnt, w_start): ${grouped.columns.mkString(", ")}")
+    val cells = grouped
       .withColumn("w_start", col("w.start").cast("long"))
       .drop("w")
-    require(cells.columns.toSeq.distinct.size == cells.columns.length,
-      s"key column names collide with the claimed cell columns " +
-      s"(cnt, w_start): ${cells.columns.mkString(", ")}")
     val keyNames = cells.columns.filterNot(Set("cnt", "w_start").contains).toSeq
     graft.operators.Privacy.noisedCounts(cells, "w_start" +: keyNames, "cnt",
       releaseTag, epsNum, epsDen)

@@ -803,10 +803,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p190.contains("LeftSemi"), "gram tables must semi-join to flagged docs\n" + p190)
     assert(!p190.contains("CartesianProduct"), p190)
     // d191: the ladder inherits d181's all-broadcast posture and the noise
-    // stays a narrow map on top — no SortMergeJoin anywhere in the release
+    // stays a narrow map on top. Assert the INVARIANT (class joins exist
+    // and are all broadcast; no sort-merge, no cartesian) rather than an
+    // exact join count — a benign ladder refactor that adds or merges a
+    // broadcast join is not a posture regression (ADVICE r19)
     val p191 = plan("d191_dp_pipeline")
-    assert("BroadcastHashJoin".r.findAllIn(p191).length == 3 &&
-      !p191.contains("SortMergeJoin"),
+    assert("BroadcastHashJoin".r.findAllIn(p191).length >= 1 &&
+      !p191.contains("SortMergeJoin") && !p191.contains("CartesianProduct") &&
+      !p191.contains("ShuffledHashJoin"),
       "the released ladder must keep the broadcast class joins\n" + p191)
   }
 }

@@ -71,6 +71,8 @@ class WalCrashWindowSpec extends AnyFunSuite {
         assert(post(port, body(2.0, 200L)) == 200)
       }
       // the degrade is sticky for this wal; records were still fsync'd
+      assert(r1.walDirSyncDegraded == Some(true),
+        "a platform refusal must latch the degrade")
       assert(post(port, body(3.0, 300L)) == 200)
       assert(r1.latest == 3L)
     } finally HttpRemoteWriteSource.shutdown(port)
@@ -78,6 +80,36 @@ class WalCrashWindowSpec extends AnyFunSuite {
     val r2 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
       walDir = wal)
     try assert(r2.range(0L, 3L).length == 3)
+    finally HttpRemoteWriteSource.shutdown(port)
+  }
+
+  test("a TRANSIENT directory-open failure does not latch the degrade") {
+    // ADVICE r19: a transient open failure (EMFILE under load, a momentary
+    // EIO) must not permanently weaken the power-loss model — the latch is
+    // reserved for platform INCAPABILITY. The transient failpoint skips
+    // that force (accepts stay 200, loudly logged) and the next group
+    // commit, with the failpoint gone, must actually force the directory
+    // again — observable as the accept succeeding with dir fsync re-armed
+    // and the log intact across a restart.
+    val port = 19508
+    val wal = tmpDir("dirtransient")
+    val r1 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
+      walDir = wal)
+    try {
+      withFailpoint("dir-open-transient") {
+        assert(post(port, body(1.0, 100L)) == 200,
+          "accept must not 500 over a transient directory-fsync failure")
+      }
+      assert(r1.walDirSyncDegraded == Some(false),
+        "a transient failure must NOT latch the platform-incapability degrade")
+      // failpoint cleared: the owed directory epoch retries and succeeds
+      assert(post(port, body(2.0, 200L)) == 200)
+      assert(r1.latest == 2L)
+      assert(r1.walDirSyncDegraded == Some(false))
+    } finally HttpRemoteWriteSource.shutdown(port)
+    val r2 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
+      walDir = wal)
+    try assert(r2.range(0L, 2L).length == 2)
     finally HttpRemoteWriteSource.shutdown(port)
   }
 
