@@ -476,7 +476,7 @@ class StreamOpsSpec extends AnyFunSuite {
         graft.functions.Hll.registers((0L until 60L).toDF("uid"), "uid"))
         .collect().head
       assert(liveEst.getDouble(0) == batchEst.getDouble(0) &&
-        liveEst.getBoolean(2) == batchEst.getBoolean(2),
+        liveEst.getString(2) == batchEst.getString(2),
         s"live=$liveEst batch=$batchEst")
     } finally q.stop()
   }
