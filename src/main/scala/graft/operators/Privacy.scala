@@ -511,10 +511,12 @@ object Privacy {
     *
     * Honesty note: with a PUBLIC tag this is the reproducible-release
     * mechanism, not formal DP — an adversary who knows the tag recomputes
-    * the noise. The DP guarantee holds when the tag carries a secret salt
-    * (a keyed PRF in place of the public hash); this engine fixes the tag
+    * the noise. The DP guarantee needs a secret salt folded into the
+    * digest (a keyed PRF in place of the public hash) —
+    * [[noisedCountsSalted]] is exactly that; this variant fixes the tag
     * so the oracle gate can replay the draw, and the epsilon ledger
-    * ([[composeBudget]]) prices the salted mechanism.
+    * ([[composeBudget]] / [[composeBudgetParallel]]) prices the salted
+    * mechanism identically.
     *
     * Returns `released` plus `noise` and `released_count` =
     * max(0, count + noise) (the non-negativity clamp is post-processing —
@@ -535,7 +537,40 @@ object Privacy {
     */
   def noisedCounts(released: DataFrame, keyCols: Seq[String], countCol: String,
       releaseTag: String, epsNum: Long, epsDen: Long,
-      sensitivity: Long = 1L): DataFrame = {
+      sensitivity: Long = 1L): DataFrame =
+    noisedCountsWithPrefix(released, keyCols, countCol, releaseTag,
+      s"dp:$releaseTag|", epsNum, epsDen, sensitivity)
+
+  /** [[noisedCounts]] with the draw keyed through a SECRET salt — the
+    * keyed-PRF upgrade the public-tag scaladoc defers: folding a salt the
+    * adversary does not hold into the digest makes the draw
+    * computationally unpredictable to them, which is what the formal DP
+    * claim needs (with the public tag, anyone can recompute the noise).
+    * Everything else is identical — same threshold table, same
+    * determinism ("same salt + same tag + same cell" always draws the
+    * same noise, so re-publication still costs no budget), same narrow
+    * map. The salted digest prefix is `dp!<salt>!<tag>|` — disjoint from
+    * every public `dp:` digest by the third byte, and unambiguous because
+    * the salt must be '!'-free ('|'-free too, and non-empty; a salt
+    * ambiguity would let two distinct (salt, tag) pairs share draws).
+    * PrivacySpec pins: same salt => identical draw, distinct salts =>
+    * decorrelated noise, and the public path byte-unchanged. NOTE the
+    * oracle gate can only replay the PUBLIC mechanism (a secret in
+    * checked-in SQL would not be a secret); salted releases verify
+    * through the spec's self-consistency pins instead.
+    */
+  def noisedCountsSalted(released: DataFrame, keyCols: Seq[String],
+      countCol: String, releaseTag: String, salt: String,
+      epsNum: Long, epsDen: Long, sensitivity: Long = 1L): DataFrame = {
+    require(salt.nonEmpty && !salt.contains("|") && !salt.contains("!"),
+      "salt must be non-empty and '|'/'!'-free (it delimits the salted keyspace)")
+    noisedCountsWithPrefix(released, keyCols, countCol, releaseTag,
+      s"dp!$salt!$releaseTag|", epsNum, epsDen, sensitivity)
+  }
+
+  private def noisedCountsWithPrefix(released: DataFrame, keyCols: Seq[String],
+      countCol: String, releaseTag: String, digestPrefix: String,
+      epsNum: Long, epsDen: Long, sensitivity: Long): DataFrame = {
     require(releaseTag.nonEmpty && !releaseTag.contains("|"),
       s"release tag '$releaseTag' must be non-empty and '|'-free (it delimits the keyspace)")
     val claimed = Set("noise", "released_count", "__u24")
@@ -543,7 +578,7 @@ object Privacy {
     require(clash.isEmpty,
       s"released frame already has column(s) ${clash.mkString(", ")} the noise pipeline claims")
     val thr = geometricThresholds(epsNum, epsDen, sensitivity)
-    val u = conv(substring(md5(concat(lit(s"dp:$releaseTag|"),
+    val u = conv(substring(md5(concat(lit(digestPrefix),
       concat_ws("|", keyCols.map(col): _*))), 1, 6), 16, 10).cast("long")
     val noiseCol =
       if (thr.size == 1) lit(thr.head._1)
@@ -556,5 +591,56 @@ object Privacy {
       .withColumn("released_count",
         greatest(lit(0L), col(countCol).cast("long") + col("noise")))
       .drop("__u24")
+  }
+
+  /** Parallel composition of release budgets: the exact rational MAX of
+    * the parts, reduced — the spend when the releases cover DISJOINT
+    * units of adjacency (e.g. per-window event-level releases, where one
+    * event lands in exactly one window: an adjacent dataset differing in
+    * one event differs in one window's release only, so the family's
+    * guarantee is the worst single window, not the sum). The disjointness
+    * is about the ADJACENCY UNIT: per-day releases are parallel for
+    * event-level DP but NOT for user-level DP when one user spans days —
+    * there the unit (a user) touches many windows and [[composeBudget]]'s
+    * sequential sum is the honest ledger.
+    */
+  def composeBudgetParallel(parts: Seq[(Long, Long)]): (Long, Long) = {
+    require(parts.nonEmpty, "no budget parts to compose")
+    parts.foreach { case (pn, pd) =>
+      require(pn >= 0 && pd > 0, s"bad budget part $pn/$pd") }
+    val (n, d) = parts.reduce { (a, b) =>
+      if (BigInt(a._1) * b._2 >= BigInt(b._1) * a._2) a else b
+    }
+    val g = BigInt(n).gcd(BigInt(d))
+    ((BigInt(n) / g).toLong, (BigInt(d) / g).toLong)
+  }
+
+  /** Deterministic per-user contribution bound — the clip that turns a
+    * row-level count release into a USER-LEVEL guarantee: keeps at most
+    * `c` rows per `userCol`, chosen by md5 order of `rowKeyCol` (ties
+    * broken by the key itself), so the kept set is a pure function of the
+    * data — identical across re-runs, shards and dumps, and replayable by
+    * a SQL oracle (the Sampling discipline). After the clip, one user
+    * entering or leaving moves ANY count over the kept rows by at most c,
+    * which is exactly the L1 `sensitivity = c` a [[noisedCounts]] release
+    * over `events`-shaped data (one user, many rows) must charge — noise
+    * calibrated to sensitivity 1 on UNCLIPPED rows under-protects by up
+    * to the user's full row count (PrivacySpec pins the gap).
+    *
+    * Shape: one window partitioned by user (a single corpus shuffle on
+    * the user key — the same shuffle any per-user aggregation pays; rank
+    * c is a top-c per partition-key, so state per user is bounded).
+    */
+  def clipContributions(df: DataFrame, userCol: String, rowKeyCol: String,
+      c: Int): DataFrame = {
+    require(c >= 1, s"contribution bound must be >= 1, got $c")
+    require(!df.columns.contains("__clip_rn"),
+      "the clip claims the internal column __clip_rn — rename it upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(md5(col(rowKeyCol).cast("string")), col(rowKeyCol))
+    df.withColumn("__clip_rn", row_number().over(w))
+      .filter(col("__clip_rn") <= c)
+      .drop("__clip_rn")
   }
 }

@@ -272,8 +272,9 @@ object DataQueries24 {
     * — both engines compare against identical integer literals, so the
     * mechanism is engine-exact by construction.
     */
-  private def dpCase(epsNum: Long, epsDen: Long): String = {
-    val thr = graft.operators.Privacy.geometricThresholds(epsNum, epsDen)
+  private[queries] def dpCase(epsNum: Long, epsDen: Long,
+      sensitivity: Long = 1L): String = {
+    val thr = graft.operators.Privacy.geometricThresholds(epsNum, epsDen, sensitivity)
     // a single-atom table (huge epsilon: noise is always 0 at this
     // resolution) has no WHEN arms, and "CASE ELSE x END" is a syntax
     // error — emit the bare literal

@@ -327,6 +327,26 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("register"), col("rho"))
   }
 
+  /** Per-window quantile sketch (the streaming twin of q53/q54 and the
+    * quantile sibling of [[hllSketch]]/[[countMinSketch]]): one row per
+    * (window, touched log-linear bucket) with its count — the bucket
+    * counts are plain long sums, so per-shard partials and late triggers
+    * merge map-side and across restarts like any counter, and live state
+    * is |windows| x <= ~1.9k rows no matter how many values flow. The
+    * quantile read is [[graft.functions.QSketch.quantileReads]] over one
+    * window's rows (integer state crosses engines exactly; StreamOpsSpec
+    * pins cells == a batch replay and the read == the batch read).
+    * Values must be positive longs (the QSketch contract — the plan
+    * raises otherwise).
+    */
+  def qsketch(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, valueCol: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w"),
+        graft.functions.QSketch.bucketLo(col(valueCol)).as("bucket_lo"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("bucket_lo"), col("cnt"))
+
   /** Live t-closeness cells (the streaming half of the d184/d186 release
     * gate): per event-time tumbling window, one row per (window, qi...,
     * sensitive value) with its count — plain mergeable long sums, so

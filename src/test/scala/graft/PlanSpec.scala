@@ -55,6 +55,10 @@ class PlanSpec extends AnyFunSuite {
       // d192: apportion's remainder-rank window over the noised-bin table
       // (|sensitive bands| rows — value-domain bounded, the d107 shape)
       "d192_dp_consistent",
+      // q54: the cumulative walk over the QSketch bucket table (bounded
+      // by the value DOMAIN at <= ~1.9k rows for any corpus — the d92
+      // histogram-read shape)
+      "q54_qsketch_read",
       "d139_doremi_reweight", "d53_temp_mix",
       // value-domain-bounded rollups: distinct lengths / bins / bands
       "d171_cap_solver", "d26_length_band", "d34_prep_pipeline",
@@ -812,5 +816,32 @@ class PlanSpec extends AnyFunSuite {
       !p191.contains("SortMergeJoin") && !p191.contains("CartesianProduct") &&
       !p191.contains("ShuffledHashJoin"),
       "the released ladder must keep the broadcast class joins\n" + p191)
+  }
+
+  test("d193/d194/q53/q54: clip windows on the user key; sketches stay join-free and broadcast-audited") {
+    // d193: the clip is ONE window PARTITIONED by the user key (the
+    // shuffle any per-user aggregation pays — never an unpartitioned
+    // corpus window), and the noise stays a join-free narrow CASE map
+    val p193 = plan("d193_dp_user_level")
+    assert(p193.contains("windowspecdefinition(user_id"),
+      "the clip must window on the user key\n" + p193)
+    assert(!p193.contains("Join"), "the user-level release must not join\n" + p193)
+    // d194: one corpus aggregation, then bounded-table rollups — no join
+    val p194 = plan("d194_dp_parallel")
+    assert(!p194.contains("Join"), "the parallel ledger must not join\n" + p194)
+    // q53: the sketch state is ONE hash aggregation (map-side partials
+    // into <= ~1.9k buckets) — no join, no window, no corpus sort
+    val p53 = plan("q53_qsketch_state")
+    assert(p53.contains("HashAggregate") && !p53.contains("Join") &&
+      !p53.contains("windowspecdefinition"),
+      "the sketch state must be one hash aggregation\n" + p53)
+    // q54: the containment audit joins the corpus ONCE against the
+    // broadcast 5-row quantile table (BroadcastNestedLoopJoin on the
+    // bounded side) — no SortMergeJoin, no corpus sort; the only window
+    // is the cumulative walk over the bounded bucket table
+    val p54 = plan("q54_qsketch_read")
+    assert(p54.contains("BroadcastNestedLoopJoin") &&
+      !p54.contains("SortMergeJoin") && !p54.contains("CartesianProduct"),
+      "the audit must broadcast the bounded quantile table\n" + p54)
   }
 }

@@ -441,6 +441,99 @@ class PrivacySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Privacy.composeBudget(Seq((1L, 0L))))
   }
 
+  test("composeBudgetParallel: disjoint-window releases spend the max, not the sum") {
+    // three per-window releases at 1/2, 1/4, 1/2 over disjoint event
+    // populations: the family's guarantee is the worst window, 1/2 —
+    // where the sequential ledger would charge 5/4 (the d194 point)
+    val parts = Seq((1L, 2L), (1L, 4L), (1L, 2L))
+    assert(Privacy.composeBudgetParallel(parts) == ((1L, 2L)))
+    assert(Privacy.composeBudget(parts) == ((5L, 4L)))
+    // exact rational compare (no float): 3/7 > 2/5; result reduced
+    assert(Privacy.composeBudgetParallel(Seq((2L, 5L), (3L, 7L))) == ((3L, 7L)))
+    assert(Privacy.composeBudgetParallel(Seq((2L, 4L))) == ((1L, 2L)))
+    intercept[IllegalArgumentException](Privacy.composeBudgetParallel(Seq.empty))
+    intercept[IllegalArgumentException](
+      Privacy.composeBudgetParallel(Seq((1L, 0L))))
+  }
+
+  test("noisedCountsSalted: same salt same draw, distinct salts decorrelate, public path untouched") {
+    val s = spark
+    import s.implicits._
+    val cells = (0 until 16).map(i => (s"k$i", 100L + i)).toDF("k", "cnt")
+    def draws(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val pub = draws(Privacy.noisedCounts(cells, Seq("k"), "cnt", "t", 1L, 2L))
+    val s1 = draws(Privacy.noisedCountsSalted(cells, Seq("k"), "cnt", "t",
+      "alpha", 1L, 2L))
+    val s1b = draws(Privacy.noisedCountsSalted(cells, Seq("k"), "cnt", "t",
+      "alpha", 1L, 2L))
+    val s2 = draws(Privacy.noisedCountsSalted(cells, Seq("k"), "cnt", "t",
+      "beta", 1L, 2L))
+    // (a) same salt => the identical draw (re-publication costs no budget)
+    assert(s1 == s1b)
+    // (b) distinct salts => decorrelated noise (16 cells: identical draw
+    // vectors would mean the salt never reached the digest)
+    assert(s1 != s2, s"salts alpha/beta drew identically: $s1")
+    // (c) the public path is byte-unchanged and disjoint from the salted
+    // keyspace (prefix dp: vs dp!)
+    assert(pub == draws(Privacy.noisedCounts(cells, Seq("k"), "cnt", "t", 1L, 2L)))
+    assert(pub != s1, "salted draw must not coincide with the public draw")
+    // (d) malformed salts refused: the delimiters would make two distinct
+    // (salt, tag) pairs share a keyspace
+    intercept[IllegalArgumentException](Privacy.noisedCountsSalted(
+      cells, Seq("k"), "cnt", "t", "", 1L, 2L))
+    intercept[IllegalArgumentException](Privacy.noisedCountsSalted(
+      cells, Seq("k"), "cnt", "t", "a|b", 1L, 2L))
+    intercept[IllegalArgumentException](Privacy.noisedCountsSalted(
+      cells, Seq("k"), "cnt", "t", "a!b", 1L, 2L))
+  }
+
+  test("clipContributions: deterministic md5-order top-c; unclipped releases under-protect") {
+    val s = spark
+    import s.implicits._
+    // user 1 contributes FIVE 'x' events; users 2/3 are small
+    val ev = Seq(
+      (1L, 101L, "x"), (1L, 102L, "x"), (1L, 103L, "x"), (1L, 104L, "x"),
+      (1L, 105L, "x"), (2L, 201L, "x"), (2L, 202L, "y"), (3L, 301L, "y"))
+      .toDF("user_id", "event_id", "event_type")
+    val clipped = Privacy.clipContributions(ev, "user_id", "event_id", 3)
+    val kept = clipped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-user cap holds; small users keep everything
+    assert(kept.count(_._1 == 1L) == 3 && kept.count(_._1 == 2L) == 2 &&
+      kept.count(_._1 == 3L) == 1, kept.toString)
+    // the kept set is the md5-order top-3 — a plain-JVM replay agrees
+    // (the oracle's ORDER BY md5(CAST(event_id AS VARCHAR)))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect1 = Seq(101L, 102L, 103L, 104L, 105L)
+      .sortBy(id => (md5hex(id.toString), id)).take(3).toSet
+    assert(kept.filter(_._1 == 1L).map(_._2) == expect1)
+    // determinism across re-runs (same plan, same draw — the clip is a
+    // pure function of the data)
+    assert(Privacy.clipContributions(ev, "user_id", "event_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == kept)
+    // the sensitivity pin: removing user 1 moves the 'x' cell by 5 on
+    // UNCLIPPED rows (noise at sensitivity 1 or even 3 under-protects)
+    // but by exactly c = 3 after the clip — the L1 bound the d193
+    // release charges
+    def hist(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val without1 = ev.filter(col("user_id") =!= 1L)
+    val unclippedDelta =
+      (hist(ev).getOrElse("x", 0L) - hist(without1).getOrElse("x", 0L))
+    val clippedDelta =
+      (hist(clipped).getOrElse("x", 0L) -
+        hist(Privacy.clipContributions(without1, "user_id", "event_id", 3))
+          .getOrElse("x", 0L))
+    assert(unclippedDelta == 5L, s"user 1 moves the unclipped cell by $unclippedDelta")
+    assert(clippedDelta == 3L, s"the clip must bound user 1's movement to 3, got $clippedDelta")
+    intercept[IllegalArgumentException](
+      Privacy.clipContributions(ev, "user_id", "event_id", 0))
+  }
+
   test("lDiversity: distinct sensitive values per class") {
     val out = Privacy.lDiversity(df, Seq(col("g")), col("sens"), l = 3)
       .collect().map(r => (r.getString(0),

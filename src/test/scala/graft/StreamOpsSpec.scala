@@ -481,6 +481,50 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live quantile-sketch buckets merge across triggers; the read matches batch (q53/q54 twin)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamOps.qsketch(ms.toDF().toDF("et", "v"),
+        "et", "5 seconds", "10 seconds", "v")
+      .writeStream.format("memory").queryName("qsk_out")
+      .outputMode("append").start()
+    try {
+      // values 1..500 in window [0,10), split across two triggers —
+      // bucket counts must ADD across triggers (the sum merge law)
+      ms.addData((1L to 300L).map(v => (ts(1), v)): _*)
+      q.processAllAvailable()
+      ms.addData((301L to 500L).map(v => (ts(7), v)): _*)
+      q.processAllAvailable()
+      ms.addData((ts(30), 999L)) // advance watermark past window end
+      q.processAllAvailable()
+      val liveCells = spark.table("qsk_out")
+        .filter(col("w_start") === lit(new Timestamp(0L)))
+        .select("bucket_lo", "cnt")
+      val live = liveCells.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.functions.QSketch.sketch((1L to 500L).toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live == batch && live.nonEmpty, s"live=$live batch=$batch")
+      // the quantile read over the emitted window cells equals the batch
+      // read of the same values (bounded-table algebra only)
+      val liveRead = graft.functions.QSketch.quantileReads(liveCells, Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batchRead = graft.functions.QSketch.quantileReads(
+          graft.functions.QSketch.sketch((1L to 500L).toDF("v"), "v"), Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(liveRead == batchRead && liveRead.nonEmpty,
+        s"live=$liveRead batch=$batchRead")
+      // containment sanity on the known population: the exact median 250
+      // and the exact p90 450 sit inside their buckets
+      assert(liveRead(0.5)._1 <= 250L && 250L <= liveRead(0.5)._2)
+      assert(liveRead(0.9)._1 <= 450L && 450L <= liveRead(0.9)._2)
+    } finally q.stop()
+  }
+
   test("live noised release: per-window noised counts equal a batch replay (d188 twin)") {
     val s = spark
     import s.implicits._
