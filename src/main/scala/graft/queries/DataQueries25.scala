@@ -150,6 +150,35 @@ object DataQueries25 {
           (col("n_below_lo") < col("target") &&
             col("n_thru_hi") >= col("target")).as("contains_exact"))
         .orderBy("q")
+    },
+
+    // sketch mergeability, oracle-checked (the q48 pattern applied to the
+    // quantile trio member): one sketch per SHARD (even/odd order keys —
+    // at 100 TB each executor/day builds its own), merged by SUMMING
+    // bucket counts, proven bucket-identical to the whole-corpus build
+    // through a FULL join (a bucket present on one side only would
+    // surface as merge_exact = false, not vanish). This is the linearity
+    // that lets per-shard quantile states ship as tiny artifacts and fold
+    // later — stated as per-bucket booleans the oracle replays, not prose.
+    "q55_qsketch_merge" -> { (s, dir) =>
+      val cents = graft.sources.Caches.ephemeral(
+        lineitem(s, dir).select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents")))
+      val a = graft.functions.QSketch.sketch(
+        cents.filter(col("l_orderkey") % 2 === 0), "cents")
+      val b = graft.functions.QSketch.sketch(
+        cents.filter(col("l_orderkey") % 2 === 1), "cents")
+      val merged = a.unionByName(b)
+        .groupBy("bucket_lo").agg(sum(col("cnt")).as("cnt_merged"))
+      val whole = graft.functions.QSketch.sketch(cents, "cents")
+        .withColumnRenamed("cnt", "cnt_whole")
+      merged.join(whole, Seq("bucket_lo"), "full")
+        .select(col("bucket_lo"),
+          coalesce(col("cnt_merged"), lit(0L)).as("cnt_merged"),
+          coalesce(col("cnt_whole"), lit(0L)).as("cnt_whole"),
+          (coalesce(col("cnt_merged"), lit(0L)) ===
+            coalesce(col("cnt_whole"), lit(0L))).as("merge_exact"))
+        .orderBy("bucket_lo")
     })
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +240,24 @@ object DataQueries25 {
           |    AS contains_exact
           |FROM vals v CROSS JOIN reads r
           |GROUP BY r.q, r.lo, r.hi, r.target
-          |ORDER BY r.q""".stripMargin))
+          |ORDER BY r.q""".stripMargin),
+
+    "q55_qsketch_merge" ->
+      (s"""WITH vk AS (SELECT l_orderkey,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |va AS (SELECT cents FROM vk WHERE l_orderkey % 2 = 0),
+         |vb AS (SELECT cents FROM vk WHERE l_orderkey % 2 = 1),
+         |""".stripMargin +
+        s"${QSketchOracles.stateCteOver("va", "sa")},\n" +
+        s"${QSketchOracles.stateCteOver("vb", "sb")},\n" +
+        s"${QSketchOracles.stateCteOver("vk", "whole")},\n" +
+        """merged AS (SELECT bucket_lo, CAST(sum(cnt) AS BIGINT) AS cnt_merged
+          |  FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1)
+          |SELECT coalesce(m.bucket_lo, w.bucket_lo) AS bucket_lo,
+          |  coalesce(m.cnt_merged, 0) AS cnt_merged,
+          |  coalesce(w.cnt, 0) AS cnt_whole,
+          |  coalesce(m.cnt_merged, 0) = coalesce(w.cnt, 0) AS merge_exact
+          |FROM merged m FULL JOIN whole w ON m.bucket_lo = w.bucket_lo
+          |ORDER BY 1""".stripMargin))
 }

@@ -26,6 +26,17 @@ private[queries] object QSketchOracles {
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM b GROUP BY 1)""".stripMargin
 
+  /** One named state CTE over any relation exposing a `cents` column —
+    * the q55 merge oracle builds three of these (two shards + the whole)
+    * from the same constants.
+    */
+  def stateCteOver(valsRel: String, stateName: String): String =
+    s"""$stateName AS (SELECT (v >> s) << s AS bucket_lo,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT cents AS v,
+       |      greatest(length(bin(cents)) - ${1 + K}, 0) AS s FROM $valsRel)
+       |  GROUP BY 1)""".stripMargin
+
   /** state -> reads(q, lo, hi, target): cumulative walk over the bounded
     * bucket table, first bucket reaching the target rank, upper edge
     * recovered from lo's own bit length.

@@ -228,6 +228,48 @@ class RestartRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("per-window quantile-sketch buckets sum across stop + resume (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    withRocksDb {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val ckpt = tempDir("graft-qsk-ckpt-")
+      val out = tempDir("graft-qsk-out-")
+      val ms = MemoryStream[(Timestamp, Long)](spark)
+      def start() =
+        StreamOps.qsketch(ms.toDF().toDF("et", "v"),
+            "et", "5 seconds", "10 seconds", "v")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+
+      // run 1: values 1-300 land in window [0,10); the watermark never
+      // reaches the window end, so the bucket counts live ONLY in state
+      val q1 = start()
+      ms.addData((1L to 300L).map(v => (ts(1), v)): _*)
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2: resume; values 301-500 join the SAME window (their counts
+      // must SUM into the recovered buckets — a fresh store would hold
+      // only the post-restart half), then a late row closes the window
+      val q2 = start()
+      try {
+        ms.addData((301L to 500L).map(v => (ts(7), v)): _*)
+        q2.processAllAvailable()
+        ms.addData((ts(30), 999L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val expect = graft.functions.QSketch.sketch((1L to 500L).toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect && got.nonEmpty,
+        s"recovered buckets must equal the batch build of ALL 500 values")
+    }
+  }
+
   test("noised release replays identical noise across stop + resume (RocksDB)") {
     val s = spark
     import s.implicits._
