@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * private; this is a quantile sketch whose state table itself crosses a
   * SQL oracle hash-exactly and merges like any aggregate.
   *
-  * Design: log-linear value buckets (the DDSketch shape, computed WITHOUT
-  * floats so both engines agree to the bit). For a positive long v with
+  * Design: log-linear value buckets — the DDSketch family's shape
+  * (Masson, Rim, Lee, "DDSketch: a fast and fully-mergeable quantile
+  * sketch with relative-error guarantees", VLDB'19) with the log-gamma
+  * bucket map replaced by EXACT base-2 bit arithmetic so both engines
+  * agree to the bit (a float log at a bucket boundary can round
+  * differently across libm implementations; bit length cannot). For a
+  * positive long v with
   * bit length L = length(bin(v)) and shift s = max(L - 1 - [[SubBits]], 0),
   * the bucket is [lo, lo + 2^s - 1] with lo = (v >> s) << s — i.e. v's
   * top SubBits+1 bits kept, the rest zeroed. Values below 2^(SubBits+1)
