@@ -57,17 +57,85 @@ object QSketch {
     val checked = when(v <= 0L, raise_error(concat(
         lit("QSketch requires positive values, got "), v.cast("string"))))
       .otherwise(v)
-    val s = greatest(length(bin(checked)).cast("int") - lit(1 + SubBits), lit(0))
-    call_function("shiftleft", call_function("shiftright", checked, s), s)
+    posLo(checked)
+  }
+
+  /** [[bucketLo]] without the positivity gate — shared by the signed
+    * variant, which routes only magnitudes (> 0) here.
+    */
+  private def posLo(v: Column): Column = {
+    val s = greatest(length(bin(v)).cast("int") - lit(1 + SubBits), lit(0))
+    call_function("shiftleft", call_function("shiftright", v, s), s)
   }
 
   /** The bucket's upper edge from its lower edge: lo + 2^s - 1, where the
     * shift is recoverable from lo's own bit length (lo keeps exactly
     * SubBits+1 significant bits above the zeroed tail).
     */
-  def bucketHi(lo: Column): Column = {
+  def bucketHi(lo: Column): Column = lo + posWidth(lo) - lit(1L)
+
+  private def posWidth(lo: Column): Column = {
     val s = greatest(length(bin(lo)).cast("int") - lit(1 + SubBits), lit(0))
-    lo + call_function("shiftleft", lit(1L), s) - lit(1L)
+    call_function("shiftleft", lit(1L), s)
+  }
+
+  /** SIGNED bucket key — the full-axis variant for values that can be
+    * negative or zero (account deltas, score diffs): positives keep
+    * [[bucketLo]] as the key, zero is its own singleton bucket with key
+    * 0, and a negative v takes key -bucketLo(-v) — the MIRRORED bucket's
+    * upper edge, so keys sort in VALUE order across the whole axis
+    * (bucket [-103, -100] has key -100 < key -96 of [-99, -96] < 0 <
+    * 96 of [96, 99]) and the cumulative quantile walk needs no
+    * sign-special-casing. The relative-width guarantee holds per
+    * magnitude: |hi - lo| / |v| <= 2^-SubBits for |v| >= 2^(SubBits+1),
+    * exact singletons below (and at zero).
+    */
+  def bucketKeySigned(v: Column): Column =
+    when(v > 0L, posLo(v))
+      .when(v === 0L, lit(0L))
+      .otherwise(-posLo(-v))
+
+  /** The signed bucket's [low, high] edges from its key. */
+  def edgesSigned(key: Column): (Column, Column) = {
+    val lo = when(key > 0L, key)
+      .when(key === 0L, lit(0L))
+      .otherwise(-bucketHi(-key))
+    val hi = when(key > 0L, bucketHi(key))
+      .when(key === 0L, lit(0L))
+      .otherwise(key)
+    (lo, hi)
+  }
+
+  /** [[sketch]] over a signed long column: one row per touched signed
+    * bucket, (bucket_key, cnt), same one-aggregation shape and the same
+    * add-counts merge law.
+    */
+  def sketchSigned(df: DataFrame, valueCol: String): DataFrame =
+    df.select(bucketKeySigned(col(valueCol)).as("bucket_key"))
+      .groupBy("bucket_key").agg(count(lit(1)).as("cnt"))
+
+  /** [[quantileReads]] over a signed state: identical cumulative walk
+    * (keys already sort in value order), edges from [[edgesSigned]].
+    */
+  def quantileReadsSigned(state: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got ${qs.mkString(", ")}")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = state.agg(sum(col("cnt")).as("n")) // one row
+    val qdf = qs.toDF("q")
+    val (loE, hiE) = edgesSigned(col("key"))
+    state.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot)) // one-row stat broadcast (bounded)
+      .crossJoin(broadcast(qdf)) // |qs| rows (bounded)
+      .withColumn("target",
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+      .filter(col("cum") >= col("target"))
+      .groupBy("q", "target").agg(min(col("bucket_key")).as("key"))
+      .select(col("q"), loE.as("lo"), hiE.as("hi"), col("target"))
   }
 
   /** The bounded sketch state of `df`'s positive long column `valueCol`:

@@ -31,6 +31,7 @@ object DataQueries25 {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
   private def lineitem(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def customer(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
 
   /** d193's contribution bound: each user keeps at most this many events
     * (md5-ordered), and the release charges exactly this L1 sensitivity.
@@ -48,6 +49,9 @@ object DataQueries25 {
 
   /** q54's audited quantiles, shared with the oracle text. */
   private val Quantiles = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** q56's audited quantiles — 0.05 lands in c_acctbal's negative range. */
+  private val SignedQuantiles = Seq(0.05, 0.25, 0.5, 0.9)
 
   val queries: Map[String, Q] = Map[String, Q](
     // user-level DP release over events: clip each user to its ClipC
@@ -179,6 +183,30 @@ object DataQueries25 {
           (coalesce(col("cnt_merged"), lit(0L)) ===
             coalesce(col("cnt_whole"), lit(0L))).as("merge_exact"))
         .orderBy("bucket_lo")
+    },
+
+    // the SIGNED quantile sketch over account balances — c_acctbal spans
+    // -999.99..9999.41, so q = 0.05 lands in the NEGATIVE range: bucket
+    // keys mirror through the magnitude (sign * posLo(|v|); keys sort in
+    // value order, so the cumulative walk is sign-blind) and the q54
+    // containment audit applies unchanged — rank(v < lo) < target <=
+    // rank(v <= hi), two conditional counts, no corpus sort. Relative
+    // width <= 2^-5 per magnitude; values under 64 cents (either sign)
+    // and zero are exact singletons.
+    "q56_qsketch_signed" -> { (s, dir) =>
+      val vals = graft.sources.Caches.ephemeral(
+        customer(s, dir).select(
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents")))
+      val reads = graft.functions.QSketch.quantileReadsSigned(
+        graft.functions.QSketch.sketchSigned(vals, "cents"), SignedQuantiles)
+      val audited = vals.crossJoin(broadcast(reads))
+        .groupBy("q", "lo", "hi", "target")
+        .agg(sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_below_lo"),
+          sum(when(col("cents") <= col("hi"), 1L).otherwise(0L)).as("n_thru_hi"))
+      audited.select(col("q"), col("lo"), col("hi"), col("target"),
+          (col("n_below_lo") < col("target") &&
+            col("n_thru_hi") >= col("target")).as("contains_exact"))
+        .orderBy("q")
     })
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +287,19 @@ object DataQueries25 {
           |  coalesce(w.cnt, 0) AS cnt_whole,
           |  coalesce(m.cnt_merged, 0) = coalesce(w.cnt, 0) AS merge_exact
           |FROM merged m FULL JOIN whole w ON m.bucket_lo = w.bucket_lo
-          |ORDER BY 1""".stripMargin))
+          |ORDER BY 1""".stripMargin),
+
+    "q56_qsketch_signed" ->
+      (s"""WITH vals AS (SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+         |    AS cents FROM customer),
+         |""".stripMargin +
+        s"${QSketchOracles.signedStateCtes},\n" +
+        s"${QSketchOracles.signedReadCtes(SignedQuantiles)}\n" +
+        """SELECT r.q, r.lo, r.hi, r.target,
+          |  (sum(CASE WHEN v.cents < r.lo THEN 1 ELSE 0 END) < r.target AND
+          |   sum(CASE WHEN v.cents <= r.hi THEN 1 ELSE 0 END) >= r.target)
+          |    AS contains_exact
+          |FROM vals v CROSS JOIN reads r
+          |GROUP BY r.q, r.lo, r.hi, r.target
+          |ORDER BY r.q""".stripMargin))
 }

@@ -37,6 +37,40 @@ private[queries] object QSketchOracles {
        |      greatest(length(bin(cents)) - ${1 + K}, 0) AS s FROM $valsRel)
        |  GROUP BY 1)""".stripMargin
 
+  /** The SIGNED variant's CTEs over a relation exposing a `cents` column:
+    * bucket keys mirror through the magnitude (key = sign * posLo(|v|);
+    * zero falls out of the same formula since bin(0) has length 1), so
+    * keys sort in value order and the read walk needs no sign cases.
+    */
+  val signedStateCtes: String =
+    s"""b AS (SELECT cents, abs(cents) AS a,
+       |    greatest(length(bin(abs(cents))) - ${1 + K}, 0) AS s FROM vals),
+       |state AS (SELECT CASE WHEN cents >= 0 THEN (a >> s) << s
+       |                      ELSE -((a >> s) << s) END AS bucket_key,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1)""".stripMargin
+
+  /** signed state -> reads(q, lo, hi, target): same cumulative walk, with
+    * the bucket edges recovered sign-aware from the key's magnitude.
+    */
+  def signedReadCtes(qs: Seq[Double]): String = {
+    val width = s"(CAST(1 AS BIGINT) << greatest(length(bin(abs(key))) - ${1 + K}, 0))"
+    s"""tot AS (SELECT sum(cnt) AS n FROM state),
+       |cumt AS (SELECT bucket_key, sum(cnt) OVER (ORDER BY bucket_key) AS cum
+       |  FROM state),
+       |qs AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS DOUBLE) AS q),
+       |tgt AS (SELECT q, greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(q * n) AS BIGINT)) AS target FROM qs CROSS JOIN tot),
+       |ch AS (SELECT t.q, t.target, min(c.bucket_key) AS key
+       |  FROM tgt t JOIN cumt c ON c.cum >= t.target GROUP BY 1, 2),
+       |reads AS (SELECT q,
+       |    CASE WHEN key > 0 THEN key WHEN key = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE -((-key) + $width - 1) END AS lo,
+       |    CASE WHEN key > 0 THEN key + $width - 1
+       |         WHEN key = 0 THEN CAST(0 AS BIGINT) ELSE key END AS hi,
+       |    target FROM ch)""".stripMargin
+  }
+
   /** state -> reads(q, lo, hi, target): cumulative walk over the bounded
     * bucket table, first bucket reaching the target rank, upper edge
     * recovered from lo's own bit length.

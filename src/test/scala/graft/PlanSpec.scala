@@ -55,10 +55,10 @@ class PlanSpec extends AnyFunSuite {
       // d192: apportion's remainder-rank window over the noised-bin table
       // (|sensitive bands| rows — value-domain bounded, the d107 shape)
       "d192_dp_consistent",
-      // q54: the cumulative walk over the QSketch bucket table (bounded
-      // by the value DOMAIN at <= ~1.9k rows for any corpus — the d92
-      // histogram-read shape)
-      "q54_qsketch_read",
+      // q54/q56: the cumulative walk over the QSketch bucket table
+      // (bounded by the value DOMAIN at <= ~1.9k rows — ~3.8k signed —
+      // for any corpus: the d92 histogram-read shape)
+      "q54_qsketch_read", "q56_qsketch_signed",
       "d139_doremi_reweight", "d53_temp_mix",
       // value-domain-bounded rollups: distinct lengths / bins / bands
       "d171_cap_solver", "d26_length_band", "d34_prep_pipeline",

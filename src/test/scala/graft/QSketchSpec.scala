@@ -81,6 +81,44 @@ class QSketchSpec extends AnyFunSuite {
     assert(reads(1.0)._1 <= 1000L && 1000L <= reads(1.0)._2)
   }
 
+  test("signed buckets: keys sort in value order, edges mirror, reads contain the exact value") {
+    val s = spark
+    import s.implicits._
+    // mixed-sign population incl. zero and sub-singleton magnitudes
+    val vals = (-500L to 500L) ++ Seq(-99999L, 99999L, 0L, -63L, 63L)
+    val keyed = vals.toDF("v")
+      .select(col("v"), QSketch.bucketKeySigned(col("v")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def jvmKey(v: Long): Long = {
+      if (v == 0L) 0L
+      else {
+        val a = math.abs(v)
+        val s0 = math.max((64 - java.lang.Long.numberOfLeadingZeros(a)) - 1 - QSketch.SubBits, 0)
+        val lo = (a >> s0) << s0
+        if (v > 0) lo else -lo
+      }
+    }
+    vals.foreach(v => assert(keyed(v) == jvmKey(v), s"v=$v key ${keyed(v)} != ${jvmKey(v)}"))
+    // keys are monotone in the value: sorting by key never reorders values
+    // across bucket boundaries (the property the sign-blind walk needs)
+    val pairs = vals.distinct.sorted.map(v => (v, keyed(v)))
+    pairs.sliding(2).foreach { case Seq((v1, k1), (v2, k2)) =>
+      assert(k1 <= k2, s"keys must be monotone: v=$v1 k=$k1 vs v=$v2 k=$k2")
+    case _ => }
+    // containment on the mixed-sign population, incl. a quantile that
+    // lands in the negatives
+    val reads = QSketch.quantileReadsSigned(
+        QSketch.sketchSigned(vals.toDF("v"), "v"), Seq(0.1, 0.5, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sorted = vals.sorted
+    reads.foreach { case (q, (lo, hi, target)) =>
+      val exact = sorted((target - 1).toInt)
+      assert(lo <= exact && exact <= hi, s"q=$q: exact $exact outside [$lo, $hi]")
+    }
+    assert(reads(0.1)._2 < 0L, "q=0.1 must land in a negative bucket")
+  }
+
   test("non-positive values are refused in-plan") {
     val s = spark
     import s.implicits._
