@@ -249,6 +249,53 @@ object StreamOps {
       }
   }
 
+  final case class ContribEvent(user_id: Long, event_id: Long, ts_ms: Long)
+
+  final case class ContribKept(user_id: Long, event_id: Long, ts_ms: Long,
+      kept_rank: Int)
+
+  /** Live per-user contribution cap (the streaming half of d193's
+    * user-level DP pipeline / `Privacy.clipContributions`): each user's
+    * first `c` events pass, everything after is dropped — one Int of
+    * GroupState per live user, hash-partitioned by the groupByKey
+    * shuffle, so a live `noisedRelease` over the survivors keeps the
+    * user-level L1 sensitivity <= c that its noise is calibrated for.
+    *
+    * Semantics honesty (the [[funnelState]] precedent): the live cap
+    * keeps the first c by PROCESSING order (event-time-ordered within a
+    * trigger, arrival-ordered across triggers), while the batch
+    * `clipContributions` keeps the md5-order top-c retrospectively — the
+    * KEPT SETS can differ between live and replay, but the property the
+    * DP release needs (at most c rows per user, so one user moves any
+    * count by at most c) holds identically on both paths. Use the batch
+    * clip where the release must be replayable cell-exactly; use this
+    * where the release is live.
+    */
+  def clipRoute(ds: org.apache.spark.sql.Dataset[ContribEvent],
+      c: Int): org.apache.spark.sql.Dataset[ContribKept] = {
+    require(c >= 1, s"contribution bound must be >= 1, got $c")
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val outEnc = E.product[ContribKept]
+    implicit val stEnc = E.scalaInt
+    implicit val keyEnc = E.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[ContribEvent],
+            state: org.apache.spark.sql.streaming.GroupState[Int]) =>
+          var n = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ContribKept]
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            if (n < c) {
+              n += 1
+              out += ContribKept(user, e.event_id, e.ts_ms, n)
+            }
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Per-window mergeable histogram sketch (the streaming twin of d92): a
     * fixed `nBins`-bin width-`binWidth` histogram of `valueCol` per
     * event-time tumbling window — the length/latency monitor a streaming

@@ -312,6 +312,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clip route: the live per-user cap holds across triggers (d193's streaming half)") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamOps.ContribEvent
+    val ms = MemoryStream[ContribEvent](spark)
+    val q = StreamOps.clipRoute(ms.toDS(), c = 3)
+      .writeStream.format("memory").queryName("clip_out")
+      .outputMode("append").start()
+    try {
+      // trigger 1: user 1 sends two events (out of ts order — processed
+      // event-time-ordered within the trigger), user 2 sends one
+      ms.addData(ContribEvent(1L, 102L, 20L), ContribEvent(1L, 101L, 10L),
+        ContribEvent(2L, 201L, 10L))
+      q.processAllAvailable()
+      // trigger 2: user 1 sends three more — only ONE may pass (state
+      // carries the count 2 across triggers; a fresh store would leak
+      // two extra rows and break the sensitivity bound)
+      ms.addData(ContribEvent(1L, 103L, 30L), ContribEvent(1L, 104L, 40L),
+        ContribEvent(1L, 105L, 50L))
+      q.processAllAvailable()
+      val rows = spark.table("clip_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(rows == Set(
+        (1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3), (2L, 201L, 1)),
+        rows.mkString(","))
+      // the DP-relevant invariant: no user exceeds c kept rows — the
+      // user-level sensitivity a live noisedRelease over these survivors
+      // charges (the kept SET may differ from the batch md5-order clip;
+      // the BOUND may not)
+      val perUser = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(perUser.values.forall(_ <= 3), perUser.toString)
+    } finally q.stop()
+  }
+
   test("histogram sketch: per-window bin counts merge across triggers and clamp the top bin") {
     val s = spark
     import s.implicits._
