@@ -185,6 +185,36 @@ object DataQueries25 {
         .orderBy("bucket_lo")
     },
 
+    // HLL merge law, oracle-checked — and stronger than q55's: the two
+    // shards deliberately OVERLAP (event ids ≡ 0,1 mod 3 vs ≡ 1,2 mod 3
+    // — together covering everything, sharing the ≡1 third), because the
+    // register-wise MAX merge is IDEMPOTENT: re-delivered or
+    // double-sharded rows cannot inflate the sketch, the property that
+    // lets at-least-once pipelines ship per-shard HLL states without
+    // exactly-once plumbing. Count-min (q48) genuinely cannot make this
+    // claim — its counts ADD, so its shards must partition rows — which
+    // is why both laws are pinned separately. FULL join against the
+    // whole-corpus build; any divergent register surfaces as
+    // merge_exact = false.
+    "q57_hll_merge" -> { (s, dir) =>
+      val ev = graft.sources.Caches.ephemeral(events(s, dir))
+      val a = graft.functions.Hll.registers(
+        ev.filter(col("event_id") % 3 <= 1), "user_id")
+      val b = graft.functions.Hll.registers(
+        ev.filter(col("event_id") % 3 >= 1), "user_id")
+      val merged = a.unionByName(b)
+        .groupBy("register").agg(max(col("rho")).as("rho_merged"))
+      val whole = graft.functions.Hll.registers(ev, "user_id")
+        .withColumnRenamed("rho", "rho_whole")
+      merged.join(whole, Seq("register"), "full")
+        .select(col("register"),
+          coalesce(col("rho_merged"), lit(0L)).as("rho_merged"),
+          coalesce(col("rho_whole"), lit(0L)).as("rho_whole"),
+          (coalesce(col("rho_merged"), lit(0L)) ===
+            coalesce(col("rho_whole"), lit(0L))).as("merge_exact"))
+        .orderBy("register")
+    },
+
     // the SIGNED quantile sketch over account balances — c_acctbal spans
     // -999.99..9999.41, so q = 0.05 lands in the NEGATIVE range: bucket
     // keys mirror through the magnitude (sign * posLo(|v|); keys sort in
@@ -209,7 +239,36 @@ object DataQueries25 {
         .orderBy("q")
     })
 
+  /** One named HLL register-table CTE chain over a relation exposing a
+    * `user_id` column — the q57 merge oracle builds three (two
+    * overlapping shards + the whole) from the q49 arithmetic.
+    */
+  private def hllRegOver(rel: String, name: String): String =
+    s"""${name}_v AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS v FROM $rel),
+       |${name}_r AS (SELECT v % 256 AS register,
+       |    CASE WHEN v // 256 = 0 THEN 53
+       |         ELSE 53 - length(bin(v // 256)) END AS rho
+       |  FROM ${name}_v),
+       |$name AS (SELECT register, CAST(max(rho) AS BIGINT) AS rho
+       |  FROM ${name}_r GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q57_hll_merge" ->
+      (s"""WITH va AS (SELECT user_id FROM events WHERE event_id % 3 <= 1),
+         |vb AS (SELECT user_id FROM events WHERE event_id % 3 >= 1),
+         |""".stripMargin +
+        s"${hllRegOver("va", "ra")},\n" +
+        s"${hllRegOver("vb", "rb")},\n" +
+        s"${hllRegOver("events", "whole")},\n" +
+        """merged AS (SELECT register, CAST(max(rho) AS BIGINT) AS rho_merged
+          |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1)
+          |SELECT coalesce(m.register, w.register) AS register,
+          |  coalesce(m.rho_merged, 0) AS rho_merged,
+          |  coalesce(w.rho, 0) AS rho_whole,
+          |  coalesce(m.rho_merged, 0) = coalesce(w.rho, 0) AS merge_exact
+          |FROM merged m FULL JOIN whole w ON m.register = w.register
+          |ORDER BY 1""".stripMargin),
     "d193_dp_user_level" ->
       s"""WITH kept AS (SELECT event_type FROM (
          |    SELECT event_type, row_number() OVER (PARTITION BY user_id
