@@ -89,6 +89,12 @@ object QSketch {
     * sign-special-casing. The relative-width guarantee holds per
     * magnitude: |hi - lo| / |v| <= 2^-SubBits for |v| >= 2^(SubBits+1),
     * exact singletons below (and at zero).
+    *
+    * Domain edge: Long.MinValue has no positive magnitude (-v wraps) —
+    * values scaled from doubles (the cents pattern) cannot reach it, but
+    * a caller feeding raw ids should know |v| <= Long.MaxValue is the
+    * contract (the SQL-oracle abs() errors on the same input, so the two
+    * engines refuse together rather than diverge).
     */
   def bucketKeySigned(v: Column): Column =
     when(v > 0L, posLo(v))
