@@ -394,6 +394,18 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("bucket_lo"), col("cnt"))
 
+  /** [[qsketch]] for signed/zero values (q56's live twin): same windowed
+    * count aggregation over the SIGNED bucket key, read per window by
+    * [[graft.functions.QSketch.quantileReadsSigned]].
+    */
+  def qsketchSigned(df: DataFrame, eventTimeCol: String, delay: String,
+      width: String, valueCol: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width).as("w"),
+        graft.functions.QSketch.bucketKeySigned(col(valueCol)).as("bucket_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("bucket_key"), col("cnt"))
+
   /** Live t-closeness cells (the streaming half of the d184/d186 release
     * gate): per event-time tumbling window, one row per (window, qi...,
     * sensitive value) with its count — plain mergeable long sums, so

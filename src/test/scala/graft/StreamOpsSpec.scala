@@ -559,6 +559,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live SIGNED quantile sketch matches a batch replay (q56 twin)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamOps.qsketchSigned(ms.toDF().toDF("et", "v"),
+        "et", "5 seconds", "10 seconds", "v")
+      .writeStream.format("memory").queryName("qsks_out")
+      .outputMode("append").start()
+    try {
+      val vals = (-200L to 200L)
+      ms.addData(vals.map(v => (ts(1), v)): _*)
+      q.processAllAvailable()
+      ms.addData((ts(30), 0L))
+      q.processAllAvailable()
+      val liveCells = spark.table("qsks_out")
+        .filter(col("w_start") === lit(new Timestamp(0L)))
+        .select("bucket_key", "cnt")
+      val live = liveCells.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.functions.QSketch.sketchSigned(vals.toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live == batch && live.nonEmpty, s"live=$live batch=$batch")
+      // the signed read over the window cells: q=0.1 lands negative and
+      // contains the exact ranked value
+      val read = graft.functions.QSketch.quantileReadsSigned(liveCells, Seq(0.1))
+        .collect().head
+      val (lo, hi, target) = (read.getLong(1), read.getLong(2), read.getLong(3))
+      val exact = vals.sorted.apply((target - 1).toInt)
+      assert(lo <= exact && exact <= hi && hi < 0L,
+        s"q=0.1 exact $exact outside [$lo, $hi]")
+    } finally q.stop()
+  }
+
   test("live noised release: per-window noised counts equal a batch replay (d188 twin)") {
     val s = spark
     import s.implicits._
