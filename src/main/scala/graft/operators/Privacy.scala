@@ -628,8 +628,13 @@ object Privacy {
     * to the user's full row count (PrivacySpec pins the gap).
     *
     * Shape: one window partitioned by user (a single corpus shuffle on
-    * the user key — the same shuffle any per-user aggregation pays; rank
-    * c is a top-c per partition-key, so state per user is bounded).
+    * the user key — the same shuffle any per-user aggregation pays), and
+    * because the filter is `row_number <= c`, Catalyst plans a
+    * WindowGroupLimit BEFORE the exchange: each map task keeps only its
+    * own top-c per user, so the shuffle ships at most c rows per user
+    * per input partition — not the corpus (PlanSpec pins the two-node
+    * pushdown; this is why the clip is the declarative filter rather
+    * than a bespoke aggregator).
     */
   def clipContributions(df: DataFrame, userCol: String, rowKeyCol: String,
       c: Int): DataFrame = {

@@ -826,6 +826,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p193.contains("windowspecdefinition(user_id"),
       "the clip must window on the user key\n" + p193)
     assert(!p193.contains("Join"), "the user-level release must not join\n" + p193)
+    // the rank-limit pushdown is load-bearing at 100 TB: the row_number
+    // <= c filter must plan as a WindowGroupLimit BEFORE the user-key
+    // exchange (map-side top-c per user — shuffle volume is bounded by
+    // c rows per user per input partition, not the corpus). Two nodes:
+    // the partial pre-shuffle pass and the final post-shuffle one.
+    assert("WindowGroupLimit".r.findAllIn(p193).length >= 2,
+      "the clip's rank limit must push map-side\n" + p193)
     // d194: one corpus aggregation, then bounded-table rollups — no join
     val p194 = plan("d194_dp_parallel")
     assert(!p194.contains("Join"), "the parallel ledger must not join\n" + p194)
