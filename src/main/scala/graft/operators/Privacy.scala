@@ -580,12 +580,24 @@ object Privacy {
     val thr = geometricThresholds(epsNum, epsDen, sensitivity)
     val u = conv(substring(md5(concat(lit(digestPrefix),
       concat_ws("|", keyCols.map(col): _*))), 1, 6), 16, 10).cast("long")
+    // inverse-CDF lookup as TWO array literals + one filter/size bracket
+    // (the Hll.biasOf discipline, r20's 199-arm when-chain lesson): the
+    // when-chain form at eps=1/4 is 125 arms (347 at sensitivity=3) and
+    // costs ~0.3-0.9 s of Catalyst/codegen time PER INVOCATION; the
+    // bracket is a handful of expression nodes. The interpreted HOF scans
+    // ≤~350 longs per ROW, but noise applies to RELEASED AGGREGATES
+    // (histogram cells, never the corpus), so that is nanoseconds.
+    // Semantics are identical: his is strictly increasing with last =
+    // NoiseScale > any u24, so the first arm u24 < hi_i equals the count
+    // of his <= u24, and element_at(zs, i+1) is that arm's z.
     val noiseCol =
       if (thr.size == 1) lit(thr.head._1)
-      else thr.init.tail.foldLeft(
-          when(col("__u24") < thr.head._2, lit(thr.head._1))) {
-        case (acc, (z, hi)) => acc.when(col("__u24") < hi, lit(z))
-      }.otherwise(lit(thr.last._1))
+      else {
+        val hiLit = lit(thr.map(_._2).toArray)
+        val zLit = lit(thr.map(_._1).toArray)
+        element_at(zLit,
+          (size(filter(hiLit, h => col("__u24") >= h)) + lit(1)))
+      }
     released.withColumn("__u24", u)
       .withColumn("noise", noiseCol)
       .withColumn("released_count",

@@ -136,7 +136,8 @@ object DataQueries25 {
     // first bucket whose cumulative count reaches ceil(q*n) (a window
     // over the bounded state table, never the corpus), with the
     // GUARANTEE the sketch makes — the exact q-th value lies inside
-    // [lo, hi], hi/lo <= 1 + 2^-4 — verified not by sorting the corpus
+    // [lo, hi], hi/lo <= 1 + 2^-SubBits (= 1 + 2^-5, QSketch.SubBits) —
+    // verified not by sorting the corpus
     // but by TWO conditional counts against the broadcast 5-row quantile
     // table: rank(v < lo) < target <= rank(v <= hi). Exact containment,
     // not a band.

@@ -357,13 +357,17 @@ object HttpRemoteWriteSource {
             // durable before its records count as synced, or a power loss
             // could drop the whole file with its bytes already forced —
             // amortized here exactly like the data fsync (once per group,
-            // and only when a segment was created since the last one)
-            // only advance dirSynced when the force actually happened (or
-            // the platform permanently lacks it) — a transient open
-            // failure leaves the epoch owed so the NEXT group commit
-            // retries instead of silently dropping the entry's durability
-            if (dirSynced.get() < de && forceDir()) {
-              dirSynced.accumulateAndGet(de, math.max(_, _))
+            // and only when a segment was created since the last one).
+            // A TRANSIENT open failure propagates like a failed channel
+            // force (ADVICE r20): `synced` must not advance past records
+            // in a segment whose directory entry is not yet durable, so
+            // the accept gets its honest 500 and the client retries —
+            // the next group commit (or the retried accept) re-forces.
+            if (dirSynced.get() < de) {
+              if (forceDir()) dirSynced.accumulateAndGet(de, math.max(_, _))
+              else throw new java.io.IOException(
+                s"wal $dir: directory fsync transiently unavailable; " +
+                  "segment entry not yet power-loss durable — refusing the ack")
             }
             synchronized { sealedPending = sealedPending.diff(owed) }
             owed.foreach(_._1.close())
@@ -511,8 +515,20 @@ object HttpRemoteWriteSource {
       // segment's directory entry is durable), then the channel data
       val de = dirEpoch.get()
       if (dirSynced.get() < de) {
-        try { forceDir(); dirSynced.accumulateAndGet(de, math.max(_, _)) }
-        catch { case e: Exception =>
+        // mirror the group-commit leader (ADVICE r20): only advance
+        // dirSynced when the force actually happened — on a transient
+        // failure there is no later retry (the process is closing), so
+        // log that the entry remains un-forced instead of silently
+        // marking the owed epoch synced. forceDir() itself never throws
+        // for the open (it latches or returns false); a force() failure
+        // on an opened channel still must not abort the remaining
+        // channel fsyncs below.
+        try {
+          if (forceDir()) dirSynced.accumulateAndGet(de, math.max(_, _))
+          else System.err.println(s"[wal:$dir] close: directory entry for " +
+            s"epoch $de remains un-forced (transient open failure at close); " +
+            "a power loss may drop the newest segment's directory entry")
+        } catch { case e: Exception =>
           System.err.println(s"[wal:$dir] close: dir force failed: $e")
         }
       }

@@ -83,22 +83,25 @@ class WalCrashWindowSpec extends AnyFunSuite {
     finally HttpRemoteWriteSource.shutdown(port)
   }
 
-  test("a TRANSIENT directory-open failure does not latch the degrade") {
-    // ADVICE r19: a transient open failure (EMFILE under load, a momentary
-    // EIO) must not permanently weaken the power-loss model — the latch is
-    // reserved for platform INCAPABILITY. The transient failpoint skips
-    // that force (accepts stay 200, loudly logged) and the next group
-    // commit, with the failpoint gone, must actually force the directory
-    // again — observable as the accept succeeding with dir fsync re-armed
-    // and the log intact across a restart.
+  test("a TRANSIENT directory-open failure refuses the ack and does not latch the degrade") {
+    // ADVICE r19 + r20: a transient open failure (EMFILE under load, a
+    // momentary EIO) must not permanently weaken the power-loss model —
+    // the latch is reserved for platform INCAPABILITY. And because the
+    // WAL's invariant is entry-durable-before-200, a record landing in a
+    // segment whose directory entry could not be forced gets an HONEST
+    // 500 (ADVICE r20: acking it would open a power-loss window until the
+    // next group commit), exactly like a failed channel force. Once the
+    // transient failure clears, the owed directory epoch is re-forced by
+    // the next accept's group commit and ingestion resumes.
     val port = 19508
     val wal = tmpDir("dirtransient")
     val r1 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
       walDir = wal)
     try {
       withFailpoint("dir-open-transient") {
-        assert(post(port, body(1.0, 100L)) == 200,
-          "accept must not 500 over a transient directory-fsync failure")
+        assert(post(port, body(1.0, 100L)) == 500,
+          "a record in a segment with an un-forced directory entry must " +
+            "not be acknowledged (entry-durable-before-200)")
       }
       assert(r1.walDirSyncDegraded == Some(false),
         "a transient failure must NOT latch the platform-incapability degrade")
@@ -109,6 +112,9 @@ class WalCrashWindowSpec extends AnyFunSuite {
     } finally HttpRemoteWriteSource.shutdown(port)
     val r2 = HttpRemoteWriteSource.receiver(port, "/write", validate = true,
       walDir = wal)
+    // both records replay: the refused seq-1 record is already in the
+    // segment (its append succeeded; only the ack was withheld), and an
+    // un-acked record replaying is the harmless at-least-once extra
     try assert(r2.range(0L, 2L).length == 2)
     finally HttpRemoteWriteSource.shutdown(port)
   }
