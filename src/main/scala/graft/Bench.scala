@@ -45,6 +45,22 @@ object Bench {
     // before reacting to a "regression".
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // calibration canary (r21, VERDICT r20 item 3): a fixed, plan-stable,
+    // zero-I/O aggregation over a generated range — constant work whose
+    // only variable is the HOST. Two consecutive rounds of ±10-15% host
+    // drift plus a 1.95x driver one-shot cost real adjudication effort;
+    // this one number divides host speed out of any cross-run comparison
+    // (movers should be read as calib-normalized ratios). min-of-3,
+    // measured after the warmup pass so JIT/codegen are steady like the
+    // queries themselves.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L << 20, 1L, math.max(1, cpus.toInt))
+        .selectExpr("bit_xor(xxhash64(id)) AS h", "count(1) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = (1 to 3).map(_ => calibOnce()).min
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -76,6 +92,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest","unit":"ms","top":$slow}""")
+    println(s"""{"metric":"calib","value":$calib,"unit":"sec"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // committed builder artifact (SPARK_GRAFT_LOCAL_OUT=BENCHLOCAL_rN.json):
     // the driver's stdout tail truncates the per-query map, which has cost
@@ -86,7 +103,7 @@ object Bench {
       val load =
         try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim
         catch { case _: Throwable => "n/a" }
-      val host = s"""{"reps":$reps,"cpus":"$cpus","loadavg_after":"$load"}"""
+      val host = s"""{"reps":$reps,"cpus":"$cpus","calib":$calib,"loadavg_after":"$load"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
         s"""{"metric":"queries_local","unit":"sec","total":$total,"n_queries":${results.size},"sf":"$sfDir","host":$host,"queries":$qs}""" + "\n")
     }

@@ -39,6 +39,26 @@ object Multimodal {
     def close(): Unit = ()
   }
 
+  /** Spread the HEAVY synthetic-media generators' doc stream across the
+    * cluster before the codec kernels (r21, guide §2.5 "input skew: one
+    * huge unsplittable file ... repartition immediately after the read"):
+    * the documents table at bench SFs is ONE small parquet split, so
+    * without this every javax.imageio encode+decode — the dominant cost of
+    * the GIF/PNG queries — ran serially in a single task while the other
+    * cores idled. Hash-partition on the deterministic doc_id (retry-safe,
+    * never a rand-derived key — guide §2.5) into defaultParallelism
+    * partitions, which follows the cluster/core count instead of a tuned
+    * constant. Cost: one shuffle of 8-byte ids, orders of magnitude below
+    * the imageio work it parallelizes. Applied ONLY to the imageio-backed
+    * generators (GIF sequence, PNG): the WAV/byte-stream generators are so
+    * cheap per row that the extra exchange measured SLOWER than the serial
+    * pass (m09 0.89s -> 2.84s, m13 0.68s -> 1.61s at sf0.1), so those keep
+    * the narrow single-pass shape. A 100 TB media table arrives already
+    * multi-split, where this is a near-no-op rebalance of the id stream.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** TEST-DOUBLE (no longer the default path): deterministic fake decoder
     * for exercising the seam with arbitrary non-container payloads — it
     * derives "dimensions" from the payload so outputs stay verifiable
@@ -147,7 +167,7 @@ object Multimodal {
     */
   def pngImagesFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no per-image temp files
       it.map { id =>
         val w = (8 + id % 8).toInt
@@ -471,7 +491,7 @@ object Multimodal {
     */
   def gifVideosFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
       it.map { id =>
         val w = (8 + id % 5).toInt

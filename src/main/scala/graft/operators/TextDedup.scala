@@ -363,10 +363,16 @@ object TextDedup {
         (if (maxBucket > 0) col("__df") <= maxBucket else lit(true)))
       .select(col("g"))
     val f = fp.join(okDf, Seq("g"))
+    // the valved position-pair frame feeds TWO rollups (byOffset and
+    // shared) — persist it or the fingerprint self-join executes twice
+    // (r21, guide §2.4: the exchanges were already reused, but the join
+    // itself re-ran per consumer); the frame is candidate-priced
+    // (df-valved: <= maxBucket^2 rows per gram), never corpus-sized
     val pr = f.as("x").join(f.as("y"),
         col("x.g") === col("y.g") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"), col("x.g").as("g"))
+      .transform(graft.sources.Caches.ephemeral)
     val byOffset = pr
       .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("__diff"))
       .agg(count(lit(1)).as("n_aligned"),
@@ -427,6 +433,10 @@ object TextDedup {
     val p = graft.sources.Caches.ephemeral(pairs)
     val ids = p.select(col("a").as("__id"))
       .union(p.select(col("b").as("__id"))).distinct()
+    // (r21 note: persisting this positional gram stream for the two match
+    // sides was measured SLOWER at sf0.1 (3.64s vs 2.30s) — the cache
+    // write breaks whole-stage pipelining into the match join while the
+    // recompute is one cheap scan+kernel; left unpersisted deliberately.)
     val gr = docs
       .join(broadcast(ids), col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__id"),
@@ -852,7 +862,24 @@ object TextDedup {
       explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
       .transform(graft.sources.Caches.ephemeral)
     val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sizes = g.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    // per-doc DISTINCT gram sets as one array row per doc (shingle_g is
+    // already distinct-per-doc): the verify step consumes these instead of
+    // re-joining the exploded gram table per side — the old shape joined
+    // |cand| x |grams(a)| exploded rows against (b, g) and hash-aggregated
+    // the ~1M-row product back down (measured ~35% of the query); here the
+    // join stays |cand| rows wide and one codegen'd array_intersect per
+    // candidate does the counting (r21, guide §2.3/§3: shuffle candidate
+    // ids + one bounded array per doc, never the exploded gram product).
+    // Arrays are bounded per doc (distinct grams <= doc tokens), the same
+    // bound the gram table itself carries.
+    val docGrams = g.groupBy(col("__id"))
+      .agg(collect_list(col("g")).as("__gs"))
+      .transform(graft.sources.Caches.ephemeral)
+    val sizes = docGrams.select(col("__id"), size(col("__gs")).cast("long").as("n"))
+    // (r21 note: a per-doc collect_list+sort_array+slice form of this
+    // prefix was measured SLOWER than the row_number window at sf0.1
+    // (2.79s vs 2.32s min-of-N) — the window's partitioned sort beats the
+    // per-row struct-array allocation; kept as the window.)
     val ranked = g.join(dfreq, "g").join(sizes, "__id")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("df"), col("g"))))
@@ -865,10 +892,13 @@ object TextDedup {
       .select(pairExpand(col("ids")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+    // exact |A ∩ B| per candidate: both sides' gram sets are distinct, so
+    // size(array_intersect) equals the old per-gram equi-join row count
     val inter = cand
-      .join(g.as("ga"), col("a") === col("ga.__id"))
-      .join(g.as("gb"), col("b") === col("gb.__id") && col("ga.g") === col("gb.g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(docGrams.select(col("__id").as("a"), col("__gs").as("__ga")), Seq("a"))
+      .join(docGrams.select(col("__id").as("b"), col("__gs").as("__gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("inter"))
     inter
       .join(sizes.as("sa"), col("a") === col("sa.__id"))
       .join(sizes.as("sb"), col("b") === col("sb.__id"))

@@ -119,8 +119,12 @@ object DataQueries2 {
     // That upgrades this from a rows-only check to a full hash match while
     // still exercising the sketch operators themselves.
     "q13_sketches" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      // the slim 4-column projection feeds FOUR consumers (two exact
+      // distincts, the sketch agg, the exact-median rollup): persist it
+      // once instead of four parquet scans (r21, guide §2.4/§5)
+      val li = graft.sources.Caches.ephemeral(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
       // exact distincts as their own two-phase aggregations: multiple
       // countDistinct in one agg would Expand (duplicate) every input row
       // per distinct column — a 56s plan at sf0.1 vs ~2s for this shape
