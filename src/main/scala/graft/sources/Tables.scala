@@ -28,9 +28,25 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Parquet FILE SCHEMA per (dir, table) — metadata only, never data:
+    * every declared query re-reads the parquet bytes at execution; this
+    * memo only skips the per-call driver-side footer read Spark pays to
+    * INFER the schema when `.schema(...)` is absent (r21: ~700
+    * Tables.load calls per bench pass, each costing a listing + footer
+    * parse on the driver). Keyed by path so differing SF dirs (or
+    * regenerated testdata under a NEW path) can never cross-talk; the
+    * nanos-vs-NTZ encoding variance across generations is part of the
+    * schema itself, so both encodings memo correctly.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    val path = s"$sfDir/$table.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     nanoTsColumns.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         // integer div: epoch-ns (~1.7e18) exceeds double's 53-bit mantissa

@@ -799,8 +799,17 @@ class PlanSpec extends AnyFunSuite {
     // 100 TB beyond the aggregation the release already pays
     val p188 = plan("d188_dp_noise")
     assert(!p188.contains("Join"), "noise must not join\n" + p188)
-    assert(p188.contains("CASE WHEN") || p188.contains("casewhen"),
-      "the inverse-CDF chain must be in-plan\n" + p188)
+    // r21: the inverse-CDF lookup is the array-literal bracket
+    // (element_at(zs, size(filter(his, u >= h)) + 1) — the Hll.biasOf
+    // discipline), not a 125-347-arm when-chain; the physical simple-mode
+    // text folds the projection into the aggregate's output, so pin the
+    // expression on the optimized logical plan
+    val l188 = SparkEntry.queries("d188_dp_noise")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(l188.contains("element_at") && l188.contains("filter("),
+      "the inverse-CDF array-bracket lookup must be in-plan\n" + l188)
+    assert(!(l188.contains("CASE WHEN") && l188.contains("__u24")),
+      "the noise lookup must not regress to the when-chain form\n" + l188)
     // d190: the gram tables shrink to the FLAGGED docs via broadcast
     // semi-joins BEFORE the (doc, gram) match join widens anything
     val p190 = plan("d190_exact_runs")
