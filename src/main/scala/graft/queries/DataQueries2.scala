@@ -120,11 +120,16 @@ object DataQueries2 {
     // still exercising the sketch operators themselves.
     "q13_sketches" -> ((s, dir) => {
       // the slim 4-column projection feeds FOUR consumers (two exact
-      // distincts, the sketch agg, the exact-median rollup): persist it
-      // once instead of four parquet scans (r21, guide §2.4/§5)
-      val li = graft.sources.Caches.ephemeral(
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice")))
+      // distincts, the sketch agg, the exact-median rollup). An ephemeral
+      // persist of it was tried in r21 (guide §5) and REJECTED on
+      // measurement: it won under CPU contention (3.41 -> 2.84 s,
+      // calib-matched) but LOST on a quiet host (2.29 -> 2.43-3.24 s over
+      // repeated A/Bs) — the single-threaded columnar cache build costs
+      // more than three extra page-cached parquet scans that run in
+      // parallel. Recompute wins here; d84's pair frame (a JOIN output,
+      // expensive to recompute) is the shape where the persist pays.
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       // exact distincts as their own two-phase aggregations: multiple
       // countDistinct in one agg would Expand (duplicate) every input row
       // per distinct column — a 56s plan at sf0.1 vs ~2s for this shape
