@@ -61,20 +61,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calib = (1 to 3).map(_ => calibOnce()).min
-    val results = selected.map { case (name, fn) =>
+    // builder-only A/B knob (the driver never sets it): release ephemeral
+    // caches INSIDE the rep loop so every rep is cold and `min` becomes a
+    // low-noise cold estimate — single cold reps swing ±25% on this host
+    val coldReps = sys.env.getOrElse("SPARK_GRAFT_COLDREPS", "0") == "1"
+    val timed = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(fn)
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (coldReps) graft.sources.Caches.release(spark)
+        t
       }
-      // released AFTER the rep loop (not per rep): reps intentionally share
-      // the query's own caches like every prior round's numbers; the release
-      // keeps the RUN leak-free (no net cached RDDs once a query's timing is
-      // done — the cross-query memos own their lifecycle separately)
+      // released AFTER the rep loop: reps 2..N intentionally share the
+      // query's own ephemeral caches, keeping `min` byte-comparable with
+      // every prior round's published numbers. VERDICT r21 item 1 flagged
+      // that this lets min-of-N time cache-WARM reps for any query with an
+      // ephemeral persist; the fix chosen (of the two the verdict offered)
+      // is to ALSO report rep 1 — which is genuinely COLD, because the
+      // warmup pass and the previous query both released before it ran —
+      // as a separate `queries_cold` map, rather than change what `min`
+      // means mid-phase. Optimization decisions in r22 use the cold map.
       graft.sources.Caches.release(spark)
-      name -> times.min
-    }.toMap
+      name -> times
+    }
+    val results = timed.map { case (n, ts) => n -> ts.min }.toMap
+    val cold = timed.map { case (n, ts) => n -> ts.head }.toMap
+    // calib measured again AFTER the query loop (ADVICE r21: a single
+    // pre-run number cannot see host-load drift that begins mid-run; the
+    // pre/post pair makes mid-run drift visible in the artifact)
+    val calibPost = (1 to 3).map(_ => calibOnce()).min
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -92,7 +109,14 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest","unit":"ms","top":$slow}""")
-    println(s"""{"metric":"calib","value":$calib,"unit":"sec"}""")
+    // the honest cold view (rep-1 per query): slowest-20 compactly plus the
+    // cold total — additions only, the `total` line below is unchanged
+    val coldSlow = cold.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"slowest_cold","unit":"ms","total_sec":$coldTotal,"top":$coldSlow}""")
+    println(s"""{"metric":"calib","value":$calib,"unit":"sec","post":$calibPost}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // committed builder artifact (SPARK_GRAFT_LOCAL_OUT=BENCHLOCAL_rN.json):
     // the driver's stdout tail truncates the per-query map, which has cost
@@ -103,9 +127,11 @@ object Bench {
       val load =
         try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim
         catch { case _: Throwable => "n/a" }
-      val host = s"""{"reps":$reps,"cpus":"$cpus","calib":$calib,"loadavg_after":"$load"}"""
+      val host = s"""{"reps":$reps,"cpus":"$cpus","calib":$calib,"calib_post":$calibPost,"loadavg_after":"$load"}"""
+      val cqs = cold.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-        s"""{"metric":"queries_local","unit":"sec","total":$total,"n_queries":${results.size},"sf":"$sfDir","host":$host,"queries":$qs}""" + "\n")
+        s"""{"metric":"queries_local","unit":"sec","total":$total,"total_cold":$coldTotal,"n_queries":${results.size},"sf":"$sfDir","host":$host,"queries":$qs,"queries_cold":$cqs}""" + "\n")
     }
     spark.stop()
   }

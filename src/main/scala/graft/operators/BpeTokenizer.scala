@@ -114,4 +114,25 @@ object BpeTokenizer {
         x => x.getField("tid")).as("ids"))
       .select(col("__id").as(idCol), col("n_tok"), col("ids"))
   }
+
+  /** [[withTokenIds]] with the vocabulary as a driver-collected literal map
+    * (the [[vocabularyMap]] shape the streaming encoder already commits to):
+    * ids come from one NARROW `transform` per row — no token posexplode, no
+    * shuffle join against the id table, no per-doc collect_list/array_sort
+    * reassembly (r22, guide §2.4 "remove shuffles outright": the old path
+    * exchanged every token row twice to reassemble an order the tokens
+    * array already had). Row-for-row identical to [[withTokenIds]]: ids in
+    * document order, unknown tokens map to 0L, and rows whose token array
+    * is empty are dropped (the join path loses them at the posexplode — the
+    * filter keeps that contract). Vocabulary-sized literal by the same
+    * Heaps'-law bound [[vocabularyMap]] states.
+    */
+  def withTokenIdsLit(encoded: DataFrame, idCol: String,
+      vocab: Map[String, Long]): DataFrame = {
+    val m = typedlit(vocab)
+    encoded.filter(size(col("tokens")) > 0)
+      .select(col(idCol), col("n_tok"),
+        transform(col("tokens"),
+          t => coalesce(element_at(m, t), lit(0L))).as("ids"))
+  }
 }

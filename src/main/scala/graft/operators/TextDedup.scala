@@ -309,10 +309,19 @@ object TextDedup {
       .filter(length(trim(col("__line"))) > 0)
       .withColumn("__h",
         conv(substring(md5(col("__line")), 1, 15), 16, 10).cast("long"))
+    // the keeper election CARRIES the line string through the min-struct
+    // (r22, guide §2.4 "remove shuffles outright"): (__id, __p) is unique
+    // per line row, so min(struct(id, p, line)) picks exactly the row the
+    // old rejoin-and-filter re-identified — same keeper, same line text,
+    // even under 60-bit hash collisions (the argmin row's OWN string rides
+    // along). This deletes the lines-side exchange + join the old
+    // `lines JOIN keeper ON __h` shape paid, and cuts `lines` from three
+    // consumers to two (keeper rollup, per-doc totals).
     val keeper = lines.groupBy(col("__h"))
-      .agg(min(struct(col("__id").as("id"), col("__p").as("p"))).as("__k"))
-    val kept = lines.join(keeper, Seq("__h"))
-      .filter(col("__id") === col("__k.id") && col("__p") === col("__k.p"))
+      .agg(min(struct(col("__id").as("id"), col("__p").as("p"),
+        col("__line").as("line"))).as("__k"))
+    val kept = keeper.select(col("__k.id").as("__id"), col("__k.p").as("__p"),
+      col("__k.line").as("__line"))
     val tot = lines.groupBy(col("__id")).agg(count(lit(1)).as("n_lines"))
     kept.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -444,7 +453,12 @@ object TextDedup {
           .as(Seq("__p", "__h")))
     val ga = gr.select(col("__id").as("a"), col("__p").as("__pa"), col("__h"))
     val gb = gr.select(col("__id").as("b"), col("__p").as("__pb"), col("__h"))
-    val m = p.select(col("a"), col("b"))
+    // the pair list is candidate-priced (the same bound that lets `ids`
+    // broadcast above) — broadcast it into the first match join so the
+    // a-side gram stream is never exchanged on `a` (r22, guide §3.1: the
+    // big side is not shuffled at all; before, both the pair list and the
+    // full positional gram stream paid an exchange + sort for an SMJ)
+    val m = broadcast(p.select(col("a"), col("b")))
       .join(ga, Seq("a"))
       .join(gb, Seq("b", "__h"))
       .select(col("a"), col("b"), col("__pa"), col("__pb"))
@@ -456,7 +470,9 @@ object TextDedup {
       .agg(count(lit(1)).as("__run"))
       .groupBy(col("a"), col("b"))
       .agg((max(col("__run")) + lit(gramN - 1)).cast("long").as("exact_run"))
-    p.join(runs, Seq("a", "b"), "left")
+    // runs is one row per flagged pair — broadcast it so the cached pair
+    // frame is re-read in place instead of exchanged for an SMJ
+    p.join(broadcast(runs), Seq("a", "b"), "left")
       .withColumn("exact_run", coalesce(col("exact_run"), lit(0L)))
   }
 

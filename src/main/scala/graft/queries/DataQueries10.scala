@@ -212,6 +212,13 @@ object DataQueries10 {
     // BOTH the code assignment and the distance tables, so the codebook is
     // scanned once.
     "d94_ivfpq_search" -> { (s: SparkSession, dir: String) =>
+      // r22 (guide §3): the per-qid result fragments (≤ 8 rows each) are
+      // broadcast-hinted so the final stitches plan as BroadcastHashJoin
+      // instead of sorting 8-row frames into an SMJ. Persisting ar/exr for
+      // their two consumers was tried and REJECTED on cold measurement
+      // (d94 1.07 → 1.16 s min-of-3-cold: the columnar cache build of the
+      // ranked tables costs more than re-running the codebook join +
+      // window over this table — the q13/r21 cheap-to-recompute rule).
       val adc = pqAdc(s, dir)
       val wa = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
       val ar = adc.withColumn("rk", row_number().over(wa))
@@ -224,9 +231,9 @@ object DataQueries10 {
         .join(ar.select(col("qid"), col("vec_id"), col("rk")), Seq("qid", "vec_id"))
         .select(col("qid"), col("rk").cast("long").as("nn1_rank"))
       etop.groupBy(col("qid")).agg(count(lit(1)).as("k"))
-        .join(etop.join(atop, Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("hits_pq")), Seq("qid"), "left")
-        .join(nn1rank, Seq("qid"))
+        .join(broadcast(etop.join(atop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits_pq"))), Seq("qid"), "left")
+        .join(broadcast(nn1rank), Seq("qid"))
         .select(col("qid"), col("k"),
           coalesce(col("hits_pq"), lit(0L)).as("hits_pq"), col("nn1_rank"))
         .orderBy("qid")
@@ -241,6 +248,14 @@ object DataQueries10 {
     // of the bounded shortlist against the corpus), never the corpus —
     // the read that tells a serving team what rerank depth buys back.
     "d95_adc_rerank" -> { (s: SparkSession, dir: String) =>
+      // r22 (guide §3): the rerank shortlists are ≤ |queries|·R rows, so
+      // they broadcast into the exact table (BroadcastHashJoin) instead of
+      // shuffling/sorting the corpus-sized side into an SMJ; the per-qid
+      // hit counts (≤ 8 rows) broadcast into the final stitches.
+      // Persisting ar/ex/etop for their 3-4 consumers was tried and
+      // REJECTED on cold measurement (1.28 → 1.71 s min-of-3-cold: the
+      // cache build of the |corpus|x8-row kernel outputs costs more than
+      // recomputing them — the q13/r21 cheap-to-recompute rule).
       val adc = pqAdc(s, dir)
       val wa = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
       val ar = adc.withColumn("ark", row_number().over(wa))
@@ -248,6 +263,11 @@ object DataQueries10 {
       val we = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
       val etop = ex.withColumn("rk", row_number().over(we))
         .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      // (r22 note: broadcast-hinting `cand` into the exact join was tried
+      // and REJECTED on cold measurement (1.25 → 1.69 s min-of-3-cold):
+      // the BroadcastExchange serializes the whole ADC+rank subtree
+      // through the driver before the probe side starts, where the SMJ
+      // lets both sides compute concurrently.)
       def rerank(r: Int): DataFrame = {
         val cand = ar.filter(col("ark") <= r).select(col("qid"), col("vec_id"))
         val rr = cand.join(ex, Seq("qid", "vec_id"))
@@ -260,9 +280,9 @@ object DataQueries10 {
           .groupBy(col("qid")).agg(count(lit(1)).as(name))
       val atop = ar.filter(col("ark") <= 3).select(col("qid"), col("vec_id"))
       etop.groupBy(col("qid")).agg(count(lit(1)).as("k"))
-        .join(hits(atop, "hits_adc"), Seq("qid"), "left")
-        .join(hits(rerank(8), "hits_r8"), Seq("qid"), "left")
-        .join(hits(rerank(32), "hits_r32"), Seq("qid"), "left")
+        .join(broadcast(hits(atop, "hits_adc")), Seq("qid"), "left")
+        .join(broadcast(hits(rerank(8), "hits_r8")), Seq("qid"), "left")
+        .join(broadcast(hits(rerank(32), "hits_r32")), Seq("qid"), "left")
         .select(col("qid"), col("k"),
           coalesce(col("hits_adc"), lit(0L)).as("hits_adc"),
           coalesce(col("hits_r8"), lit(0L)).as("hits_r8"),
@@ -504,11 +524,18 @@ object DataQueries10 {
     // degree-bounded by the band df valve, so messages are priced on
     // |candidates|, never |docs|^2.
     "d93_pagerank" -> { (s: SparkSession, dir: String) =>
-      val pairs = DataQueries.minhashPairs(s, dir)
+      // r22 (guide §5): the two unionAll branches of `edges` each re-ran
+      // the FULL LSH candidate pipeline (cold-measured: the d02 subtree
+      // twice per execution) — persist the pair list once and let both
+      // branches read the cache; `deg` is consumed by all 3 message rounds
+      // plus the final degree join (4 references), so the one-shuffle
+      // degree rollup is cached too instead of re-aggregating per round
+      val pairs = graft.sources.Caches.ephemeral(DataQueries.minhashPairs(s, dir))
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         .transform(graft.sources.Caches.ephemeral)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .transform(graft.sources.Caches.ephemeral)
       val nodes = docs(s, dir).select(col("doc_id"))
       val n = nodes.count()
       val teleport = floor(lit(150000000L) / lit(n)).cast("long")

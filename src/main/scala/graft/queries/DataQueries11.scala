@@ -127,20 +127,46 @@ object DataQueries11 {
     // one-row aggregates unioned; candidate generation is the production
     // bucket-shuffle at each config, never an all-pairs.
     "d104_band_sweep" -> ((s, dir) => {
-      // ONE signature pass (scan + shingle + 16-min agg), persisted; each
-      // config only re-bands the |docs|-row signature table
+      // r22 (guide §2.4/§2.6): the old shape persisted the signature table
+      // and ran THREE separate bucket-shuffle job chains (one per config);
+      // cold-measured, the persist build + 3 chains cost ~3.3 s. All three
+      // configs now ride ONE chain: each signature row explodes to its
+      // (cfg, bucket) keys for every config at once (same 2+4+8 = 14
+      // bucket rows per doc as before, one shuffle instead of three), the
+      // pair expansion and distinct are keyed by (cfg, a, b), and the
+      // 3-row config table left-joins the counts back (left join keeps a
+      // config that found no pairs at 0, the old per-branch agg(count)
+      // semantics). Bucket values are the exact xxhash64(bandIdx, slots..)
+      // the per-config path computed — grouping additionally by cfg keeps
+      // configs that could theoretically collide apart. Single consumer,
+      // so the signature persist is gone too.
+      import s.implicits._
       val sig = graft.operators.TextDedup
-        .minhashSignatures(docs(s, dir), "doc_id", "text", 3).transform(graft.sources.Caches.ephemeral)
-      val branches = Seq(2, 4, 8).map { b =>
+        .minhashSignatures(docs(s, dir), "doc_id", "text", 3)
+      val cfgs = Seq(2, 4, 8)
+      val keyed = sig.select(col("__id"), explode(array(cfgs.flatMap { b =>
         val r = 16 / b
-        graft.operators.TextDedup
-          .minhashCandidatesFromSignatures(sig, b)
-          .agg(count(lit(1)).as("n_pairs"))
-          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-            col("n_pairs"),
-            floor(pow(lit(1.0 / b), lit(1.0 / r)) * lit(1000000.0)).as("thresh_q6"))
-      }
-      branches.reduce(_ unionAll _).orderBy("bands")
+        (0 until b).map { band =>
+          struct(lit(b.toLong).as("cfg"),
+            xxhash64(lit(band) +: (0 until r).map(i => col(s"m${r * band + i}")): _*)
+              .as("bk"))
+        }
+      }: _*)).as("cb"))
+        .select(col("cb.cfg").as("cfg"), col("cb.bk").as("bk"), col("__id"))
+      val counts = keyed.groupBy(col("cfg"), col("bk"))
+        .agg(sort_array(collect_list(col("__id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("cfg"), DataQueries5.pairExpand(col("ids")).as("p"))
+        .select(col("cfg"), col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_pairs"))
+      val cfgTable = cfgs.map(b => (b.toLong, (16 / b).toLong)).toDF("cfg", "rows_per_band")
+      broadcast(cfgTable).join(counts, Seq("cfg"), "left")
+        .select(col("cfg").as("bands"), col("rows_per_band"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          floor(pow(lit(1.0) / col("cfg"), lit(1.0) / col("rows_per_band"))
+            * lit(1000000.0)).as("thresh_q6"))
+        .orderBy("bands")
     }),
 
     // near-dup candidate graph topology: nodes/edges/max-degree, triangle

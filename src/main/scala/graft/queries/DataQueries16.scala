@@ -128,6 +128,11 @@ object DataQueries16 {
       val sub0 = subspaces(e, "xq")
       val cb0 = sub0.filter(col("vec_id") >= 16 && col("vec_id") < 32)
         .select(col("vec_id").as("kid"), col("m"), col("sv").as("kv"))
+      // (r22 note: persisting this shared sub-distance relation — and the
+      // residual arm's rsub / the exact top-3 — was tried and REJECTED on
+      // cold measurement: 2.09 → 2.54 s min-of-3-cold. The q13/r21 rule
+      // again: these are narrow kernel outputs over a tiny vector table,
+      // cheaper to recompute than to columnar-serialize into a cache.)
       val sc0 = sub0.join(broadcast(cb0), Seq("m"))
         .select(col("vec_id"), col("m"), col("kid"), d2q(col("sv"), col("kv")).as("d2"))
       val codes0 = sc0.groupBy(col("vec_id"), col("m"))
@@ -177,13 +182,15 @@ object DataQueries16 {
         df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
           .select(col("qid"), col("vec_id"))
       }
+      // the per-qid hit fragments (≤ 8 rows) broadcast into the final
+      // stitches instead of planning 8-row SortMergeJoins
       val etop = top3(DataQueries10.pqExact(s, dir), col("d2"))
       def hits(top: DataFrame, name: String): DataFrame =
         etop.join(top, Seq("qid", "vec_id"), "left_semi")
           .groupBy(col("qid")).agg(count(lit(1)).as(name))
       etop.groupBy(col("qid")).agg(count(lit(1)).as("k"))
-        .join(hits(top3(adcRaw, col("adc")), "hits_raw"), Seq("qid"), "left")
-        .join(hits(top3(adcRes, col("adc")), "hits_res"), Seq("qid"), "left")
+        .join(broadcast(hits(top3(adcRaw, col("adc")), "hits_raw")), Seq("qid"), "left")
+        .join(broadcast(hits(top3(adcRes, col("adc")), "hits_res")), Seq("qid"), "left")
         .select(col("qid"), col("k"),
           coalesce(col("hits_raw"), lit(0L)).as("hits_raw"),
           coalesce(col("hits_res"), lit(0L)).as("hits_res"))
@@ -215,9 +222,18 @@ object DataQueries16 {
     // SequencePacking bins (composition pinned in Wave7Spec).
     "d137_bpe_ids" -> ((s, dir) => {
       val merges = DataQueries9.bpeRun(s, dir)._1.map(_._2)
-      val enc = graft.operators.BpeTokenizer.encode(docs(s, dir), "doc_id", "text", merges)
+      // r22 (guide §5 + §2.4): the encode kernel (5 merge passes per doc)
+      // fed TWO consumers (the vocab distinct and the id join) — persist it
+      // once; and resolve ids through the driver-collected literal vocab map
+      // (vocabulary-sized, the streaming encoder's existing contract) so the
+      // id assignment is one narrow transform instead of a token-level
+      // posexplode + shuffle join + per-doc collect_list reassembly. The
+      // vocabularyMap collect doubles as the persist's materializing action.
+      val enc = graft.sources.Caches.ephemeral(
+        graft.operators.BpeTokenizer.encode(docs(s, dir), "doc_id", "text", merges))
       val vocab = graft.operators.BpeTokenizer.vocabulary(enc)
-      graft.operators.BpeTokenizer.withTokenIds(enc, "doc_id", vocab)
+      val vmap = graft.operators.BpeTokenizer.vocabularyMap(vocab)
+      graft.operators.BpeTokenizer.withTokenIdsLit(enc, "doc_id", vmap)
         .select(col("doc_id"), col("n_tok"),
           md5(concat_ws(",", transform(col("ids"), x => x.cast("string")))).as("ids_md5"))
         .orderBy("doc_id")

@@ -548,9 +548,16 @@ object DataQueries17 {
             sum(when(col("__df") >= 2, 1L).otherwise(0L)).as(rep))
       }
       val before = repStats(docs(s, dir), "grams_before", "rep_before")
+      // repStats consumes its input twice (the df rollup + the join side);
+      // for `before` that is a cheap parquet re-scan, but the `after` side
+      // re-ran the ENTIRE cutDupSpans pipeline (df rollup, positional
+      // fan-out, anti-join, per-doc reassembly) per consumer — persist the
+      // rebuilt corpus once (r22, guide §5: join/agg output, expensive to
+      // recompute, corpus-text-sized for exactly this query's lifetime)
       val after = repStats(
-        graft.operators.TextDedup.cutDupSpans(docs(s, dir), "doc_id", "text", 5, 2)
-          .select(col("doc_id"), col("text")),
+        graft.sources.Caches.ephemeral(
+          graft.operators.TextDedup.cutDupSpans(docs(s, dir), "doc_id", "text", 5, 2)
+            .select(col("doc_id"), col("text"))),
         "grams_after", "rep_after")
       before.crossJoin(after)
         .select(col("grams_before"), col("rep_before"),

@@ -387,6 +387,10 @@ object DataQueries9 {
         .agg(conv(substring(md5(array_join(transform(
             array_sort(collect_list(struct(col("p"), col("w")))),
             x => x.getField("w")), " ")), 1, 15), 16, 10).cast("long").as("ch"))
+        // feeds BOTH the df rollup and the rejoin (r22, guide §5 — the d84
+        // persist rule: a window+agg output with per-token md5 reassembly is
+        // expensive to recompute and chunk-table-sized to hold)
+        .transform(graft.sources.Caches.ephemeral)
       val df = chunks.select(col("doc_id"), col("ch")).distinct()
         .groupBy(col("ch")).agg(countDistinct(col("doc_id")).as("ndocs"))
       chunks.join(df, Seq("ch"))

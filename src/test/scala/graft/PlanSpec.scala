@@ -67,8 +67,10 @@ class PlanSpec extends AnyFunSuite {
       // arithmetic, the r15 design) and the fixed rule/stage orders
       "d154_classifier_auc", "d155_score_spearman", "d177_auc_binned",
       "d160_filter_waterfall", "d165_dedup_funnel",
-      // trained-vocab id assignment (merge-list-bounded)
-      "d137_bpe_ids",
+      // (r22: d137_bpe_ids left this set — its vocab rank window now runs
+      // at plan-build time behind the vocabularyMap collect, so the final
+      // plan is window-free; the window itself is unchanged and still
+      // vocab-bounded inside BpeTokenizer.vocabulary)
       // ANSI-surface distribution functions over a FIXED-predicate input
       // (c_custkey < 500 caps the window at 499 rows at any SF); the
       // scale-path siblings are q44's closed-form + ScaleWindows ranks
