@@ -413,14 +413,21 @@ object DataQueries11 {
     // of true negatives + slack) — at 100 TB m scales with |ref| like
     // any bloom sizing.
     "d115_bloom_audit" -> ((s, dir) => {
-      val grams = (src: Column => Column) => docs(s, dir)
-        .filter(src(col("source")))
-        .select(explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
-        .distinct()
-      // both gram tables feed two consumers each (bloom bits + exact side,
-      // probes + exact side); persist so the scan+shingle runs once per side
-      val ref = grams(_ === "src0").transform(graft.sources.Caches.ephemeral)
-      val dump = grams(_ =!= "src0").transform(graft.sources.Caches.ephemeral)
+      // r22 (guide §2.4 "remove shuffles outright"): the old shape scanned
+      // and shingled the corpus TWICE (ref-side distinct, dump-side
+      // distinct, each persisted) and resolved exact membership with a
+      // gram-table equi-join. One flagged rollup replaces all of it: every
+      // gram groups once with in_ref/in_dump presence flags (2.22 → one
+      // corpus pass), the flagged table feeds bits + probes, and
+      // exact_hit IS the in_ref flag — the membership join is gone. Same
+      // sets by construction: filter(in_ref) = distinct grams of src0,
+      // filter(in_dump) = distinct grams of the rest.
+      val gt = docs(s, dir)
+        .select((col("source") === "src0").as("r"),
+          explode(graft.functions.prom.shingle_g(col("text"), 5)).as("g"))
+        .groupBy(col("g"))
+        .agg(max(col("r")).as("in_ref"), max(!col("r")).as("in_dump"))
+        .transform(graft.sources.Caches.ephemeral)
       val m = 1L << 20
       val mixes = Seq(
         (0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL),
@@ -430,17 +437,18 @@ object DataQueries11 {
       def positions(g: Column): Column = array(mixes.map { case (a, b) =>
         pmod(graft.functions.prom.mix64(g, a, b), lit(m))
       }: _*)
-      val bits = ref.select(explode(positions(col("g"))).as("pos")).distinct()
-      val probes = dump.select(col("g"), explode(positions(col("g"))).as("pos"))
+      val bits = gt.filter(col("in_ref"))
+        .select(explode(positions(col("g"))).as("pos")).distinct()
+      val probes = gt.filter(col("in_dump"))
+        .select(col("g"), col("in_ref"), explode(positions(col("g"))).as("pos"))
         .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
-        .groupBy("g").agg((count(col("hit")) === 4).as("bloom_hit"))
-      val exact = dump.join(ref.withColumn("mem", lit(1L)), Seq("g"), "left")
-        .select(col("g"), col("mem").isNotNull.as("exact_hit"))
-      probes.join(exact, "g")
+        .groupBy(col("g"), col("in_ref"))
+        .agg((count(col("hit")) === 4).as("bloom_hit"))
+      probes
         .agg(count(lit(1)).as("n_probe"),
-          count(when(col("exact_hit"), 1)).as("exact_hits"),
+          count(when(col("in_ref"), 1)).as("exact_hits"),
           count(when(col("bloom_hit"), 1)).as("bloom_hits"),
-          count(when(col("exact_hit") && !col("bloom_hit"), 1)).as("fn"))
+          count(when(col("in_ref") && !col("bloom_hit"), 1)).as("fn"))
         .select(col("n_probe"), col("exact_hits"),
           (col("fn") === 0).as("bloom_superset"),
           ((col("bloom_hits") - col("exact_hits")) * 50 <=

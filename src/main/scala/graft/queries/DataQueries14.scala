@@ -32,6 +32,13 @@ object DataQueries14 {
     // matches). One shingle pass per length (3 bounded passes), grams as
     // 60-bit longs, docs_touched priced on the df>=2 gram join only.
     "d122_dup_length_profile" -> ((s, dir) => {
+      // (r22 note: collapsing the three per-length branches into ONE tagged
+      // gram stream — explode(concat(transform(shingle_g(n), struct(n, g))))
+      // with a single (n, g)-keyed shuffle — was tried and REJECTED on cold
+      // measurement: 0.83 → 1.59/2.10 s min-of-3-cold, same host. Building
+      // the 3x-length struct array per doc and columnar-caching the tripled
+      // tagged stream costs more than the two extra page-cached corpus
+      // scans it saves. The per-length branches stay.)
       val branches = Seq(3, 5, 8).map { n =>
         val g = docs(s, dir).select(col("doc_id"),
           explode(graft.functions.prom.shingle_g(col("text"), n)).as("g"))
