@@ -364,6 +364,12 @@ object TextDedup {
     */
   def winnowAlignedRunsFrom(fingerprints: DataFrame, idCol: String,
       gramN: Int = 3, minShared: Int = 2, maxBucket: Int = 16): DataFrame = {
+    // (r22 note: persisting fp AND the valved f — the sketch appears four
+    // times in the static plan (df valve + join side, then x/y self-join
+    // sides) — was tried and REJECTED on cold measurement: d190 5.19 →
+    // 5.58 s, d84 2.00 → 2.17 s min-of-3-cold, same host back-to-back.
+    // Runtime exchange reuse already dedups the sketch's shuffles, so the
+    // two columnar cache builds were pure overhead.)
     val fp = fingerprints
       .select(col(idCol).as("__id"), col("pos"), col("g"))
     val okDf = fp.select(col("__id"), col("g")).distinct()
@@ -871,8 +877,8 @@ object TextDedup {
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1")
-    // the gram table feeds FIVE consumers (df rollup, sizes, the ranked
-    // prefix, and both sides of the verify join); persist it once or the
+    // the gram table feeds THREE consumers (df rollup, the ranked prefix,
+    // the candidate-doc array build); persist it once or the
     // scan+shingle+distinct subtree re-executes per consumer
     val g = docs.select(col(idCol).as("__id"),
       explode(graft.functions.prom.shingle_g(col(textCol), shingleN)).as("g"))
@@ -888,38 +894,57 @@ object TextDedup {
     // ids + one bounded array per doc, never the exploded gram product).
     // Arrays are bounded per doc (distinct grams <= doc tokens), the same
     // bound the gram table itself carries.
-    val docGrams = g.groupBy(col("__id"))
-      .agg(collect_list(col("g")).as("__gs"))
-      .transform(graft.sources.Caches.ephemeral)
-    val sizes = docGrams.select(col("__id"), size(col("__gs")).cast("long").as("n"))
     // (r21 note: a per-doc collect_list+sort_array+slice form of this
     // prefix was measured SLOWER than the row_number window at sf0.1
     // (2.79s vs 2.32s min-of-N) — the window's partitioned sort beats the
     // per-row struct-array allocation; kept as the window.)
-    val ranked = g.join(dfreq, "g").join(sizes, "__id")
+    // r22 (guide §2.3/§5): the per-doc gram count n comes from a second
+    // window over the SAME __id partitioning (no exchange added — the
+    // row_number exchange is shared) instead of a join against a sizes
+    // table, which also lets the doc-gram arrays below be built for
+    // CANDIDATE docs only rather than the whole corpus.
+    val win = Window.partitionBy(col("__id"))
+    val ranked = g.join(dfreq, "g")
+      .withColumn("n", count(lit(1)).over(win).cast("long"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("__id")).orderBy(col("df"), col("g"))))
+        win.orderBy(col("df"), col("g"))))
     // prefix length n - ceil(t*n) + 1; ceil(tNum*n/tDen) = (tNum*n + tDen-1) div tDen
     val prefix = ranked.filter(
       col("rk") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+    // the candidate list feeds the id semi-join AND the verify join —
+    // persist it or the whole prefix pipeline re-executes (it is
+    // prefix-rarity-valved: tiny by construction)
     val cand = prefix.groupBy(col("g"))
       .agg(sort_array(collect_list(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(pairExpand(col("ids")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+      .transform(graft.sources.Caches.ephemeral)
+    // per-doc DISTINCT gram sets for the CANDIDATE docs only (shingle_g is
+    // already distinct-per-doc, and verification inner-joins on candidate
+    // ids, so restricting the arrays changes nothing): the collect_list
+    // shuffle and the cached arrays are candidate-priced, never
+    // corpus-sized — the r21 full-corpus array table inflated the verify
+    // side at 32 cores (VERDICT r21 item 2's width concern)
+    val candIds = cand.select(col("a").as("__id"))
+      .union(cand.select(col("b").as("__id"))).distinct()
+    val docGrams = g.join(broadcast(candIds), Seq("__id"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(collect_list(col("g")).as("__gs"))
+      .transform(graft.sources.Caches.ephemeral)
     // exact |A ∩ B| per candidate: both sides' gram sets are distinct, so
-    // size(array_intersect) equals the old per-gram equi-join row count
-    val inter = cand
+    // size(array_intersect) equals the old per-gram equi-join row count;
+    // sizes ride the SAME arrays (size(__gs)) — the two sizes joins the
+    // old shape paid are a projection now
+    cand
       .join(docGrams.select(col("__id").as("a"), col("__gs").as("__ga")), Seq("a"))
       .join(docGrams.select(col("__id").as("b"), col("__gs").as("__gb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.__id"))
-      .join(sizes.as("sb"), col("b") === col("sb.__id"))
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long").as("inter"),
+        (size(col("__ga")) + size(col("__gb"))).cast("long").as("__nab"))
       .select(col("a"), col("b"), col("inter"),
-        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+        (col("__nab") - col("inter")).as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 }

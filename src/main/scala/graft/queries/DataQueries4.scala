@@ -147,6 +147,13 @@ object DataQueries4 {
       // bigrams flow as 60-bit kernel hashes (ngram_g keeps repeats — the
       // frequencies are the signal); the count table and joins move longs,
       // never bigram strings
+      // (r22 note: pre-aggregating to (doc, bigram) multiplicities before
+      // the frequency join — Σ c·n / Σ c in place of sum(n)/count(*) — was
+      // tried and REJECTED on cold measurement: d28 0.42 → 0.66 s, d58
+      // 1.27 → 1.78 s min-of-3-cold back-to-back. Within-doc bigram repeat
+      // rates are too low here for the distinct-pair stream to be smaller
+      // than the token stream, so the extra exchange is pure cost. The
+      // token-level join stays in all five d28-shaped sites.)
       val bg = docs(s, dir).select(col("doc_id"),
         explode(graft.functions.prom.ngram_g(col("text"), 2)).as("bg"))
       val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
