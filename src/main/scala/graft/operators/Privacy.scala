@@ -593,6 +593,15 @@ object Privacy {
     val noiseCol =
       if (thr.size == 1) lit(thr.head._1)
       else {
+        // the bracket's bounds safety rides on geometricThresholds'
+        // invariant (ADVICE r21): his strictly increasing, last = NoiseScale
+        // > any 24-bit draw — violated, element_at would return NULL noise
+        // in non-ANSI mode (silent corruption), so fail loudly at plan
+        // build instead
+        require(thr.last._2 == NoiseScale,
+          s"geometricThresholds must end at NoiseScale=$NoiseScale, got ${thr.last._2}")
+        require(thr.map(_._2).sliding(2).forall(w => w(0) < w(1)),
+          "geometricThresholds his must be strictly increasing")
         val hiLit = lit(thr.map(_._2).toArray)
         val zLit = lit(thr.map(_._1).toArray)
         element_at(zLit,

@@ -41,6 +41,14 @@ import graft.functions.PromKernel
   * synchronous writer mode ([[Receiver.setWriters]]) where the 200 reflects
   * the destination writes themselves.
   *
+  * Delivery contract under WAL mode is AT-LEAST-ONCE (ADVICE r21): a
+  * refused ack (e.g. transient directory-fsync failure) leaves the already-
+  * appended record in the segment with only the 200 withheld, so the
+  * client's retry appends a SECOND copy under a new seq and both replay.
+  * remote_write has no idempotency key, matching the reference's retry
+  * semantics — downstream consumers must tolerate duplicates (or dedup on
+  * (tenant, series key, timestamp) themselves, the standard TSDB rule).
+  *
   * Usage: spark.readStream.format("graft.sources.HttpRemoteWriteProvider")
   *   .option("port", "9201").option("path", "/write")
   *   .option("walDir", "/data/wal/9201").load()

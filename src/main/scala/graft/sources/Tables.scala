@@ -39,13 +39,26 @@ object Tables {
     * schema itself, so both encodings memo correctly.
     */
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]
+
+  /** Cheap freshness token (ADVICE r21): parquet rewritten IN PLACE with a
+    * different schema inside one long-lived JVM (regenerated testdata,
+    * test fixtures) must not read through a stale pinned schema — key the
+    * memo on (mtime, direct-child count) beside the path. One stat + one
+    * list per load call, still no footer parse.
+    */
+  private def freshness(path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    val kids = f.list()
+    (f.lastModified(), if (kids == null) -1L else kids.length.toLong)
+  }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     configure(spark)
     val path = s"$sfDir/$table.parquet"
-    val schema = schemaMemo.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    val (mt, nf) = freshness(path)
+    val schema = schemaMemo.computeIfAbsent((path, mt, nf),
+      k => spark.read.parquet(k._1).schema)
     val df = spark.read.schema(schema).parquet(path)
     nanoTsColumns.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
